@@ -1,0 +1,32 @@
+'''nutils_tpu — a TPU-native finite element framework.
+
+A ground-up re-design of the Nutils FEM library (reference: evalf/nutils) for
+TPU hardware: the lazy expression graph lowers to batched, statically-shaped
+JAX computations compiled by XLA; per-element quadrature loops become einsum
+contractions over element batches; sparse matrix assembly produces a
+host-precomputed CSR pattern with device-resident value scatter; linear solves
+run as on-device preconditioned Krylov iterations.
+
+Layer map (mirrors the reference's, see SURVEY.md):
+
+  L0 utils/      config, numeric helpers (pack/unpack), logging, testing
+  L1 evaluable   batched expression IR -> jax.jit compilation
+  L2 element     reference elements, quadrature, bezier sampling
+  L3 topology    structured/simplex topologies, bases, mesh, sample, function
+  L4 matrix      CSR matrix, direct (host) and CG/GMRES (device) backends
+  L5 solver      System: residual/jacobian assembly via JAX AD, Newton et al.
+  L6 expression  tensor-index DSL (Namespace), export, cli
+'''
+
+__version__ = '0.1.0'
+version = __version__
+
+import jax as _jax
+
+# FEM regression tolerances (reference: testing.py assertAlmostEqual64 with
+# atol=2e-15) require double precision; enable x64 globally. The TPU benchmark
+# path overrides the working dtype via utils.config.
+_jax.config.update('jax_enable_x64', True)
+
+from .utils import config, numeric  # noqa: E402
+from .utils import _log as log  # noqa: E402

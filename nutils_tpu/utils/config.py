@@ -1,0 +1,54 @@
+'''Global configuration with environment-variable defaults and scoped overrides.
+
+Mirrors the reference's three config mechanisms (reference: _util.py:366-404
+``defaults_from_env``, ``set_current`` context-managed globals) with a single
+small registry.  Environment variables use the ``NUTILS_TPU_`` prefix.
+
+Key settings:
+
+``floatx``
+    Concrete dtype that abstract ``float`` expressions compile to.  Defaults to
+    ``float64`` (required for reference-parity regression tests); the TPU
+    benchmark path sets ``float32``.
+``intx``
+    Concrete dtype for abstract ``int``; ``int32`` is TPU-native.
+``matrix``
+    Linear algebra backend: ``auto``/``direct``/``cg``/``scipy``/``dense``.
+'''
+
+import contextlib
+import os
+
+import numpy
+
+
+class _Setting:
+
+    def __init__(self, name, default, parse=str):
+        self.name = name
+        env = os.environ.get('NUTILS_TPU_' + name.upper())
+        self.value = parse(env) if env is not None else default
+
+    @contextlib.contextmanager
+    def __call__(self, value):
+        old, self.value = self.value, value
+        try:
+            yield value
+        finally:
+            self.value = old
+
+
+floatx = _Setting('floatx', numpy.float64, numpy.dtype)
+intx = _Setting('intx', numpy.int32, numpy.dtype)
+matrix = _Setting('matrix', 'auto')
+# Upper bound on elements per device batch during assembly; larger samples are
+# processed in chunks to bound HBM footprint of quadrature intermediates.
+assembly_chunk = _Setting('assembly_chunk', 2**18, int)
+
+
+def float_dtype():
+    return numpy.dtype(floatx.value)
+
+
+def int_dtype():
+    return numpy.dtype(intx.value)
