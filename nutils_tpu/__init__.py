@@ -28,5 +28,16 @@ import jax as _jax
 # path overrides the working dtype via utils.config.
 _jax.config.update('jax_enable_x64', True)
 
+# Persistent XLA compilation cache: FEM workflows compile many small kernels
+# (one per integral/sample); caching amortizes them across runs (the analogue
+# of the reference's compiled-evaluable caching, evaluable.py:6790).
+import os as _os
+_cache_dir = _os.environ.get('NUTILS_TPU_JAX_CACHE', _os.path.expanduser('~/.cache/nutils_tpu/jax'))
+if _cache_dir and _cache_dir != '0':
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    _jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+    _jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+
 from .utils import config, numeric  # noqa: E402
 from .utils import _log as log  # noqa: E402

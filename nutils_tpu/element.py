@@ -1,0 +1,261 @@
+'''Reference elements: quadrature dispatch and bezier (visualization) points.
+
+The TPU-native counterpart of the reference's element/points layer
+(reference: element.py, points.py): reference elements produce *tables* —
+quadrature coordinates/weights, uniform bezier grids with local
+triangulations, edge affine maps with outward normals — that the topology
+layer assembles into batched sample arrays.  No per-element objects exist at
+evaluation time.
+'''
+
+import functools
+
+import numpy
+
+from .ops import quadrature
+
+
+class Reference:
+
+    ndims = None
+
+    def gauss(self, degree):
+        raise NotImplementedError
+
+    def bezier(self, n):
+        '''Uniform sample grid: (coords [P, d], tri [nt, d+1], hull [nh, d]).'''
+        raise NotImplementedError
+
+    @property
+    def edges(self):
+        '''List of (linear [d, d-1], offset [d], normal [d], edge_reference).'''
+        raise NotImplementedError
+
+    @property
+    def nverts(self):
+        return len(self.vertices)
+
+    def __repr__(self):
+        return type(self).__name__
+
+
+class PointReference(Reference):
+
+    ndims = 0
+    vertices = numpy.zeros((1, 0))
+    volume = 1.0
+
+    def gauss(self, degree):
+        return numpy.zeros((1, 0)), numpy.ones(1)
+
+    def bezier(self, n):
+        return numpy.zeros((1, 0)), numpy.zeros((1, 1), dtype=int), numpy.zeros((0, 0), dtype=int)
+
+
+class LineReference(Reference):
+
+    ndims = 1
+    vertices = numpy.array([[0.0], [1.0]])
+    volume = 1.0
+
+    def gauss(self, degree):
+        return quadrature.line(degree)
+
+    def bezier(self, n):
+        coords = numpy.linspace(0, 1, n)[:, None]
+        tri = numpy.stack([numpy.arange(n - 1), numpy.arange(1, n)], axis=1)
+        hull = numpy.array([[0], [n - 1]])
+        return coords, tri, hull
+
+    @property
+    def edges(self):
+        e = numpy.zeros((1, 0))
+        return [
+            (e.copy(), numpy.array([0.0]), numpy.array([-1.0]), PointReference()),
+            (e.copy(), numpy.array([1.0]), numpy.array([1.0]), PointReference()),
+        ]
+
+
+class QuadReference(Reference):
+    '''Unit square [0,1]^2 (tensor product of lines).'''
+
+    ndims = 2
+    vertices = numpy.array([[0, 0], [0, 1], [1, 0], [1, 1]], dtype=float)
+    volume = 1.0
+
+    def gauss(self, degree):
+        return quadrature.tensor(degree, 2)
+
+    def bezier(self, n):
+        x = numpy.linspace(0, 1, n)
+        coords = numpy.stack(numpy.meshgrid(x, x, indexing='ij'), axis=-1).reshape(-1, 2)  # C-order: i0 slow
+        tris = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                v00 = i * n + j
+                v01 = i * n + j + 1
+                v10 = (i + 1) * n + j
+                v11 = (i + 1) * n + j + 1
+                tris.append([v00, v01, v10])
+                tris.append([v11, v10, v01])
+        hull = []
+        for k in range(n - 1):
+            hull.append([k, k + 1])                          # j edge at i=0
+            hull.append([(n - 1) * n + k, (n - 1) * n + k + 1])  # i=n-1
+            hull.append([k * n, (k + 1) * n])                # j=0
+            hull.append([k * n + n - 1, (k + 1) * n + n - 1])  # j=n-1
+        return coords, numpy.asarray(tris), numpy.asarray(hull)
+
+    @property
+    def edges(self):
+        # sides in dim-major order: (dim 0 low: 'left'), (dim 0 high: 'right'),
+        # (dim 1 low: 'bottom'), (dim 1 high: 'top')
+        line = LineReference()
+        c0 = numpy.array([[0.0], [1.0]])  # edge coord maps to dim 1
+        c1 = numpy.array([[1.0], [0.0]])  # edge coord maps to dim 0
+        return [
+            (c0, numpy.array([0.0, 0.0]), numpy.array([-1.0, 0.0]), line),
+            (c0, numpy.array([1.0, 0.0]), numpy.array([1.0, 0.0]), line),
+            (c1, numpy.array([0.0, 0.0]), numpy.array([0.0, -1.0]), line),
+            (c1, numpy.array([0.0, 1.0]), numpy.array([0.0, 1.0]), line),
+        ]
+
+
+class HexReference(Reference):
+
+    ndims = 3
+    volume = 1.0
+    vertices = numpy.stack(numpy.meshgrid(*[[0.0, 1.0]] * 3, indexing='ij'), axis=-1).reshape(-1, 3)
+
+    def gauss(self, degree):
+        return quadrature.tensor(degree, 3)
+
+    def bezier(self, n):
+        x = numpy.linspace(0, 1, n)
+        coords = numpy.stack(numpy.meshgrid(x, x, x, indexing='ij'), axis=-1).reshape(-1, 3)
+
+        def vid(i, j, k):
+            return (i * n + j) * n + k
+        tets = []
+        for i in range(n - 1):
+            for j in range(n - 1):
+                for k in range(n - 1):
+                    # split each cell into 6 tets (Kuhn triangulation)
+                    v = [vid(i + a, j + b, k + c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+                    for perm in ((0, 1, 3, 7), (0, 1, 5, 7), (0, 2, 3, 7), (0, 2, 6, 7), (0, 4, 5, 7), (0, 4, 6, 7)):
+                        tets.append([v[p] for p in perm])
+        hull = []
+        for a in range(n - 1):
+            for b in range(n - 1):
+                for fixed, side in ((0, 0), (0, n - 1), (1, 0), (1, n - 1), (2, 0), (2, n - 1)):
+                    if fixed == 0:
+                        q = [vid(side, a, b), vid(side, a + 1, b), vid(side, a, b + 1), vid(side, a + 1, b + 1)]
+                    elif fixed == 1:
+                        q = [vid(a, side, b), vid(a + 1, side, b), vid(a, side, b + 1), vid(a + 1, side, b + 1)]
+                    else:
+                        q = [vid(a, b, side), vid(a + 1, b, side), vid(a, b + 1, side), vid(a + 1, b + 1, side)]
+                    hull.append([q[0], q[1], q[3]])
+                    hull.append([q[0], q[3], q[2]])
+        return coords, numpy.asarray(tets), numpy.asarray(hull)
+
+    @property
+    def edges(self):
+        quad = QuadReference()
+        out = []
+        for idim in range(3):
+            other = [d for d in range(3) if d != idim]
+            lin = numpy.zeros((3, 2))
+            lin[other[0], 0] = 1.0
+            lin[other[1], 1] = 1.0
+            for side in (0.0, 1.0):
+                off = numpy.zeros(3)
+                off[idim] = side
+                nrm = numpy.zeros(3)
+                nrm[idim] = -1.0 if side == 0.0 else 1.0
+                out.append((lin.copy(), off, nrm, quad))
+        return out
+
+
+class TriangleReference(Reference):
+    '''Unit triangle {x, y >= 0, x + y <= 1}.'''
+
+    ndims = 2
+    vertices = numpy.array([[0, 0], [1, 0], [0, 1]], dtype=float)
+    volume = 0.5
+
+    def gauss(self, degree):
+        return quadrature.triangle(degree)
+
+    def bezier(self, n):
+        coords = []
+        idx = {}
+        for i in range(n):
+            for j in range(n - i):
+                idx[i, j] = len(coords)
+                coords.append([i / (n - 1), j / (n - 1)])
+        tris = []
+        for i in range(n - 1):
+            for j in range(n - 1 - i):
+                tris.append([idx[i, j], idx[i + 1, j], idx[i, j + 1]])
+                if j < n - 2 - i:
+                    tris.append([idx[i + 1, j], idx[i + 1, j + 1], idx[i, j + 1]])
+        hull = []
+        for k in range(n - 1):
+            hull.append([idx[k, 0], idx[k + 1, 0]])
+            hull.append([idx[0, k], idx[0, k + 1]])
+            hull.append([idx[k, n - 1 - k], idx[k + 1, n - 2 - k]])
+        return numpy.asarray(coords, dtype=float), numpy.asarray(tris), numpy.asarray(hull)
+
+    @property
+    def edges(self):
+        line = LineReference()
+        s = numpy.sqrt(0.5)
+        return [
+            (numpy.array([[1.0], [0.0]]), numpy.array([0.0, 0.0]), numpy.array([0.0, -1.0]), line),
+            (numpy.array([[-1.0], [1.0]]), numpy.array([1.0, 0.0]), numpy.array([s, s]), line),
+            (numpy.array([[0.0], [-1.0]]), numpy.array([0.0, 1.0]), numpy.array([-1.0, 0.0]), line),
+        ]
+
+
+class TetReference(Reference):
+
+    ndims = 3
+    vertices = numpy.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=float)
+    volume = 1.0 / 6.0
+
+    def gauss(self, degree):
+        return quadrature.tetrahedron(degree)
+
+    def bezier(self, n):
+        coords = []
+        idx = {}
+        for i in range(n):
+            for j in range(n - i):
+                for k in range(n - i - j):
+                    idx[i, j, k] = len(coords)
+                    coords.append([i / (n - 1), j / (n - 1), k / (n - 1)])
+        # vertices-only triangulation for n == 2; finer handled via subdivision later
+        tets = [[idx[0, 0, 0], idx[n - 1, 0, 0], idx[0, n - 1, 0], idx[0, 0, n - 1]]] if n == 2 else []
+        hull = []
+        return numpy.asarray(coords, dtype=float), numpy.asarray(tets, dtype=int).reshape(-1, 4), numpy.asarray(hull, dtype=int).reshape(-1, 3)
+
+    @property
+    def edges(self):
+        tri = TriangleReference()
+        s = 1 / numpy.sqrt(3)
+        return [
+            (numpy.array([[1.0, 0.0], [0.0, 1.0], [0.0, 0.0]]), numpy.zeros(3), numpy.array([0.0, 0.0, -1.0]), tri),
+            (numpy.array([[1.0, 0.0], [0.0, 0.0], [0.0, 1.0]]), numpy.zeros(3), numpy.array([0.0, -1.0, 0.0]), tri),
+            (numpy.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]), numpy.zeros(3), numpy.array([-1.0, 0.0, 0.0]), tri),
+            (numpy.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]]), numpy.array([1.0, 0.0, 0.0]), numpy.array([s, s, s]), tri),
+        ]
+
+
+@functools.cache
+def hypercube(ndims):
+    return [PointReference(), LineReference(), QuadReference(), HexReference()][ndims]
+
+
+@functools.cache
+def simplex(ndims):
+    return [PointReference(), LineReference(), TriangleReference(), TetReference()][ndims]

@@ -200,8 +200,9 @@ class Leaf(Array):
     differentiate with respect to Leafs.
     '''
 
-    def __init__(self, key, shape, dtype=float):
+    def __init__(self, key, shape, dtype=float, value=None):
         self.key = key
+        self.value = value  # optional default binding (not part of identity)
         super().__init__((), (key, _astuple(shape), dtype), shape, dtype)
 
     @functools.cached_property
@@ -326,7 +327,7 @@ class Take(Array):
 
     def evalf(self, func, indices):
         import jax.numpy as jnp
-        return jnp.take(func, indices, axis=self.axis, mode='promise_in_bounds')
+        return jnp.take(func, indices, axis=self.axis, mode='clip')
 
 
 class Inflate(Array):
@@ -388,7 +389,7 @@ class GatherAlong(Array):
 
     def evalf(self, func, dofs):
         import jax.numpy as jnp
-        return jnp.take_along_axis(func, jnp.broadcast_to(dofs, self.shape), axis=self.axis, mode='promise_in_bounds')
+        return jnp.take_along_axis(func, jnp.broadcast_to(dofs, self.shape), axis=self.axis, mode='clip')
 
 
 class Concatenate(Array):
@@ -449,12 +450,32 @@ class Sum(Array):
 
 
 class Power(Array):
+    '''base ** exp.  When the exponent is a broadcast constant scalar it is
+    lowered statically (integer_pow / sqrt / python-scalar pow): feeding the
+    exponent as a traced array would make JAX's pow JVP emit a log(base) term
+    that produces NaN tangents at base == 0 (ubiquitous in FEM: fields vanish
+    on element boundaries).'''
 
     def __init__(self, base, exp):
         assert base.shape == exp.shape and base.dtype == exp.dtype == float
-        super().__init__((base, exp), (), base.shape, float)
+        e = exp
+        while isinstance(e, InsertAxis):
+            e = e.func
+        self.static_exp = float(e.value) if isinstance(e, Constant) and e.ndim == 0 else None
+        super().__init__((base, exp), (self.static_exp,), base.shape, float)
 
     def evalf(self, base, exp):
+        import jax
+        import jax.numpy as jnp
+        p = self.static_exp
+        if p is not None:
+            if p == int(p) and abs(p) <= 64:
+                return jax.lax.integer_pow(base, int(p))
+            if p == 0.5:
+                return jnp.sqrt(base)
+            if p == -0.5:
+                return jax.lax.rsqrt(base)
+            return jnp.power(base, p)
         return base ** exp
 
 
@@ -958,6 +979,10 @@ def astype(func, dtype):
         return Constant(func.value.astype(numpy.float64 if dtype is float else numpy.int64 if dtype is int else bool))
     if isinstance(func, Zeros):
         return Zeros(func.shape, dtype)
+    if isinstance(func, InsertAxis):  # keep broadcast structure visible outside
+        return insertaxis(astype(func.func, dtype), func.axis, func.length)
+    if isinstance(func, Transpose):
+        return transpose(astype(func.func, dtype), func.axes)
     return Cast(func, dtype)
 
 
@@ -984,6 +1009,8 @@ def _poly_degree(node, names):
     if isinstance(node, Multiply):
         return sum(_poly_degree(c, names) for c in node.children)
     if isinstance(node, (InsertAxis, Transpose, Ravel, Unravel, Sum, Inflate, Cast)):
+        return _poly_degree(node.children[0], names)
+    if isinstance(node, Pointwise) and node.op == 'negative':
         return _poly_degree(node.children[0], names)
     if isinstance(node, (Take, GatherAlong)):
         return _poly_degree(node.children[0], names) if not any(a.name in names for a in node.children[1].arguments) else numpy.inf
@@ -1289,9 +1316,15 @@ class Compiled:
                 assert prev == l, f'inconsistent leaf {l.key!r}'
         self._jitted = None
 
-    def trace(self, arguments, leaves):
-        '''Pure function: dict of argument arrays, dict of leaf arrays -> output pytree.'''
+    def trace(self, arguments, leaves=None):
+        '''Pure function: dict of argument arrays, dict of leaf arrays -> output pytree.
+        Leaves not supplied explicitly fall back to their default bindings.'''
         import jax
+        leaves = dict(leaves or {})
+        for key, node in self.leafnodes.items():
+            if key not in leaves:
+                assert node.value is not None, f'missing leaf binding: {key!r}'
+                leaves[key] = node.value
         ev = _Evaluator(arguments, leaves)
         frame = {}
         vals = [ev._eval(f, frame, frozenset()) for f in self.flat]
@@ -1304,9 +1337,6 @@ class Compiled:
         missing = set(self.argnodes) - set(arguments)
         if missing:
             raise ValueError(f'missing arguments: {sorted(missing)}')
-        missing_leaves = set(self.leafnodes) - set(leaves)
-        if missing_leaves:
-            raise ValueError(f'missing leaves: {sorted(missing_leaves, key=str)}')
         if self._jitted is None:
             self._jitted = jax.jit(self.trace)
         return self._jitted(arguments, leaves)

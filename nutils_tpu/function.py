@@ -1,0 +1,1079 @@
+'''User-facing lazy array layer with the lowering protocol.
+
+Mirrors the reference's ``function.Array`` (reference: function.py:257): every
+object is a lazy, numpy-operator-supporting array annotated with ``spaces``
+and ``arguments``; calling ``lower(args)`` produces an evaluable-IR expression
+of shape ``args.points_shape + self.shape``.
+
+TPU-native differences from the reference:
+
+* ``LowerArgs`` carries a *batched* view of a sample: one coordinate Leaf
+  ``X`` of shape [E, P, d] (root coordinates of all quadrature points of all
+  elements), constant per-element tables (parent indices, affine maps, root
+  normals), and the parent-local coordinate expression.  There are no
+  per-element transform chains at lowering time — chains are flattened into
+  tables host-side by the topology layer.
+
+* Coordinate derivatives (grad, normal, jacobian) lower to ``evaluable.Grad``
+  nodes — seeded ``jax.jvp`` passes at compile time — instead of symbolic
+  per-node derivative rules (reference: function.py:2051-2316 lowers to
+  ``evaluable.derivative``).
+'''
+
+import functools
+import itertools
+
+import numpy
+
+from . import evaluable as ev
+
+_token_counter = itertools.count()
+
+
+class LowerArgs:
+    '''Lowering context for one sample (single space).
+
+    Attributes
+    ----------
+    space : str
+    points_shape : tuple
+        Prefix shape of lowered arrays, () for space-free lowering or (E, P).
+    X : evaluable.Leaf or None
+        Root coordinates [E, P, d], bound to the sample's coordinate table.
+    index : numpy.ndarray or None
+        Parent element index per batch element [E].
+    xi : evaluable.Array or None
+        Parent-element local coordinates [E, P, dp] as a function of X.
+    tangents : numpy.ndarray or None
+        d(root coords)/d(sample-local coords), [E, d, ds].
+    normal_root : numpy.ndarray or None
+        Outward normal in root coordinates, [E, d] (boundary samples).
+    '''
+
+    def __init__(self, space=None, points_shape=(), X=None, index=None, xi=None, tangents=None, normal_root=None, opposite=None):
+        self.space = space
+        self.points_shape = tuple(points_shape)
+        self.X = X
+        self.index = index
+        self.xi = xi
+        self.tangents = tangents
+        self.normal_root = normal_root
+        self.opposite = opposite  # LowerArgs of the other side of an interface
+
+    @property
+    def nprefix(self):
+        return len(self.points_shape)
+
+
+EMPTY_LOWER_ARGS = LowerArgs()
+
+
+def _prefix_broadcast(expr, points_shape, own_prefix=0):
+    '''Insert leading axes so expr (with own_prefix leading point axes) is
+    broadcast to the requested points_shape prefix.'''
+    assert own_prefix == 0, 'unexpected pre-lowered prefix'
+    for i, n in enumerate(points_shape):
+        expr = ev.insertaxis(expr, i, n)
+    return expr
+
+
+class Array:
+    '''Base class of lazy user arrays.'''
+
+    def __init__(self, shape, dtype, spaces, arguments):
+        self.shape = tuple(int(n) for n in shape)
+        self.dtype = dtype
+        self.spaces = frozenset(spaces)
+        self.arguments = dict(arguments)  # name -> (shape, dtype)
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def size(self):
+        return int(numpy.prod(self.shape, dtype=numpy.int64)) if self.shape else 1
+
+    def lower(self, args):
+        raise NotImplementedError
+
+    # -------------------------------------------------- numpy-like operators
+
+    def __add__(self, other):
+        return add(self, other)
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        return subtract(self, other)
+
+    def __rsub__(self, other):
+        return subtract(other, self)
+
+    def __mul__(self, other):
+        return multiply(self, other)
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        return divide(self, other)
+
+    def __rtruediv__(self, other):
+        return divide(other, self)
+
+    def __pow__(self, other):
+        return power(self, other)
+
+    def __neg__(self):
+        return negative(self)
+
+    def __pos__(self):
+        return self
+
+    def __matmul__(self, other):
+        return matmul(self, other)
+
+    def __rmatmul__(self, other):
+        return matmul(other, self)
+
+    def __getitem__(self, item):
+        return getitem(self, item)
+
+    def sum(self, axis=None):
+        return sum_(self, axis)
+
+    def prod(self, axis=-1):
+        raise NotImplementedError
+
+    @property
+    def T(self):
+        return transpose(self)
+
+    def transpose(self, axes=None):
+        return transpose(self, axes)
+
+    def grad(self, geom, ndims=0):
+        return grad(self, geom)
+
+    def div(self, geom):
+        return div(self, geom)
+
+    def curl(self, geom):
+        return curl(self, geom)
+
+    def laplace(self, geom):
+        return laplace(self, geom)
+
+    def normal(self, *args):
+        raise NotImplementedError('use function.normal(geom)')
+
+    def dot(self, other, axes=None):
+        if axes is None:
+            return matmul(self, other)
+        return sum_(multiply(self, other), axes)
+
+    def eval(self, arguments=None, /, **kwargs):
+        return eval(self, arguments or kwargs)
+
+    def derivative(self, var):
+        return derivative(self, var)
+
+    def replace(self, arguments):
+        return replace_arguments(self, arguments)
+
+    def conjugate(self):
+        return self
+
+    def __repr__(self):
+        return f'Array<{"x".join(map(str, self.shape))}>'
+
+    # numpy interop: allow numpy scalars/arrays on the left of operators
+    __array_priority__ = 100.0
+
+    def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+        if method != '__call__' or kwargs.get('out') is not None:
+            return NotImplemented
+        handler = _UFUNC_MAP.get(ufunc)
+        if handler is None:
+            return NotImplemented
+        return handler(*inputs)
+
+    def __array_function__(self, func, types, args, kwargs):
+        handler = _FUNC_MAP.get(func)
+        if handler is None:
+            return NotImplemented
+        return handler(*args, **kwargs)
+
+
+def _merge_args(arrays):
+    out = {}
+    for a in arrays:
+        for name, spec in a.arguments.items():
+            prev = out.setdefault(name, spec)
+            assert prev == spec, f'inconsistent argument {name!r}: {prev} vs {spec}'
+    return out
+
+
+def _merge_spaces(arrays):
+    return frozenset().union(*(a.spaces for a in arrays))
+
+
+def asarray(value):
+    if isinstance(value, Array):
+        return value
+    if isinstance(value, (list, tuple)) and any(isinstance(v, Array) for v in _flatten(value)):
+        return stack([asarray(v) for v in value], axis=0)
+    return _Constant(numpy.asarray(value))
+
+
+def _flatten(x):
+    if isinstance(x, (list, tuple)):
+        for v in x:
+            yield from _flatten(v)
+    else:
+        yield x
+
+
+class _Constant(Array):
+
+    def __init__(self, value):
+        self.value = numpy.asarray(value)
+        dtype = bool if self.value.dtype.kind == 'b' else int if self.value.dtype.kind in 'iu' else float
+        super().__init__(self.value.shape, dtype, frozenset(), {})
+
+    def lower(self, args):
+        return _prefix_broadcast(ev.constant(self.value), args.points_shape)
+
+
+class Argument(Array):
+    '''Named argument; the solver's trial/test vectors and parameters.'''
+
+    def __init__(self, name, shape, dtype=float):
+        self.name = name
+        super().__init__(shape, dtype, frozenset(), {name: (tuple(int(n) for n in shape), dtype)})
+
+    def lower(self, args):
+        return _prefix_broadcast(ev.Argument(self.name, self.shape, self.dtype), args.points_shape)
+
+
+def _broadcast_shapes(*shapes):
+    return tuple(numpy.broadcast_shapes(*shapes))
+
+
+def _align_lowered(expr, own_shape, out_shape, nprefix):
+    '''Align a lowered array (prefix + own_shape) to prefix + out_shape by
+    numpy broadcasting rules (prepend axes, broadcast unit axes).'''
+    # prepend missing axes after the prefix
+    for _ in range(len(out_shape) - len(own_shape)):
+        expr = ev.insertaxis(expr, nprefix, 1)
+    own = (1,) * (len(out_shape) - len(own_shape)) + tuple(own_shape)
+    for i, (a, b) in enumerate(zip(own, out_shape)):
+        if a == 1 and b != 1:
+            expr = ev._drop_unit_axis(expr, nprefix + i)
+            expr = ev.insertaxis(expr, nprefix + i, b)
+        else:
+            assert a == b, f'cannot broadcast {own} to {out_shape}'
+    return expr
+
+
+class _Broadcast(Array):
+    '''Helper base for n-ary ops with numpy broadcasting.'''
+
+    def __init__(self, operands, shape, dtype):
+        operands = tuple(operands)
+        self.operands = operands
+        super().__init__(shape, dtype, _merge_spaces(operands), _merge_args(operands))
+
+    def _lowered_operands(self, args):
+        return [_align_lowered(op.lower(args), op.shape, self.shape, args.nprefix) for op in self.operands]
+
+
+def _result_dtype(*ops):
+    dtypes = [op.dtype for op in ops]
+    if float in dtypes:
+        return float
+    if int in dtypes:
+        return int
+    return bool
+
+
+def _coerce_pair(a, b):
+    a, b = asarray(a), asarray(b)
+    dtype = _result_dtype(a, b)
+    return _cast(a, dtype), _cast(b, dtype), dtype
+
+
+def _cast(a, dtype):
+    if a.dtype == dtype:
+        return a
+    return _Cast(a, dtype)
+
+
+class _Cast(Array):
+
+    def __init__(self, arg, dtype):
+        self.arg = arg
+        super().__init__(arg.shape, dtype, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        return ev.astype(self.arg.lower(args), self.dtype)
+
+
+class _Add(_Broadcast):
+
+    def __init__(self, a, b):
+        super().__init__((a, b), _broadcast_shapes(a.shape, b.shape), _result_dtype(a, b))
+
+    def lower(self, args):
+        la, lb = self._lowered_operands(args)
+        return ev.add(la, lb)
+
+
+class _Multiply(_Broadcast):
+
+    def __init__(self, a, b):
+        super().__init__((a, b), _broadcast_shapes(a.shape, b.shape), _result_dtype(a, b))
+
+    def lower(self, args):
+        la, lb = self._lowered_operands(args)
+        return ev.multiply(la, lb)
+
+
+class _Power(_Broadcast):
+
+    def __init__(self, a, b):
+        super().__init__((a, b), _broadcast_shapes(a.shape, b.shape), float)
+
+    def lower(self, args):
+        la, lb = self._lowered_operands(args)
+        return ev.power(la, lb)
+
+
+class _Pointwise(_Broadcast):
+
+    def __init__(self, op, *operands, force_dtype=None):
+        self.op = op
+        self.force_dtype = force_dtype
+        dtype = force_dtype if force_dtype is not None else _result_dtype(*operands)
+        super().__init__(operands, _broadcast_shapes(*(o.shape for o in operands)), dtype)
+
+    def lower(self, args):
+        lowered = self._lowered_operands(args)
+        return ev.pointwise(self.op, *lowered, dtype=self.force_dtype)
+
+
+class _Neg(_Broadcast):
+
+    def __init__(self, a):
+        super().__init__((a,), a.shape, a.dtype)
+
+    def lower(self, args):
+        return ev.negative(self.operands[0].lower(args))
+
+
+class _Sum(Array):
+
+    def __init__(self, arg, axes):
+        self.arg = arg
+        self.axes = tuple(sorted(ax % arg.ndim for ax in axes))
+        shape = tuple(n for i, n in enumerate(arg.shape) if i not in self.axes)
+        super().__init__(shape, arg.dtype, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        expr = self.arg.lower(args)
+        return ev.sum_(expr, tuple(args.nprefix + ax for ax in self.axes))
+
+
+class _Transpose(Array):
+
+    def __init__(self, arg, axes):
+        self.arg = arg
+        self.axes = tuple(ax % arg.ndim for ax in axes)
+        super().__init__(tuple(arg.shape[i] for i in self.axes), arg.dtype, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        expr = self.arg.lower(args)
+        pre = tuple(range(args.nprefix))
+        return ev.transpose(expr, pre + tuple(args.nprefix + i for i in self.axes))
+
+
+class _InsertAxis(Array):
+
+    def __init__(self, arg, axis, length):
+        self.arg = arg
+        self.axis = axis % (arg.ndim + 1)
+        self.length = int(length)
+        shape = arg.shape[:self.axis] + (self.length,) + arg.shape[self.axis:]
+        super().__init__(shape, arg.dtype, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        return ev.insertaxis(self.arg.lower(args), args.nprefix + self.axis, self.length)
+
+
+class _Take(Array):
+    '''Gather along axis at constant indices.'''
+
+    def __init__(self, arg, indices, axis):
+        self.arg = arg
+        self.indices = numpy.asarray(indices)
+        assert self.indices.dtype.kind in 'iu'
+        self.axis = axis % arg.ndim
+        shape = arg.shape[:self.axis] + self.indices.shape + arg.shape[self.axis + 1:]
+        super().__init__(shape, arg.dtype, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        return ev.take(self.arg.lower(args), ev.constant(self.indices), args.nprefix + self.axis)
+
+
+class _Concatenate(Array):
+
+    def __init__(self, arrays, axis):
+        arrays = tuple(arrays)
+        self.arrays = arrays
+        self.axis = axis % arrays[0].ndim
+        shape = list(arrays[0].shape)
+        shape[self.axis] = sum(a.shape[self.axis] for a in arrays)
+        dtype = _result_dtype(*arrays)
+        arrays = tuple(_cast(a, dtype) for a in arrays)
+        self.arrays = arrays
+        super().__init__(shape, dtype, _merge_spaces(arrays), _merge_args(arrays))
+
+    def lower(self, args):
+        return ev.Concatenate([a.lower(args) for a in self.arrays], args.nprefix + self.axis)
+
+
+class _Choose(_Broadcast):
+
+    def __init__(self, cond, iftrue, iffalse):
+        iftrue, iffalse, dtype = _coerce_pair(iftrue, iffalse)
+        self._dtype = dtype
+        super().__init__((cond, iftrue, iffalse), _broadcast_shapes(cond.shape, iftrue.shape, iffalse.shape), dtype)
+
+    def lower(self, args):
+        c, t, f = self._lowered_operands(args)
+        return ev.Choose(c, t, f)
+
+
+class _Compare(_Broadcast):
+
+    def __init__(self, op, a, b):
+        self.op = op
+        super().__init__((a, b), _broadcast_shapes(a.shape, b.shape), bool)
+
+    def lower(self, args):
+        la, lb = self._lowered_operands(args)
+        return {'less': ev.Less, 'equal': ev.Equal}[self.op](la, lb)
+
+
+class _Inverse(Array):
+
+    def __init__(self, arg):
+        assert arg.ndim >= 2 and arg.shape[-1] == arg.shape[-2]
+        self.arg = arg
+        super().__init__(arg.shape, float, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        return ev.Inverse(ev.astype(self.arg.lower(args), float))
+
+
+class _Determinant(Array):
+
+    def __init__(self, arg):
+        assert arg.ndim >= 2 and arg.shape[-1] == arg.shape[-2]
+        self.arg = arg
+        super().__init__(arg.shape[:-2], float, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        return ev.Determinant(ev.astype(self.arg.lower(args), float))
+
+
+class _Eig(Array):
+
+    def __init__(self, arg, what):
+        self.arg = arg
+        self.what = what
+        shape = arg.shape[:-1] if what == 'values' else arg.shape
+        super().__init__(shape, float, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        return ev.Eigh(ev.astype(self.arg.lower(args), float), self.what)
+
+
+# -------------------------------------------------------------- geometry ops
+
+class _RootCoords(Array):
+    '''The root (mesh-parametric) coordinates of a space.'''
+
+    def __init__(self, space, ndims):
+        self.space = space
+        super().__init__((ndims,), float, frozenset({space}), {})
+
+    def lower(self, args):
+        assert args.space == self.space, f'cannot lower root coords of space {self.space!r} on sample of space {args.space!r}'
+        return args.X
+
+
+class _Gradient(Array):
+    '''grad(arg, geom): shape arg.shape + (len(geom),).'''
+
+    def __init__(self, arg, geom):
+        assert geom.ndim == 1
+        self.arg = arg
+        self.geom = geom
+        super().__init__(arg.shape + (geom.shape[0],), float,
+                         _merge_spaces((arg, geom)), _merge_args((arg, geom)))
+
+    def lower(self, args):
+        assert args.X is not None, 'gradient requires a coordinate sample'
+        F = ev.grad(ev.astype(self.arg.lower(args), float), args.X)   # [E,P,*shape,d]
+        G = ev.grad(ev.astype(self.geom.lower(args), float), args.X)  # [E,P,g,d]
+        d = args.X.shape[-1]
+        g = self.geom.shape[0]
+        assert g == d, f'gradient requires a square geometry jacobian (geom dim {g}, root dim {d})'
+        Ginv = ev.Inverse(G)  # [E,P,g,d] -> inverse of dgeom/dX
+        # grad_k = sum_j F[..., j] * (G^{-1})[j, k]; align axes for contraction
+        n = F.ndim
+        Fx = ev.insertaxis(F, n, g)           # [..., *shape, d, k]
+        Gx = ev.transpose(Ginv, tuple(range(Ginv.ndim - 2)) + (Ginv.ndim - 1, Ginv.ndim - 2))  # [E,P,d,g] -> index [j,k]
+        for ax in range(args.nprefix, n - 1):  # broadcast Ginv over *shape axes
+            Gx = ev.insertaxis(Gx, ax, F.shape[ax])
+        return ev.sum_(ev.multiply(Fx, Gx), n - 1)
+
+
+class _Normal(Array):
+
+    def __init__(self, geom):
+        assert geom.ndim == 1
+        self.geom = geom
+        super().__init__(geom.shape, float, geom.spaces, geom.arguments)
+
+    def lower(self, args):
+        assert args.normal_root is not None, 'normal is only defined on boundary samples'
+        G = ev.grad(ev.astype(self.geom.lower(args), float), args.X)  # [E,P,g,d]
+        d = args.X.shape[-1]
+        g = self.geom.shape[0]
+        assert g == d
+        # normals transform with the cofactor matrix: n ~ det(G) G^{-T} n_root
+        cof = ev.multiply(_insert2(ev.Determinant(G), G.shape),
+                          ev.transpose(ev.Inverse(G), tuple(range(G.ndim - 2)) + (G.ndim - 1, G.ndim - 2)))
+        nroot = ev.insertaxis(ev.constant(args.normal_root), 1, args.points_shape[1])  # [E,P,j]
+        # v_i = sum_j cof[i,j] nroot[j]: broadcast nroot over the new i axis, contract j
+        v = ev.sum_(ev.multiply(cof, ev.insertaxis(nroot, 2, d)), cof.ndim - 1)
+        norm = ev.power(ev.sum_(ev.multiply(v, v), v.ndim - 1), ev.constant(0.5))
+        return ev.multiply(v, _insertlast(ev.power(norm, ev.constant(-1.0)), d))
+
+
+def _insert2(expr, shape):
+    expr = ev.insertaxis(expr, expr.ndim, shape[-2])
+    expr = ev.insertaxis(expr, expr.ndim, shape[-1])
+    return expr
+
+
+def _insertlast(expr, n):
+    return ev.insertaxis(expr, expr.ndim, n)
+
+
+class _Jacobian(Array):
+    '''Integration measure: sqrt(det(T^T T)) with T = d(geom)/d(sample local).
+
+    Lowers against the sample's intrinsic dimension (interior: |det|;
+    boundary: surface measure), covering both dV and dS (reference:
+    function.py:2206 jacobian / expression_v2 define_for jacobians).
+    '''
+
+    def __init__(self, geom, ndims=None):
+        assert geom.ndim == 1
+        self.geom = geom
+        self.ndims_expected = ndims
+        super().__init__((), float, geom.spaces, geom.arguments)
+
+    def lower(self, args):
+        assert args.tangents is not None, 'jacobian requires a coordinate sample'
+        ds = args.tangents.shape[-1]
+        if self.ndims_expected is not None:
+            assert ds == self.ndims_expected, f'jacobian dimension mismatch: sample dim {ds}, expected {self.ndims_expected}'
+        if ds == 0:
+            return _prefix_broadcast(ev.constant(1.0), args.points_shape)
+        G = ev.grad(ev.astype(self.geom.lower(args), float), args.X)  # [E,P,g,d]
+        tang = ev.insertaxis(ev.constant(args.tangents), 1, args.points_shape[1])  # [E,P,d,ds]
+        g = self.geom.shape[0]
+        d = args.X.shape[-1]
+        # T[i,s] = sum_j G[i,j] tang[j,s]
+        Gx = ev.insertaxis(G, G.ndim, ds)                       # [E,P,g,d,ds]
+        Tx = ev.insertaxis(tang, tang.ndim - 2, g)              # [E,P,g,d,ds]
+        T = ev.sum_(ev.multiply(Gx, Tx), G.ndim - 1)            # [E,P,g,ds]
+        if g == ds:
+            return ev.pointwise('abs', ev.Determinant(T))
+        # gram determinant
+        Ta = ev.insertaxis(T, T.ndim, ds)                        # [E,P,g,s,t]
+        Tb = ev.insertaxis(T, T.ndim - 1, ds)                    # [E,P,g,s,t] (second copy transposed roles)
+        gram = ev.sum_(ev.multiply(Ta, Tb), T.ndim - 2)          # [E,P,s,t]
+        return ev.power(ev.Determinant(gram), ev.constant(0.5))
+
+
+# ---------------------------------------------------------------- bases
+
+class Basis(Array):
+    '''Abstract basis: an array of ``ndofs`` scalar functions.
+
+    Subclasses provide ``get_tables(elem_indices) -> (dofs [E, L],
+    coeffs [E, L, K_1, ..., K_d])``: per-element local dof numbers and local
+    polynomial coefficients (power basis in parent-local coordinates), and
+    ``get_support(dof)`` / ``get_dofs(ielem)`` for constraint bookkeeping
+    (reference: function.py:2704-2860).
+    '''
+
+    def __init__(self, ndofs, nelems, space):
+        self.ndofs = int(ndofs)
+        self.nelems = int(nelems)
+        self.space = space
+        super().__init__((self.ndofs,), float, frozenset({space}), {})
+
+    def get_tables(self, elem_indices):
+        raise NotImplementedError
+
+    def get_dofs(self, ielem):
+        dofs, _ = self.get_tables(numpy.asarray([ielem]))
+        return numpy.unique(dofs[0])
+
+    def lower(self, args):
+        assert args.space == self.space
+        dofs, coeffs = self.get_tables(args.index)
+        E, P = args.points_shape
+        L = dofs.shape[1]
+        K = coeffs.shape[2:]  # per-dim power counts
+        dp = len(K)
+        xi = args.xi  # [E,P,dp]
+        # vals[e,p,l] = sum_{k1..kd} coeffs[e,l,k1..kd] * prod_i xi_i^k_i
+        expr = ev.insertaxis(ev.constant(coeffs), 1, P)  # [E,P,L,K...]
+        for i in range(dp):
+            xi_i = ev.take(xi, ev.constant(numpy.array(i)), 2)  # [E,P]
+            mono = ev.Monomials(xi_i, K[i])  # [E,P,Ki]
+            m = ev.insertaxis(mono, 2, L)  # [E,P,L,Ki]
+            for j in range(i):
+                m = ev.insertaxis(m, 3, K[j])
+            for j in range(i + 1, dp):
+                m = ev.insertaxis(m, m.ndim, K[j])
+            expr = ev.multiply(expr, m)
+        vals = ev.sum_(expr, tuple(range(3, 3 + dp)))  # [E,P,L]
+        dofs_b = ev.constant(dofs[:, None, :])  # [E,1,L]
+        return ev.inflate(vals, dofs_b, self.ndofs, 2)
+
+
+class StructuredBasis(Basis):
+    '''Tensor-product (B-)spline basis on a structured topology.
+
+    Stores per-dimension offset/coefficient tables (O(n) memory) and builds
+    per-element-batch tables on demand (reference: function.py:3029).
+    '''
+
+    def __init__(self, space, offsets_per_dim, coeffs_per_dim, ndofs_per_dim, shape):
+        from .ops import spline as _spline
+        self._offsets = offsets_per_dim
+        self._coeffs = coeffs_per_dim
+        self._ndofs_per_dim = ndofs_per_dim
+        self._shape = tuple(shape)  # elements per dim
+        self._tensor_tables = _spline.tensor_tables
+        ndofs = int(numpy.prod(ndofs_per_dim, dtype=numpy.int64))
+        nelems = int(numpy.prod(shape, dtype=numpy.int64))
+        super().__init__(ndofs, nelems, space)
+
+    def get_tables(self, elem_indices):
+        multi = numpy.stack(numpy.unravel_index(elem_indices, self._shape), axis=1)
+        return self._tensor_tables(self._offsets, self._coeffs, self._ndofs_per_dim, multi)
+
+
+class PlainBasis(Basis):
+    '''Basis from explicit per-element tables (unstructured topologies).'''
+
+    def __init__(self, space, dofs, coeffs, ndofs):
+        self._dofs = numpy.asarray(dofs)
+        self._elemcoeffs = numpy.asarray(coeffs)
+        super().__init__(ndofs, len(self._dofs), space)
+
+    def get_tables(self, elem_indices):
+        return self._dofs[elem_indices], self._elemcoeffs[elem_indices]
+
+
+# ---------------------------------------------------------------- builders
+
+def add(a, b):
+    a, b, _ = _coerce_pair(a, b)
+    return _Add(a, b)
+
+
+def subtract(a, b):
+    return add(a, negative(b))
+
+
+def multiply(a, b):
+    a, b, _ = _coerce_pair(a, b)
+    return _Multiply(a, b)
+
+
+def divide(a, b):
+    return multiply(asarray(a), power(b, -1))
+
+
+def negative(a):
+    return _Neg(asarray(a))
+
+
+def power(a, b):
+    a, b = asarray(a), asarray(b)
+    return _Power(_cast(a, float), _cast(b, float))
+
+
+def sqrt(a):
+    return power(a, .5)
+
+
+def sum_(a, axis=None):
+    a = asarray(a)
+    if axis is None:
+        axes = tuple(range(a.ndim))
+    elif isinstance(axis, int):
+        axes = (axis,)
+    else:
+        axes = tuple(axis)
+    if not axes:
+        return a
+    return _Sum(a, axes)
+
+
+def matmul(a, b):
+    '''numpy.matmul semantics for ndim <= 2 operands (vector dot, mat-vec,
+    vec-mat, mat-mat); higher-rank batched matmul is not needed by the API.'''
+    a, b = asarray(a), asarray(b)
+    assert a.ndim >= 1 and b.ndim >= 1
+    if a.ndim == 1 and b.ndim == 1:
+        return _Sum(multiply(a, b), (0,))
+    if b.ndim == 1:  # [..., i, k] @ [k] -> [..., i]
+        return _Sum(multiply(a, b), (a.ndim - 1,))
+    if a.ndim == 1:  # [k] @ [..., k, j] -> [..., j]
+        ax = _InsertAxis(a, 1, 1)  # [k, 1]
+        for _ in range(b.ndim - 2):
+            ax = _InsertAxis(ax, 0, 1)
+        return _Sum(multiply(ax, b), (b.ndim - 2,))
+    assert a.ndim == 2 and b.ndim == 2, 'batched matmul not supported'
+    an = _InsertAxis(a, 2, b.shape[1])      # [i, k, j]
+    bn = _InsertAxis(b, 0, a.shape[0])      # [i, k, j]
+    return _Sum(multiply(an, bn), (1,))
+
+
+def transpose(a, axes=None):
+    a = asarray(a)
+    if axes is None:
+        axes = tuple(reversed(range(a.ndim)))
+    return _Transpose(a, axes)
+
+
+def insertaxis(a, axis, length):
+    return _InsertAxis(asarray(a), axis, length)
+
+
+def stack(arrays, axis=0):
+    arrays = [asarray(a) for a in arrays]
+    expanded = [_InsertAxis(a, axis, 1) for a in arrays]
+    return _Concatenate(expanded, axis)
+
+
+def concatenate(arrays, axis=0):
+    return _Concatenate([asarray(a) for a in arrays], axis)
+
+
+def getitem(a, item):
+    a = asarray(a)
+    if not isinstance(item, tuple):
+        item = (item,)
+    # expand ellipsis
+    if Ellipsis in item:
+        i = item.index(Ellipsis)
+        nmissing = a.ndim - (len(item) - 1)
+        item = item[:i] + (slice(None),) * nmissing + item[i + 1:]
+    out = a
+    axis = 0
+    for it in item:
+        if isinstance(it, slice):
+            if it == slice(None):
+                axis += 1
+                continue
+            idx = numpy.arange(*it.indices(out.shape[axis]))
+            out = _Take(out, idx, axis)
+            axis += 1
+        elif isinstance(it, (int, numpy.integer)):
+            it = it % out.shape[axis]
+            out = _TakeScalar(out, it, axis)
+        elif isinstance(it, (list, numpy.ndarray)):
+            out = _Take(out, numpy.asarray(it), axis)
+            axis += numpy.asarray(it).ndim
+        else:
+            raise NotImplementedError(f'index {it!r}')
+    return out
+
+
+class _TakeScalar(Array):
+
+    def __init__(self, arg, index, axis):
+        self.arg = arg
+        self.index = int(index)
+        self.axis = axis
+        shape = arg.shape[:axis] + arg.shape[axis + 1:]
+        super().__init__(shape, arg.dtype, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        expr = ev.take(self.arg.lower(args), ev.constant(numpy.array(self.index)), args.nprefix + self.axis)
+        return expr
+
+
+def grad(arg, geom):
+    return _Gradient(asarray(arg), asarray(geom))
+
+
+def div(arg, geom):
+    return trace(grad(arg, geom))
+
+
+def trace(a, axis1=-2, axis2=-1):
+    a = asarray(a)
+    axis1 = axis1 % a.ndim
+    axis2 = axis2 % a.ndim
+    assert a.shape[axis1] == a.shape[axis2]
+    n = a.shape[axis1]
+    parts = []
+    for i in range(n):
+        x = _TakeScalar(a, i, max(axis1, axis2))
+        x = _TakeScalar(x, i, min(axis1, axis2))
+        parts.append(x)
+    out = parts[0]
+    for p in parts[1:]:
+        out = add(out, p)
+    return out
+
+
+def levicivita(n):
+    eps = numpy.zeros((n,) * n)
+    for perm in itertools.permutations(range(n)):
+        eps[perm] = numpy.linalg.det(numpy.eye(n)[list(perm)])
+    return _Constant(eps)
+
+
+def curl(arg, geom):
+    '''curl_i(a) = eps_ijk d_j a_k for 3-D vector fields (and the scalar/2-D
+    analogues via the k-slot of the gradient).'''
+    geom = asarray(geom)
+    assert geom.shape == (3,), 'curl requires 3-D geometry'
+    g = grad(asarray(arg), geom)  # [..., k, j]
+    # out[..., i] = sum_{j,k} eps[i,j,k] g[..., k, j], assembled per component
+    comps = []
+    for i in range(3):
+        term = None
+        for j in range(3):
+            for k in range(3):
+                e = float(numpy.linalg.det(numpy.eye(3)[[i, j, k]])) if len({i, j, k}) == 3 else 0.0
+                if e:
+                    t = multiply(e, _TakeScalar(_TakeScalar(g, j, g.ndim - 1), k, g.ndim - 2))
+                    term = t if term is None else add(term, t)
+        comps.append(term)
+    return stack(comps, axis=-1)
+
+
+def laplace(arg, geom):
+    return trace(grad(grad(arg, geom), geom))
+
+
+def normal(geom):
+    return _Normal(asarray(geom))
+
+
+def jacobian(geom, ndims=None):
+    return _Jacobian(asarray(geom), ndims)
+
+
+def J(geom):
+    return _Jacobian(asarray(geom), None)
+
+
+def normalized(a):
+    a = asarray(a)
+    return divide(a, sqrt(_Sum(multiply(a, a), (a.ndim - 1,))))
+
+
+def dotarg(name, *arrays, shape=(), dtype=float):
+    '''Contraction of a new argument with bases (reference: function.py:2591).
+
+    With one basis: result[s...] = sum_n basis_n arg[n, s...]; the argument
+    carries shape (len(basis_1), ..., len(basis_k)) + shape.
+    '''
+    result = Argument(name, tuple(b.shape[0] for b in arrays) + tuple(shape), dtype)
+    for b in arrays:
+        bx = b  # [n] -> [n, 1, ..., 1] for broadcasting against [n, rest...]
+        for _ in range(result.ndim - 1):
+            bx = _InsertAxis(bx, bx.ndim, 1)
+        result = _Sum(multiply(bx, result), (0,))
+    return result
+
+
+def field(name, *arrays, shape=(), dtype=float):
+    return dotarg(name, *arrays, shape=shape, dtype=dtype)
+
+
+def eye(n):
+    return _Constant(numpy.eye(n))
+
+
+def ones(shape, dtype=float):
+    return _Constant(numpy.ones(shape))
+
+
+def zeros(shape, dtype=float):
+    return _Constant(numpy.zeros(shape))
+
+
+def heaviside(a):
+    return _Choose(_Compare('less', asarray(0.0), asarray(a)), asarray(1.0), asarray(0.0))
+
+
+def min_(a, b):
+    return _Pointwise('minimum', *(_coerce_pair(a, b)[:2]))
+
+
+def max_(a, b):
+    return _Pointwise('maximum', *(_coerce_pair(a, b)[:2]))
+
+
+def arctan2(a, b):
+    a, b, _ = _coerce_pair(a, b)
+    return _Pointwise('arctan2', _cast(a, float), _cast(b, float))
+
+
+def _unary(op):
+    def f(a):
+        return _Pointwise(op, _cast(asarray(a), float))
+    f.__name__ = op
+    return f
+
+
+sin = _unary('sin')
+cos = _unary('cos')
+tan = _unary('tan')
+arcsin = _unary('arcsin')
+arccos = _unary('arccos')
+arctan = _unary('arctan')
+sinh = _unary('sinh')
+cosh = _unary('cosh')
+tanh = _unary('tanh')
+arctanh = _unary('arctanh')
+exp = _unary('exp')
+ln = _unary('log')
+log = ln
+log2 = _unary('log2')
+log10 = _unary('log10')
+abs_ = _unary('abs')
+sign = _unary('sign')
+
+
+def inverse(a):
+    return _Inverse(asarray(a))
+
+
+def determinant(a):
+    return _Determinant(asarray(a))
+
+
+def eig_values(a):
+    return _Eig(asarray(a), 'values')
+
+
+def opposite(a):
+    return _Opposite(asarray(a))
+
+
+def mean(a):
+    return multiply(asarray(0.5), add(a, opposite(a)))
+
+
+def jump(a):
+    return subtract(a, opposite(a))
+
+
+class _Opposite(Array):
+
+    def __init__(self, arg):
+        self.arg = arg
+        super().__init__(arg.shape, arg.dtype, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        if args.opposite is not None:
+            return self.arg.lower(args.opposite)
+        return self.arg.lower(args)
+
+
+# ---------------------------------------------------------------- evaluation
+
+def eval(funcs, arguments=None, /, **kwargs):
+    '''Evaluate space-free function array(s) with given argument values.'''
+    import jax
+    arguments = dict(arguments or {}, **kwargs)
+    single = isinstance(funcs, Array)
+    flist = [funcs] if single else list(funcs)
+    exprs = [f.lower(EMPTY_LOWER_ARGS) for f in flist]
+    out = ev.eval_once(exprs, arguments=_clean_args(arguments))
+    return out[0] if single else out
+
+
+def _clean_args(arguments):
+    return {k: numpy.asarray(v) for k, v in arguments.items() if not isinstance(v, str)}
+
+
+def derivative(func, var):
+    raise NotImplementedError('symbolic function-level derivative is provided via the solver AD path')
+
+
+def replace_arguments(func, arguments):
+    return _Replaced(asarray(func), {k: asarray(v) if not isinstance(v, Array) else v for k, v in arguments.items()})
+
+
+class _Replaced(Array):
+    '''Substitute arguments by other function arrays at lowering time.'''
+
+    def __init__(self, arg, repl):
+        self.arg = arg
+        self.repl = repl
+        args = {k: v for k, v in arg.arguments.items() if k not in repl}
+        for r in repl.values():
+            for name, spec in r.arguments.items():
+                prev = args.setdefault(name, spec)
+                assert prev == spec
+        spaces = arg.spaces | _merge_spaces(tuple(repl.values()))
+        super().__init__(arg.shape, arg.dtype, spaces, args)
+
+    def lower(self, args):
+        inner = self.arg.lower(args)
+        mapping = {}
+        for name, rep in self.repl.items():
+            spec = self.arg.arguments.get(name)
+            if spec is None:
+                continue
+            argnode = ev.Argument(name, spec[0], spec[1])
+            mapping[argnode] = rep.lower(LowerArgs())  # replacement must be space-free
+        return ev.replace(inner, mapping)
+
+
+# numpy ufunc/function dispatch tables
+_UFUNC_MAP = {
+    numpy.add: add, numpy.subtract: subtract, numpy.multiply: multiply,
+    numpy.true_divide: divide, numpy.power: power, numpy.negative: negative,
+    numpy.sin: sin, numpy.cos: cos, numpy.tan: tan, numpy.sinh: sinh,
+    numpy.cosh: cosh, numpy.tanh: tanh, numpy.exp: exp, numpy.log: ln,
+    numpy.sqrt: sqrt, numpy.absolute: abs_, numpy.sign: sign,
+    numpy.arctan2: arctan2, numpy.minimum: min_, numpy.maximum: max_,
+    numpy.matmul: matmul,
+    numpy.arcsin: arcsin, numpy.arccos: arccos, numpy.arctan: arctan,
+}
+
+_FUNC_MAP = {
+    numpy.sum: sum_, numpy.transpose: transpose, numpy.stack: stack,
+    numpy.concatenate: concatenate, numpy.einsum: None,
+    numpy.linalg.inv: inverse, numpy.linalg.det: determinant,
+    numpy.sqrt: sqrt, numpy.trace: trace,
+}
+_FUNC_MAP = {k: v for k, v in _FUNC_MAP.items() if v is not None}

@@ -1,0 +1,167 @@
+'''Samples: batched point sets over a topology, and integral lowering.
+
+The reference's ``Sample`` (reference: sample.py:34) enumerates per-element
+point sets lazily and lowers integrals to element loops (sample.py:944-956).
+Here a sample IS a set of tables: root coordinates [E, P, d], weights [E, P],
+parent element indices [E], parent-coordinate affine maps, boundary normals —
+and an integral lowers to one batched weighted contraction whose sparsity
+rules (evaluable.py) turn basis scatters into segment-sums.
+'''
+
+import itertools
+
+import numpy
+
+from . import evaluable as ev
+from . import function
+
+_token = itertools.count()
+
+
+class Sample:
+
+    def __init__(self, space, coords, weights, index, p_linear, p_offset, tangents,
+                 normal_root=None, tri_local=None, hull_local=None):
+        self.space = space
+        self.coords = numpy.asarray(coords, dtype=float)      # [E, P, d] root coords
+        E, P, d = self.coords.shape
+        self.weights = None if weights is None else numpy.asarray(weights, dtype=float)  # [E, P]
+        self.index = numpy.asarray(index)                     # [E] parent element ids
+        self.p_linear = numpy.asarray(p_linear, dtype=float)  # [E, dp, d]: xi = p_linear @ X + p_offset
+        self.p_offset = numpy.asarray(p_offset, dtype=float)  # [E, dp]
+        self.tangents = numpy.asarray(tangents, dtype=float)  # [E, d, ds]
+        self.normal_root = None if normal_root is None else numpy.asarray(normal_root, dtype=float)  # [E, d]
+        self.tri_local = tri_local                            # [ntl, ds+1] within-element triangulation
+        self.hull_local = hull_local
+        self.nelems = E
+        self.npoints_per_elem = P
+        self.npoints = E * P
+        self.ndims = self.tangents.shape[-1]                  # sample (intrinsic) dimension
+        self._token = next(_token)
+        self._lower_args = None
+
+    @property
+    def spaces(self):
+        return frozenset({self.space})
+
+    def lower_args(self):
+        if self._lower_args is None:
+            E, P, d = self.coords.shape
+            dp = self.p_linear.shape[1]
+            X = ev.Leaf(('X', self._token), (E, P, d), float, value=self.coords)
+            pl = ev.insertaxis(ev.constant(self.p_linear), 1, P)   # [E,P,dp,d]
+            Xx = ev.insertaxis(X, 2, dp)                            # [E,P,dp,d]
+            xi = ev.sum_(ev.multiply(pl, Xx), 3)                    # [E,P,dp]
+            xi = ev.add(xi, ev.insertaxis(ev.constant(self.p_offset), 1, P))
+            self._lower_args = function.LowerArgs(
+                space=self.space, points_shape=(E, P), X=X, index=self.index,
+                xi=xi, tangents=self.tangents, normal_root=self.normal_root)
+        return self._lower_args
+
+    # ------------------------------------------------------------ integration
+
+    def integral(self, func):
+        assert self.weights is not None, 'sample has no weights; use eval'
+        return _Integral(function.asarray(func), self)
+
+    def integrate(self, funcs, arguments=None, /, **kwargs):
+        single = not isinstance(funcs, (list, tuple))
+        flist = [funcs] if single else list(funcs)
+        out = function.eval([self.integral(f) for f in flist], arguments, **kwargs)
+        return out[0] if single else out
+
+    # ------------------------------------------------------------ evaluation
+
+    def bind(self, func):
+        return _AtSample(function.asarray(func), self)
+
+    def eval(self, funcs, arguments=None, /, **kwargs):
+        single = not isinstance(funcs, (list, tuple))
+        flist = [funcs] if single else list(funcs)
+        out = function.eval([self.bind(f) for f in flist], arguments, **kwargs)
+        return out[0] if single else out
+
+    def asfunction(self, values):
+        raise NotImplementedError
+
+    def basis(self):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------ structure
+
+    @property
+    def tri(self):
+        '''Global triangulation: per-element local tri offset by element.'''
+        assert self.tri_local is not None, 'sample has no triangulation'
+        P = self.npoints_per_elem
+        offsets = numpy.arange(self.nelems)[:, None, None] * P
+        return (self.tri_local[None, :, :] + offsets).reshape(-1, self.tri_local.shape[1])
+
+    @property
+    def hull(self):
+        assert self.hull_local is not None, 'sample has no hull'
+        P = self.npoints_per_elem
+        offsets = numpy.arange(self.nelems)[:, None, None] * P
+        return (self.hull_local[None, :, :] + offsets).reshape(-1, self.hull_local.shape[1])
+
+    @staticmethod
+    def concatenate(samples):
+        '''Concatenate samples with identical point structure (same space,
+        reference type and point count) into one batch.'''
+        s0 = samples[0]
+        assert all(s.space == s0.space and s.npoints_per_elem == s0.npoints_per_elem and s.ndims == s0.ndims for s in samples)
+        return Sample(
+            s0.space,
+            numpy.concatenate([s.coords for s in samples]),
+            None if s0.weights is None else numpy.concatenate([s.weights for s in samples]),
+            numpy.concatenate([s.index for s in samples]),
+            numpy.concatenate([s.p_linear for s in samples]),
+            numpy.concatenate([s.p_offset for s in samples]),
+            numpy.concatenate([s.tangents for s in samples]),
+            None if s0.normal_root is None else numpy.concatenate([s.normal_root for s in samples]),
+            s0.tri_local, s0.hull_local)
+
+
+class _Integral(function.Array):
+    '''Lazy integral over a sample (reference: sample.py:944 ``_Integral``).
+
+    The integrand includes the jacobian measure (dV/dS) by nutils convention;
+    lowering contracts quadrature weights and sums the element and point axes,
+    which the IR's sparsity rules fuse into a single segment-scatter for
+    basis-valued (residual) integrands.
+    '''
+
+    def __init__(self, integrand, sample):
+        self.integrand = integrand
+        self.sample = sample
+        self._cache = None
+        super().__init__(integrand.shape, float, frozenset(), integrand.arguments)
+
+    def _lowered(self):
+        if self._cache is None:
+            args = self.sample.lower_args()
+            expr = ev.astype(self.integrand.lower(args), float)  # [E,P,*shape]
+            w = ev.constant(self.sample.weights)  # [E,P]
+            for i in range(self.integrand.ndim):
+                w = ev.insertaxis(w, 2 + i, self.integrand.shape[i])
+            self._cache = ev.sum_(ev.multiply(expr, w), (0, 1))
+        return self._cache
+
+    def lower(self, args):
+        expr = self._lowered()
+        return function._prefix_broadcast(expr, args.points_shape)
+
+
+class _AtSample(function.Array):
+    '''Function sampled at all points, flattened to [npoints, ...].'''
+
+    def __init__(self, func, sample):
+        self.func = func
+        self.sample = sample
+        super().__init__((sample.npoints,) + func.shape, func.dtype, frozenset(), func.arguments)
+
+    def lower(self, args):
+        sargs = self.sample.lower_args()
+        expr = self.func.lower(sargs)  # [E,P,*shape]
+        expr = ev.ravel(expr, 0)
+        return function._prefix_broadcast(expr, args.points_shape)

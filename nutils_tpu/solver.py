@@ -1,0 +1,679 @@
+'''Solver layer: System, iterative methods, constraint handling.
+
+Re-design of the reference's solver (reference: solver.py:189 ``System``).
+The reference differentiates the residual symbolically per IR node to obtain
+sparse jacobian blocks (solver.py:238-258 via evaluable.derivative).  Here we
+exploit FEM locality directly with JAX AD:
+
+* Every appearance of a trial/test argument in a lowered integral is a
+  *localized gather* ``GatherAlong(broadcast(arg), dofs)`` produced by the
+  IR's contraction rules — per-element local dof values.  Each such node is
+  replaced by a Leaf (a "localization").
+
+* Residual vectors are unified into the energy form: a residual tuple (R_t)
+  becomes the scalar E = sum_t R_t . v*_t with synthetic test arguments v*_t,
+  whose gathers localize through the same rules.  The residual is then always
+  ``jax.grad`` of the compiled scalar with respect to each test Leaf,
+  scattered by the (constant) dof tables.
+
+* Jacobian blocks are seeded ``jax.jvp`` passes of those residual chunks with
+  respect to each trial Leaf: tangent seeds enumerate local dofs, broadcast
+  over the element axis (valid because every integral is elementwise in its
+  element batch), yielding exact per-element dense blocks [E, P, L_t, L_u]
+  that scatter into a host-precomputed CSR pattern (matrix.SparsePattern).
+
+The whole assemble step is one jitted function: gather -> einsum quadrature
+-> AD -> segment scatter, entirely on device.
+'''
+
+import functools
+
+import numpy
+
+from . import evaluable as ev
+from . import function, matrix
+from .utils import _log as log
+
+
+class SolverError(Exception):
+    pass
+
+
+# ------------------------------------------------------------ localization
+
+class _Loc:
+    '''One localized appearance of an argument in an expression.
+
+    ``leaf`` replaces the gather node; ``argidx`` is a numpy int array
+    (broadcastable to leaf.shape) holding the flat argument index of each leaf
+    entry; ``seed_axes`` are the leaf axes that enumerate distinct argument
+    entries per element (axes > 0 where argidx varies).  ``dense`` marks a
+    non-localized (whole-argument) appearance with no element axis.
+    '''
+
+    def __init__(self, name, argshape, leaf, argidx, dense=False):
+        self.name = name
+        self.argshape = argshape
+        self.leaf = leaf
+        self.argidx = argidx
+        self.dense = dense
+        if dense:
+            self.seed_axes = tuple(range(argidx.ndim))
+        else:
+            self.seed_axes = tuple(ax for ax in range(1, argidx.ndim) if argidx.shape[ax] > 1)
+        self.nseeds = int(numpy.prod([leaf.shape[ax] for ax in self.seed_axes], dtype=numpy.int64)) if self.seed_axes else 1
+
+    def leaf_value(self, args):
+        import jax.numpy as jnp
+        flat = jnp.asarray(args[self.name]).reshape(-1)
+        return jnp.broadcast_to(flat[self.argidx], self.leaf.shape)
+
+    def seeds(self):
+        '''[S, *leaf.shape] tangent basis: identity over the seed axes,
+        broadcast over element/point axes.'''
+        import jax.numpy as jnp
+        S = self.nseeds
+        shape = [S] + [self.leaf.shape[ax] if ax in self.seed_axes else 1 for ax in range(len(self.leaf.shape))]
+        eye = jnp.eye(S, dtype=float).reshape(shape)
+        return jnp.broadcast_to(eye, (S,) + self.leaf.shape)
+
+    def cols(self):
+        '''[E, S] (or [1, S] for dense) flat argument index per (element, seed).'''
+        sq = self.argidx
+        assert all(sq.shape[ax] == 1 for ax in range(sq.ndim) if ax not in self.seed_axes and (self.dense or ax != 0))
+        if self.dense:
+            return sq.reshape(1, -1)
+        keep = [sq.shape[0]] + [sq.shape[ax] for ax in self.seed_axes]
+        sq = sq.reshape(keep)
+        return sq.reshape(sq.shape[0], -1)
+
+
+_loc_counter = [0]
+
+
+def _localize(expr, names):
+    '''Replace localized gathers (and remaining direct appearances) of the
+    named arguments by Leafs.  Returns (new_expr, {name: [_Loc]}).'''
+    mapping = {}
+    locs = {name: [] for name in names}
+
+    def isgather(node):
+        if not isinstance(node, ev.GatherAlong) or node.dofs.arguments or node.dofs.leafdeps:
+            return False
+        core = _argcore(node.func)
+        return core is not None and core[0].name in names
+
+    for node in ev.find(expr, isgather):
+        arg, axmap = _argcore(node.func)
+        dofs_np = _eval_const(node.dofs)
+        arg_axes = {core_ax: leaf_ax for leaf_ax, core_ax in enumerate(axmap) if core_ax is not None}
+        strides = numpy.cumprod([1] + list(arg.shape[::-1][:-1]))[::-1].astype(numpy.int64)
+        idx = dofs_np.astype(numpy.int64) * strides[0]
+        for core_ax in range(1, len(arg.shape)):
+            leaf_ax = arg_axes.get(core_ax)
+            assert leaf_ax is not None, 'argument axis lost in broadcast'
+            n = arg.shape[core_ax]
+            shape = [1] * len(node.shape)
+            shape[leaf_ax] = n
+            idx = idx + numpy.arange(n, dtype=numpy.int64).reshape(shape) * strides[core_ax]
+        _loc_counter[0] += 1
+        leaf = ev.Leaf(('loc', _loc_counter[0]), node.shape, float)
+        mapping[node] = leaf
+        locs[arg.name].append(_Loc(arg.name, arg.shape, leaf, idx))
+
+    new_expr = ev.replace(expr, mapping)
+
+    for name in names:  # remaining direct (dense) appearances
+        for argnode in [a for a in new_expr.arguments if a.name == name]:
+            _loc_counter[0] += 1
+            leaf = ev.Leaf(('loc', _loc_counter[0]), argnode.shape, float)
+            new_expr = ev.replace(new_expr, {argnode: leaf})
+            idx = numpy.arange(int(numpy.prod(argnode.shape, dtype=numpy.int64)), dtype=numpy.int64).reshape(argnode.shape)
+            locs[name].append(_Loc(name, argnode.shape, leaf, idx, dense=True))
+
+    return new_expr, locs
+
+
+def _argcore(node):
+    '''If node is a pure broadcast (InsertAxis/Transpose) of an Argument,
+    return (argument, axismap node_axis -> arg_axis or None).'''
+    factors = ev._decompose_product(node)
+    if len(factors) == 1 and isinstance(factors[0].core, ev.Argument):
+        return factors[0].core, factors[0].axismap
+    return None
+
+
+def _eval_const(node):
+    if isinstance(node, ev.Constant):
+        return node.value
+    assert not node.arguments and not node.leafdeps, 'dof table is not constant'
+    return ev.eval_once(node)
+
+
+def _additive_terms(expr):
+    if isinstance(expr, ev.Add):
+        return _additive_terms(expr.children[0]) + _additive_terms(expr.children[1])
+    return [expr]
+
+
+class _Chunk:
+    '''One additive contribution to a residual block: a grad-values function,
+    constant broadcastable flat row indices, and the trial localizations the
+    values can depend on.'''
+
+    def __init__(self, rows, fn, leafdeps, shape):
+        self.rows = rows
+        self.fn = fn
+        self.leafdeps = leafdeps
+        self.shape = shape
+
+
+class System:
+    '''A linear or nonlinear system of equations (reference: solver.py:189).'''
+
+    def __init__(self, residual, /, trial, test=None):
+        self.trials = tuple(trial.split(',') if isinstance(trial, str) else trial)
+
+        if isinstance(residual, (tuple, list)):
+            if test is not None:
+                raise ValueError('test arguments are not allowed with residual vectors')
+            res_arrays = [function.asarray(r) for r in residual]
+            assert len(res_arrays) == len(self.trials), 'one residual vector per trial argument'
+            self.is_symmetric = False
+            tests = tuple(f'__test_{i}__' for i in range(len(res_arrays)))
+            value = None
+            for r, tname in zip(res_arrays, tests):
+                v = function.Argument(tname, r.shape)
+                term = function.sum_(function.multiply(r, v), tuple(range(r.ndim)))
+                value = term if value is None else function.add(value, term)
+            self._synthetic_tests = tests
+            linear_degree = 1
+        else:
+            value = function.asarray(residual)
+            if value.ndim != 0:
+                raise ValueError('System requires a scalar functional')
+            tests = self.trials if test is None else tuple(test.split(',') if isinstance(test, str) else test)
+            self.is_symmetric = tests == self.trials
+            self._synthetic_tests = ()
+            linear_degree = 2
+
+        argspecs = dict(value.arguments)
+        self.argshapes = {n: spec[0] for n, spec in argspecs.items()}
+        for t in self.trials:
+            assert t in self.argshapes, f'trial argument {t!r} does not appear in the residual'
+        for t in tests:
+            assert t in self.argshapes, f'test argument {t!r} does not appear in the residual'
+        self.tests = tests
+        self.trial_shapes = tuple(self.argshapes[t] for t in self.trials)
+        self.test_shapes = tuple(self.argshapes[t] for t in tests)
+        trial_sizes = [int(numpy.prod(s, dtype=numpy.int64)) for s in self.trial_shapes]
+        test_sizes = [int(numpy.prod(s, dtype=numpy.int64)) for s in self.test_shapes]
+        toffs = numpy.cumsum([0] + trial_sizes)
+        roffs = numpy.cumsum([0] + test_sizes)
+        self._trial_slices = [slice(int(a), int(b)) for a, b in zip(toffs[:-1], toffs[1:])]
+        self._test_slices = [slice(int(a), int(b)) for a, b in zip(roffs[:-1], roffs[1:])]
+        self._ntrial = int(toffs[-1])
+        self._ntest = int(roffs[-1])
+        assert self._ntrial == self._ntest, 'jacobian must be square'
+
+        # ---- localize and build chunks
+        E_ir = ev.astype(value.lower(function.EMPTY_LOWER_ARGS), float)
+        deg = ev.poly_degree(E_ir, frozenset(self.trials))
+        self.is_linear = deg <= linear_degree
+        resargs = {a.name for a in E_ir.arguments} - set(self._synthetic_tests)
+        self.is_constant_matrix = self.is_linear and resargs <= set(self.trials) | set(tests)
+        self.arguments = frozenset(resargs)
+
+        names = frozenset(tests) | frozenset(self.trials)
+        E_loc, locs = _localize(E_ir, names)
+        self._comp = ev.compile(E_loc)
+        self._locs = locs
+        self._trial_locs = {u: locs[u] for u in self.trials}
+
+        terms = _additive_terms(E_loc)
+        lockeys = {loc.leaf.key for ll in locs.values() for loc in ll}
+        term_lockeys = [frozenset(l.key for l in t.leafdeps if l.key in lockeys) for t in terms]
+
+        self._blocks = []
+        for ti, t in enumerate(tests):
+            chunks = []
+            for loc in locs[t]:
+                # trial leaves that share an additive term with this test leaf
+                deps = frozenset().union(*(tk for tk in term_lockeys if loc.leaf.key in tk)) if term_lockeys else frozenset()
+                trial_keys = deps & {l.leaf.key for u in self.trials for l in self._trial_locs[u]}
+
+                def fn(args, overrides, _loc=loc):
+                    import jax
+                    leaves = self._bound_leaves(args, overrides)
+
+                    def scalar(x):
+                        lv = dict(leaves)
+                        lv[_loc.leaf.key] = x
+                        return self._comp.trace(args, lv)
+                    return jax.grad(scalar)(leaves[_loc.leaf.key])
+                chunks.append(_Chunk(loc.argidx, fn, trial_keys, loc.leaf.shape))
+            self._blocks.append(chunks)
+
+        self._cache = {}
+
+    # -------------------------------------------------------- helpers
+
+    def _bound_leaves(self, args, overrides):
+        leaves = {}
+        for ll in self._locs.values():
+            for loc in ll:
+                key = loc.leaf.key
+                v = overrides.get(key)
+                leaves[key] = v if v is not None else loc.leaf_value(args)
+        return leaves
+
+    def _clean(self, arguments):
+        out = {}
+        for name, shape in self.argshapes.items():
+            if name in self._synthetic_tests:
+                out[name] = numpy.ones(shape)
+            else:
+                v = arguments.get(name)
+                assert v is not None, f'missing argument {name!r}'
+                out[name] = numpy.asarray(v, dtype=float)
+        # pass through any extra arguments the expressions may close over
+        for name, v in arguments.items():
+            if name not in out and not isinstance(v, str):
+                out[name] = numpy.asarray(v, dtype=float)
+        return out
+
+    # -------------------------------------------------------- traces
+
+    def _residual_trace(self, args):
+        import jax.numpy as jnp
+        parts = []
+        for chunks, sl in zip(self._blocks, self._test_slices):
+            n = sl.stop - sl.start
+            r = jnp.zeros(n, dtype=float)
+            for c in chunks:
+                v = c.fn(args, {})
+                rows = jnp.broadcast_to(jnp.asarray(c.rows), c.shape)
+                r = r.at[rows.ravel()].add(v.ravel())
+            parts.append(r)
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def _value_trace(self, args):
+        return self._comp.trace(args, self._bound_leaves(args, {}))
+
+    @functools.cached_property
+    def _jac_layout(self):
+        '''(chunk_meta, SparsePattern): one meta entry per (chunk, trial loc)
+        pair, aligned with the value order of _jacobian_trace.'''
+        chunk_meta = []
+        rows_all = []
+        cols_all = []
+        for bi, chunks in enumerate(self._blocks):
+            row_off = self._test_slices[bi].start
+            for ci, c in enumerate(chunks):
+                for u in self.trials:
+                    col_off = self._trial_slices[self.trials.index(u)].start
+                    for li, loc in enumerate(self._trial_locs[u]):
+                        if loc.leaf.key not in c.leafdeps:
+                            continue
+                        S = loc.nseeds
+                        vshape = c.shape + (S,)
+                        rows_b = c.rows.reshape(c.rows.shape + (1,))
+                        cols_es = loc.cols()  # [E, S] or [1, S]
+                        if loc.dense or cols_es.shape[0] == 1:
+                            cols_b = cols_es.reshape((1,) * len(c.shape) + (S,))
+                        else:
+                            assert len(c.shape) and c.shape[0] == cols_es.shape[0], \
+                                'row chunk and trial localization live on different element batches'
+                            cols_b = cols_es.reshape((cols_es.shape[0],) + (1,) * (len(c.shape) - 1) + (S,))
+                        reduce_axes = tuple(ax for ax in range(len(vshape))
+                                            if rows_b.shape[ax] == 1 and cols_b.shape[ax] == 1 and vshape[ax] > 1)
+                        sel = tuple(0 if ax in reduce_axes else slice(None) for ax in range(len(vshape)))
+                        rows_k = numpy.broadcast_to(rows_b, vshape)[sel]
+                        cols_k = numpy.broadcast_to(cols_b, vshape)[sel]
+                        rows_all.append((rows_k + row_off).ravel())
+                        cols_all.append((cols_k + col_off).ravel())
+                        chunk_meta.append((bi, ci, u, li, reduce_axes))
+        rows_cat = numpy.concatenate(rows_all) if rows_all else numpy.zeros(0, dtype=numpy.int64)
+        cols_cat = numpy.concatenate(cols_all) if cols_all else numpy.zeros(0, dtype=numpy.int64)
+        pattern = matrix.SparsePattern(rows_cat, cols_cat, (self._ntest, self._ntrial))
+        return chunk_meta, pattern
+
+    def _jacobian_trace(self, args):
+        import jax
+        import jax.numpy as jnp
+        chunk_meta, pattern = self._jac_layout
+        vals = []
+        for bi, ci, u, li, reduce_axes in chunk_meta:
+            c = self._blocks[bi][ci]
+            loc = self._trial_locs[u][li]
+            x0 = loc.leaf_value(args)
+
+            def one(seed, _c=c, _loc=loc, _x0=x0):
+                import jax as _jax
+                return _jax.jvp(lambda x: _c.fn(args, {_loc.leaf.key: x}), (_x0,), (seed,))[1]
+            V = jax.vmap(one)(loc.seeds())   # [S, *cshape]
+            V = jnp.moveaxis(V, 0, -1)       # [*cshape, S]
+            if reduce_axes:
+                V = V.sum(axis=reduce_axes)
+            vals.append(V.ravel())
+        flat = jnp.concatenate(vals) if len(vals) > 1 else vals[0]
+        return pattern.scatter(flat)
+
+    # -------------------------------------------------------- public assembly
+
+    def _compiled(self, which):
+        import jax
+        fn = self._cache.get(which)
+        if fn is None:
+            trace = {'residual': self._residual_trace,
+                     'jacobian': self._jacobian_trace,
+                     'value': self._value_trace,
+                     'jacres': lambda args: (self._jacobian_trace(args), self._residual_trace(args))}[which]
+            fn = jax.jit(trace)
+            self._cache[which] = fn
+        return fn
+
+    @log.withcontext
+    def assemble_residual(self, arguments, x=None):
+        arguments, free = self.construct(arguments, x, return_free=True)
+        r = numpy.asarray(self._compiled('residual')(self._clean(arguments)))
+        return r[free]
+
+    @log.withcontext
+    def assemble_jacobian(self, arguments, x=None):
+        arguments, free = self.construct(arguments, x, return_free=True)
+        jac = self._jac_matrix(self._clean(arguments))
+        return jac.submatrix(free, free)
+
+    def _jac_matrix(self, clean):
+        if self.is_constant_matrix and 'jacmat' in self._cache:
+            return self._cache['jacmat']
+        _, pattern = self._jac_layout
+        data = self._compiled('jacobian')(clean)
+        jac = matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
+        if self.is_constant_matrix:
+            self._cache['jacmat'] = jac
+        return jac
+
+    @log.withcontext
+    def assemble_jacobian_residual(self, arguments, x=None):
+        arguments, free = self.construct(arguments, x, return_free=True)
+        clean = self._clean(arguments)
+        if self.is_constant_matrix and 'jacmat' in self._cache:
+            jac = self._cache['jacmat']
+            r = numpy.asarray(self._compiled('residual')(clean))
+        else:
+            data, r = self._compiled('jacres')(clean)
+            _, pattern = self._jac_layout
+            jac = matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
+            r = numpy.asarray(r)
+            if self.is_constant_matrix:
+                self._cache['jacmat'] = jac
+        return jac.submatrix(free, free), r[free]
+
+    def assemble(self, arguments, x=None):
+        jac, res = self.assemble_jacobian_residual(arguments, x)
+        val = self.assemble_value(arguments, x) if self.is_symmetric else None
+        return jac, res, val
+
+    @log.withcontext
+    def assemble_value(self, arguments, x=None):
+        if not self.is_symmetric:
+            raise SolverError('value is not defined for unsymmetric systems')
+        arguments = self.construct(arguments, x)
+        return float(self._compiled('value')(self._clean(arguments)))
+
+    # -------------------------------------------------------- dof packing
+
+    def deconstruct(self, arguments, constrain):
+        '''Split trial arguments into NaN-marked templates plus the free-dof
+        vector (reference: solver.py:275).'''
+        arguments = dict(arguments)
+        xparts = []
+        for t, shape in zip(self.trials, self.trial_shapes):
+            a = arguments.get(t)
+            c = constrain.get(t)
+            if a is None:
+                if c is None:
+                    a = numpy.full(shape, numpy.nan)
+                elif numpy.asarray(c).dtype == bool:
+                    a = numpy.full(shape, numpy.nan)
+                    a[numpy.asarray(c)] = 0.
+                else:
+                    a = numpy.asarray(c, dtype=float)
+                x = numpy.zeros(int(numpy.isnan(a).sum()))
+            else:
+                a = numpy.asarray(a, dtype=float)
+                if c is None:
+                    x = a.ravel().copy()
+                    a = numpy.full(shape, numpy.nan)
+                elif numpy.asarray(c).dtype == bool:
+                    c = numpy.asarray(c)
+                    x = a[~c]
+                    a = a.copy()
+                    a[~c] = numpy.nan
+                else:
+                    c = numpy.asarray(c, dtype=float)
+                    x = a[numpy.isnan(c)]
+                    a = c
+                assert numpy.isfinite(x).all(), 'non-finite initial guess'
+            arguments[t] = a
+            xparts.append(numpy.asarray(x, dtype=float).ravel())
+        return arguments, numpy.concatenate(xparts) if xparts else numpy.zeros(0)
+
+    def construct(self, arguments, x=None, return_free=False):
+        v = numpy.concatenate([numpy.asarray(arguments[t], dtype=float).ravel() for t in self.trials])
+        free = numpy.isnan(v)
+        if x is None:
+            assert not free.any(), 'unresolved free dofs'
+            free = numpy.ones_like(free)
+        else:
+            v = v.copy()
+            v[free] = x
+            arguments = dict(arguments) | {
+                t: v[sl].reshape(shape) for t, shape, sl in zip(self.trials, self.trial_shapes, self._trial_slices)}
+        return (arguments, free) if return_free else arguments
+
+    # -------------------------------------------------------- solving
+
+    @log.withcontext
+    def solve(self, *, arguments=None, constrain=None, tol=0., miniter=0, maxiter=None, method=None):
+        arguments = dict(arguments or {})
+        constrain = dict(constrain or {})
+        if method is None:
+            method = (Direct if self.is_linear else Newton)()
+        log.info(f'{"optimizing" if self.is_symmetric else "solving"} for {",".join(self.trials)} using {method}')
+        m = method(self, arguments=arguments, constrain=constrain)
+        if isinstance(m, tuple):
+            arguments, resnorm = m
+            log.info(f'residual norm: {resnorm:.1e}')
+            if resnorm > tol > 0:
+                raise SolverError(f'failed to reach tolerance {tol:.0e} (residual {resnorm:.1e})')
+            return arguments
+        if tol <= 0:
+            raise ValueError('nonlinear solve requires a positive tolerance')
+        arguments, resnorm = next(m)
+        log.info(f'iter 0: residual norm {resnorm:.1e}')
+        iiter = 0
+        while iiter < miniter or resnorm > tol:
+            if maxiter is not None and iiter >= maxiter:
+                raise SolverError(f'failed to converge in {maxiter} iterations')
+            iiter += 1
+            arguments, resnorm = next(m)
+            log.info(f'iter {iiter}: residual norm {resnorm:.1e}')
+            if not numpy.isfinite(resnorm):
+                raise SolverError('residual diverged')
+        return arguments
+
+    def step(self, *, arguments, suffix, timearg=None, timesteparg=None, timestep=None, maxretry=2, **solveargs):
+        '''Advance one time step with timestep-halving retry
+        (reference: solver.py:503-558).'''
+        arguments = dict(arguments)
+        for t in self.trials:
+            if t in arguments:
+                arguments[t + suffix] = arguments[t]
+        if timearg or timesteparg:
+            if timestep is None:
+                raise ValueError('timearg/timesteparg require timestep')
+            if timesteparg:
+                arguments[timesteparg] = timestep
+            if timearg:
+                tval = arguments.get(timearg, 0.)
+                arguments[timearg + suffix] = tval
+                arguments[timearg] = tval + timestep
+        try:
+            return self.solve(arguments=arguments, **solveargs)
+        except (SolverError, matrix.MatrixError) as e:
+            if (timearg not in self.arguments and timesteparg not in self.arguments) or maxretry <= 0:
+                raise
+            log.error(f'error: {e}; retrying with timestep {timestep/2}')
+            half = dict(solveargs, timestep=timestep / 2, timearg=timearg, timesteparg=timesteparg,
+                        suffix=suffix, maxretry=maxretry - 1)
+            halfway = self.step(arguments=arguments, **half)
+            return self.step(arguments=halfway, **half)
+
+    @log.withcontext
+    def solve_constraints(self, *, droptol, arguments=None, constrain=None, linargs=None):
+        '''Solve a possibly singular linear system, returning NaN for dofs
+        that do not participate (reference: solver.py:562).'''
+        arguments = dict(arguments or {})
+        constrain = dict(constrain or {})
+        if not self.is_linear:
+            raise SolverError('system is not linear')
+        arguments, x = self.deconstruct(arguments, constrain)
+        jac, res = self.assemble_jacobian_residual(arguments, x)
+        data, colidx, _ = jac.export('csr')
+        mycons = numpy.ones(res.shape, dtype=bool)
+        mycons[colidx[numpy.abs(data) > droptol]] = False
+        dx = -jac.solve(res, constrain=mycons, symmetric=self.is_symmetric, **(linargs or {}))
+        log.info(f'constrained {int(mycons.sum())} of {len(mycons)} dofs; residual norm '
+                 f'{numpy.linalg.norm((jac @ dx + res)[~mycons]):.1e}')
+        x = x + dx
+        x[mycons] = numpy.nan
+        arguments = self.construct(arguments, x)
+        return dict(constrain) | {t: arguments[t] for t in self.trials}
+
+
+# ------------------------------------------------------------ methods
+
+class Direct:
+
+    def __init__(self, **linargs):
+        self.linargs = linargs
+
+    def __str__(self):
+        return 'direct'
+
+    def __call__(self, system, *, arguments, constrain):
+        if not system.is_linear:
+            raise SolverError('problem is not linear')
+        arguments, x = system.deconstruct(arguments, constrain)
+        jac, res = system.assemble_jacobian_residual(arguments, x)
+        dx = jac.solve(res, symmetric=system.is_symmetric, **self.linargs)
+        x = x - dx
+        return system.construct(arguments, x), float(numpy.linalg.norm(res - jac @ dx))
+
+
+class Newton:
+
+    def __init__(self, **linargs):
+        self.linargs = dict(linargs)
+        self.linargs.setdefault('rtol', 1e-3)
+
+    def __str__(self):
+        return 'newton'
+
+    def __call__(self, system, *, arguments, constrain):
+        arguments, x = system.deconstruct(arguments, constrain)
+        while True:
+            jac, res = system.assemble_jacobian_residual(arguments, x)
+            yield system.construct(arguments, x), float(numpy.linalg.norm(res))
+            dx = jac.solve_leniently(res, symmetric=system.is_symmetric, **self.linargs)
+            x = x - dx
+
+
+class LinesearchNewton:
+    '''Newton with residual-norm backtracking (reference: solver.py:719 with
+    the NormBased strategy, solver.py:57).'''
+
+    def __init__(self, minscale=0.01, maxscale=2.0, **linargs):
+        self.minscale = minscale
+        self.maxscale = maxscale
+        self.linargs = dict(linargs)
+        self.linargs.setdefault('rtol', 1e-3)
+
+    def __str__(self):
+        return 'linesearch-newton'
+
+    def __call__(self, system, *, arguments, constrain):
+        arguments, x = system.deconstruct(arguments, constrain)
+        jac, res = system.assemble_jacobian_residual(arguments, x)
+        while True:
+            yield system.construct(arguments, x), float(numpy.linalg.norm(res))
+            dx = jac.solve_leniently(res, symmetric=system.is_symmetric, **self.linargs)
+            res0norm = numpy.linalg.norm(res)
+            scale = 1.0
+            while True:
+                xnew = x - scale * dx
+                jac, res = system.assemble_jacobian_residual(arguments, xnew)
+                if numpy.isfinite(res).all() and numpy.linalg.norm(res) <= res0norm * (1 - 0.1 * scale) + 1e-30:
+                    break
+                if scale <= self.minscale:
+                    raise SolverError('linesearch stuck in local minimum')
+                scale *= 0.5
+            x = xnew
+
+
+class Minimize:
+    '''Energy descent for symmetric systems (reference: solver.py:773).'''
+
+    def __init__(self, **linargs):
+        self.linargs = dict(linargs)
+        self.linargs.setdefault('rtol', 1e-3)
+
+    def __str__(self):
+        return 'minimize'
+
+    def __call__(self, system, *, arguments, constrain):
+        if not system.is_symmetric:
+            raise SolverError('minimize requires a symmetric system')
+        arguments, x = system.deconstruct(arguments, constrain)
+        while True:
+            jac, res = system.assemble_jacobian_residual(arguments, x)
+            yield system.construct(arguments, x), float(numpy.linalg.norm(res))
+            dx = jac.solve_leniently(res, symmetric=True, **self.linargs)
+            E0 = system.assemble_value(arguments, x)
+            scale = 1.0
+            for attempt in range(40):
+                if system.assemble_value(arguments, x - scale * dx) <= E0 + 1e-12 * (1 + abs(E0)):
+                    break
+                scale *= 0.5
+            else:
+                raise SolverError('stuck in local minimum')
+            x = x - scale * dx
+
+
+# ------------------------------------------------------------ legacy wrappers
+
+def solve_linear(target, residual, *, constrain=None, arguments=None, **kwargs):
+    '''Legacy functional API (reference: solver.py:940).'''
+    if isinstance(target, str) and ':' in target:
+        trial, test = target.split(':')
+        sys = System(residual, trial=trial, test=test)
+        cons = constrain if isinstance(constrain, dict) else {trial: constrain} if constrain is not None else {}
+        return sys.solve(constrain=cons, arguments=arguments or {})[trial]
+    sys = System(residual, trial=target)
+    out = sys.solve(constrain=constrain or {}, arguments=arguments or {})
+    return out[target] if isinstance(target, str) else out
+
+
+def optimize(target, functional, *, tol=0., droptol=None, constrain=None, arguments=None, **kwargs):
+    '''Minimize a functional (reference: solver.py:1213).'''
+    sys = System(functional, trial=target)
+    constrain = constrain or {}
+    arguments = arguments or {}
+    if droptol is not None:
+        cons = sys.solve_constraints(droptol=droptol, arguments=arguments, constrain=constrain)
+        return cons[target] if isinstance(target, str) else cons
+    out = sys.solve(constrain=constrain, arguments=arguments, tol=tol)
+    return out[target] if isinstance(target, str) else out

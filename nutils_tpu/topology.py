@@ -1,0 +1,297 @@
+'''Topologies: element sets with bases, boundaries and sampling.
+
+TPU-native re-design of the reference's topology layer (reference:
+topology.py): a topology knows how to produce batched sample *tables* (root
+coordinates, parent indices, affine maps, normals) instead of per-element
+transform chains; all chain composition happens here, host-side, in numpy.
+'''
+
+import functools
+
+import numpy
+
+from . import element, function, sample as _sample
+from .utils import _log as log
+
+
+class Topology:
+
+    def __init__(self, space, ndims):
+        self.space = space
+        self.ndims = ndims
+
+    def __len__(self):
+        raise NotImplementedError
+
+    # ---------------------------------------------------------- sampling
+
+    def sample(self, ischeme, degree=None):
+        raise NotImplementedError
+
+    def integral(self, func, *, degree=None):
+        return self.sample('gauss', degree).integral(func)
+
+    def integrate(self, funcs, *, degree=None, arguments=None, **kw):
+        return self.sample('gauss', degree).integrate(funcs, arguments, **kw)
+
+    # ---------------------------------------------------------- fields
+
+    def basis(self, btype='std', degree=1, **kwargs):
+        method = getattr(self, 'basis_' + btype.replace('-', '_'), None)
+        if method is None:
+            raise ValueError(f'unknown basis type {btype!r} for {type(self).__name__}')
+        return method(degree, **kwargs)
+
+    def field(self, name, *, btype='std', degree=1, shape=(), dtype=float, **kwargs):
+        basis = self.basis(btype, degree, **kwargs)
+        return function.field(name, basis, shape=shape, dtype=dtype)
+
+    def project(self, fun, onto, geometry, *, degree, droptol=1e-12, arguments=None, **kwargs):
+        '''L2 projection of ``fun`` onto a basis; returns the dof vector with
+        NaN at dofs without support (reference: topology.py:448).'''
+        from .solver import System
+        u = function.dotarg('__project__', onto)
+        J = function.J(geometry)
+        sqr = self.integral((u - fun) ** 2 * J, degree=degree)
+        cons = System(sqr, trial='__project__').solve_constraints(droptol=droptol, arguments=arguments or {})
+        return cons['__project__']
+
+    @property
+    def boundary(self):
+        raise NotImplementedError
+
+    @property
+    def interfaces(self):
+        raise NotImplementedError
+
+    def __getitem__(self, item):
+        raise KeyError(item)
+
+
+class StructuredTopology(Topology):
+    '''Tensor grid of hypercube elements, C-order numbering (first axis
+    slowest), root coordinates = element multi-index + local coordinate
+    (reference: topology.py:1982 with transformseq.StructuredTransforms).'''
+
+    def __init__(self, space, shape, periodic=()):
+        super().__init__(space, len(shape))
+        self.shape = tuple(int(n) for n in shape)
+        self.periodic = tuple(periodic)
+        self.ref = element.hypercube(self.ndims)
+
+    def __len__(self):
+        return int(numpy.prod(self.shape, dtype=numpy.int64))
+
+    def __repr__(self):
+        return f'StructuredTopology({"x".join(map(str, self.shape))})'
+
+    @functools.cached_property
+    def _origins(self):
+        '''Root-coordinate origin of each element, [nelems, ndims].'''
+        grids = numpy.meshgrid(*[numpy.arange(n) for n in self.shape], indexing='ij')
+        return numpy.stack([g.ravel() for g in grids], axis=1).astype(float)
+
+    def sample(self, ischeme, degree=None):
+        E = len(self)
+        d = self.ndims
+        tri_local = hull_local = None
+        if ischeme == 'gauss':
+            assert degree is not None
+            pts, wts = self.ref.gauss(degree)
+        elif ischeme == 'bezier':
+            pts, tri_local, hull_local = self.ref.bezier(degree)
+            wts = None
+        elif ischeme == 'uniform':
+            n = degree or 1
+            x1 = (numpy.arange(n) + 0.5) / n
+            grids = numpy.meshgrid(*[x1] * d, indexing='ij')
+            pts = numpy.stack([g.ravel() for g in grids], axis=1)
+            wts = numpy.full(len(pts), 1.0 / len(pts))
+        elif ischeme in ('vertex', '_centroid'):
+            pts = self.ref.vertices if ischeme == 'vertex' else numpy.full((1, d), 0.5)
+            wts = None
+        else:
+            raise ValueError(f'unknown sample scheme {ischeme!r}')
+        P = len(pts)
+        coords = self._origins[:, None, :] + pts[None, :, :]
+        weights = None if wts is None else numpy.broadcast_to(wts, (E, P)).copy()
+        p_linear = numpy.broadcast_to(numpy.eye(d), (E, d, d))
+        p_offset = -self._origins
+        tangents = numpy.broadcast_to(numpy.eye(d), (E, d, d))
+        return _sample.Sample(self.space, coords, weights, numpy.arange(E), p_linear, p_offset,
+                              tangents, None, tri_local, hull_local)
+
+    # ---------------------------------------------------------- boundaries
+
+    _BNAMES = ('left', 'right'), ('bottom', 'top'), ('front', 'back')
+
+    @functools.cached_property
+    def boundary(self):
+        sides = {}
+        for idim in range(self.ndims):
+            if idim in self.periodic:
+                continue
+            lo, hi = self._BNAMES[idim]
+            sides[lo] = _StructuredBoundary(self, idim, 0)
+            sides[hi] = _StructuredBoundary(self, idim, 1)
+        return UnionTopology(self.space, self.ndims - 1, sides)
+
+    @property
+    def interfaces(self):
+        return _StructuredInterfaces(self)
+
+    # ---------------------------------------------------------- bases
+
+    def _spline_tables(self, degree, continuity=-1, periodic=None, knotvalues=None, knotmultiplicities=None):
+        from .ops import spline
+        if isinstance(degree, int):
+            degree = [degree] * self.ndims
+        if periodic is None:
+            periodic = self.periodic
+        if knotvalues is None or numpy.isscalar(knotvalues[0]):
+            knotvalues = [knotvalues] * self.ndims
+        if knotmultiplicities is None or numpy.isscalar(knotmultiplicities[0]):
+            knotmultiplicities = [knotmultiplicities] * self.ndims
+        if not numpy.iterable(continuity):
+            continuity = [continuity] * self.ndims
+        offsets, coeffs, ndofs = [], [], []
+        for i in range(self.ndims):
+            o, c, n = spline.splinebasis_1d(self.shape[i], degree[i], periodic=i in periodic,
+                                            knotvalues=knotvalues[i], knotmultiplicities=knotmultiplicities[i],
+                                            continuity=continuity[i])
+            offsets.append(o)
+            coeffs.append(c)
+            ndofs.append(n)
+        return offsets, coeffs, ndofs
+
+    def basis_spline(self, degree, **kwargs):
+        offsets, coeffs, ndofs = self._spline_tables(degree, **kwargs)
+        return function.StructuredBasis(self.space, offsets, coeffs, ndofs, self.shape)
+
+    def basis_std(self, degree, **kwargs):
+        return self.basis_spline(degree, continuity=0, **kwargs)
+
+    def basis_discont(self, degree):
+        from .ops import spline
+        # fully discontinuous: per-element Bernstein-like (power) basis from
+        # a single-element clamped spline, numbered per element
+        o1, c1, n1 = spline.splinebasis_1d(1, degree)
+        E = len(self)
+        L = (degree + 1) ** self.ndims
+        # per-element tensor coefficients
+        mi = numpy.zeros((1, self.ndims), dtype=int)
+        from .ops.spline import tensor_tables
+        _, coeffs1 = tensor_tables([o1] * self.ndims, [c1] * self.ndims, [n1] * self.ndims, mi)
+        coeffs = numpy.broadcast_to(coeffs1[0], (E,) + coeffs1.shape[1:]).copy()
+        dofs = numpy.arange(E * L).reshape(E, L)
+        return function.PlainBasis(self.space, dofs, coeffs, E * L)
+
+    @property
+    def refined(self):
+        return StructuredTopology(self.space, tuple(2 * n for n in self.shape), self.periodic)
+
+
+class _StructuredBoundary(Topology):
+    '''One side of a structured topology: (ndims-1)-dim elements embedded in
+    their parents via constant affine edge maps.'''
+
+    def __init__(self, parent, idim, side):
+        super().__init__(parent.space, parent.ndims - 1)
+        self.parent = parent
+        self.idim = idim
+        self.side = side  # 0 = low, 1 = high
+        self.ref = element.hypercube(self.ndims)
+
+    def __len__(self):
+        return int(numpy.prod([n for i, n in enumerate(self.parent.shape) if i != self.idim], dtype=numpy.int64))
+
+    @functools.cached_property
+    def _tables(self):
+        '''(parent_index [E], edge_linear [d, d-1], edge_offset_local [d], normal [d])'''
+        p = self.parent
+        d = p.ndims
+        other = [i for i in range(d) if i != self.idim]
+        grids = numpy.meshgrid(*[numpy.arange(p.shape[i]) for i in other], indexing='ij')
+        multi = numpy.zeros((len(self), d), dtype=int)
+        for k, i in enumerate(other):
+            multi[:, i] = grids[k].ravel()
+        multi[:, self.idim] = 0 if self.side == 0 else p.shape[self.idim] - 1
+        parent_index = numpy.ravel_multi_index(multi.T, p.shape)
+        lin = numpy.zeros((d, d - 1))
+        for k, i in enumerate(other):
+            lin[i, k] = 1.0
+        off = numpy.zeros(d)
+        off[self.idim] = float(self.side)
+        nrm = numpy.zeros(d)
+        nrm[self.idim] = -1.0 if self.side == 0 else 1.0
+        return parent_index, lin, off, nrm
+
+    def sample(self, ischeme, degree=None):
+        E = len(self)
+        d = self.parent.ndims
+        parent_index, lin, off, nrm = self._tables
+        tri_local = hull_local = None
+        if ischeme == 'gauss':
+            assert degree is not None
+            pts, wts = self.ref.gauss(degree)
+        elif ischeme == 'bezier':
+            pts, tri_local, hull_local = self.ref.bezier(degree)
+            wts = None
+        elif ischeme == '_centroid':
+            pts = numpy.full((1, self.ndims), 0.5)
+            wts = None
+        else:
+            raise ValueError(f'unknown sample scheme {ischeme!r}')
+        P = len(pts)
+        # parent-local coordinates of the edge points
+        xi_local = pts @ lin.T + off  # [P, d]
+        origins = self.parent._origins[parent_index]  # [E, d]
+        coords = origins[:, None, :] + xi_local[None, :, :]
+        weights = None if wts is None else numpy.broadcast_to(wts, (E, P)).copy()
+        p_linear = numpy.broadcast_to(numpy.eye(d), (E, d, d))
+        p_offset = -origins
+        tangents = numpy.broadcast_to(lin, (E, d, d - 1))
+        normal_root = numpy.broadcast_to(nrm, (E, d))
+        return _sample.Sample(self.space, coords, weights, parent_index, p_linear, p_offset,
+                              tangents, normal_root, tri_local, hull_local)
+
+    def basis(self, btype='std', degree=1, **kwargs):
+        return self.parent.basis(btype, degree, **kwargs)
+
+
+class UnionTopology(Topology):
+    '''Disjoint union of same-dimensional topologies with named groups
+    (structured boundaries, withboundary groups).'''
+
+    def __init__(self, space, ndims, parts):
+        super().__init__(space, ndims)
+        self.parts = dict(parts)
+
+    def __len__(self):
+        return sum(len(p) for p in self.parts.values())
+
+    def __getitem__(self, item):
+        if isinstance(item, str):
+            if ',' in item:
+                return UnionTopology(self.space, self.ndims, {k: self.parts[k] for k in item.split(',')})
+            return self.parts[item]
+        raise KeyError(item)
+
+    def sample(self, ischeme, degree=None):
+        return _sample.Sample.concatenate([p.sample(ischeme, degree) for p in self.parts.values()])
+
+    def basis(self, btype='std', degree=1, **kwargs):
+        parts = list(self.parts.values())
+        return parts[0].basis(btype, degree, **kwargs)
+
+
+class _StructuredInterfaces(Topology):
+    '''Interior inter-element faces of a structured topology, with two-sided
+    lowering (jump/mean/opposite) — wired up with the DG path.'''
+
+    def __init__(self, parent):
+        super().__init__(parent.space, parent.ndims - 1)
+        self.parent = parent
+
+    def sample(self, ischeme, degree=None):
+        raise NotImplementedError('interface sampling lands with the DG path')
