@@ -21,7 +21,15 @@ Layer map (mirrors the reference's, see SURVEY.md):
 __version__ = '0.1.0'
 version = __version__
 
+import os as _os_early
+
 import jax as _jax
+
+# The environment's TPU plugin overrides jax_platforms at import time; honor
+# an explicit JAX_PLATFORMS request from the user (e.g. "cpu" for the test
+# suite, which needs real float64).
+if _os_early.environ.get('JAX_PLATFORMS'):
+    _jax.config.update('jax_platforms', _os_early.environ['JAX_PLATFORMS'])
 
 # FEM regression tolerances (reference: testing.py assertAlmostEqual64 with
 # atol=2e-15) require double precision; enable x64 globally. The TPU benchmark

@@ -270,10 +270,12 @@ class System:
     def _clean(self, arguments):
         out = {}
         for name, shape in self.argshapes.items():
-            if name in self._synthetic_tests:
+            v = arguments.get(name)
+            if v is None and (name in self._synthetic_tests or name in self.tests):
+                # test-function values never influence the residual/jacobian
+                # (the residual IS the derivative with respect to them)
                 out[name] = numpy.ones(shape)
             else:
-                v = arguments.get(name)
                 assert v is not None, f'missing argument {name!r}'
                 out[name] = numpy.asarray(v, dtype=float)
         # pass through any extra arguments the expressions may close over

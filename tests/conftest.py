@@ -1,0 +1,16 @@
+'''Test configuration: force CPU (real float64) with 8 virtual devices for
+multi-chip sharding tests (the analogue of the reference CI's NUTILS_NPROCS=2
+row, .github/workflows/test.yaml:58).'''
+
+import os
+import sys
+
+os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = flags + ' --xla_force_host_platform_device_count=8'
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'examples'))
+
+import jax  # noqa: E402
+jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])

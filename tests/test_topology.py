@@ -1,0 +1,97 @@
+'''Topology/sample/geometry tests (mirrors reference tests/test_topology.py
+essentials: measures, divergence theorem, basis partition of unity).'''
+
+import numpy
+import pytest
+
+from nutils_tpu import function, mesh
+
+
+@pytest.fixture(scope='module')
+def square():
+    return mesh.unitsquare(4, 'square')
+
+
+def test_area(square):
+    topo, geom = square
+    area = topo.integral(function.J(geom), degree=2).eval()
+    assert float(area) == pytest.approx(1.0)
+
+
+def test_perimeter(square):
+    topo, geom = square
+    length = topo.boundary.integral(function.J(geom), degree=2).eval()
+    assert float(length) == pytest.approx(4.0)
+
+
+def test_divergence_theorem(square):
+    topo, geom = square
+    n = function.normal(geom)
+    J = function.J(geom)
+    # int_bnd x.n dS = div(x) * area = 2
+    out = topo.boundary.integral((geom @ n) * J, degree=2).eval()
+    assert float(out) == pytest.approx(2.0)
+    # int_bnd n dS = 0
+    out2 = topo.boundary.integral(n * J, degree=2).eval()
+    numpy.testing.assert_allclose(out2, 0, atol=1e-12)
+
+
+def test_boundary_groups(square):
+    topo, geom = square
+    J = function.J(geom)
+    for name, (coord, value) in {'left': (0, 0.0), 'right': (0, 1.0), 'bottom': (1, 0.0), 'top': (1, 1.0)}.items():
+        side = topo.boundary[name]
+        length = side.integral(J, degree=1).eval()
+        assert float(length) == pytest.approx(1.0), name
+        x = side.sample('bezier', 2).eval(geom)
+        numpy.testing.assert_allclose(numpy.asarray(x)[:, coord], value, atol=1e-12)
+
+
+@pytest.mark.parametrize('btype,degree', [('std', 1), ('std', 2), ('spline', 2), ('spline', 3)])
+def test_basis_pou(square, btype, degree):
+    topo, geom = square
+    basis = topo.basis(btype, degree)
+    vals = topo.sample('bezier', 4).eval(function.sum_(basis, 0))
+    numpy.testing.assert_allclose(numpy.asarray(vals), 1.0, rtol=1e-11)
+
+
+def test_basis_ndofs(square):
+    topo, _ = square
+    assert topo.basis('std', 1).shape == (25,)
+    assert topo.basis('std', 2).shape == (81,)
+    assert topo.basis('spline', 2).shape == (36,)
+    assert topo.basis('discont', 1).shape == (64,)
+
+
+def test_field_gradient(square):
+    topo, geom = square
+    u = topo.field('u', btype='std', degree=1)
+    xs = numpy.arange(5) / 4
+    coef = (2 * xs[:, None] + 3 * xs[None, :]).ravel()  # u = 2x + 3y
+    g = topo.sample('bezier', 2).eval(function.grad(u, geom), {'u': coef})
+    numpy.testing.assert_allclose(numpy.asarray(g), numpy.broadcast_to([2.0, 3.0], numpy.asarray(g).shape), rtol=1e-11)
+
+
+def test_periodic_basis():
+    topo, geom = mesh.rectilinear([4], periodic=(0,))
+    basis = topo.basis('spline', 2)
+    assert basis.shape == (4,)
+    vals = topo.sample('bezier', 3).eval(function.sum_(basis, 0))
+    numpy.testing.assert_allclose(numpy.asarray(vals), 1.0, rtol=1e-11)
+
+
+def test_rectilinear_verts():
+    topo, geom = mesh.rectilinear([[0.0, 1.0, 3.0, 6.0]])
+    length = topo.integral(function.J(geom), degree=2).eval()
+    assert float(length) == pytest.approx(6.0)
+    x = topo.sample('bezier', 2).eval(geom)
+    numpy.testing.assert_allclose(numpy.asarray(x).ravel(), [0, 1, 1, 3, 3, 6], atol=1e-12)
+
+
+def test_bezier_tri_hull(square):
+    topo, geom = square
+    bez = topo.sample('bezier', 3)
+    assert bez.tri.shape == (16 * 8, 3)
+    assert bez.hull.shape == (16 * 8, 2)
+    x = numpy.asarray(bez.eval(geom))
+    assert x.shape == (16 * 9, 2)
