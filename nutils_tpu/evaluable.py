@@ -1292,6 +1292,36 @@ class _SubFrame(dict):
             dict.__setitem__(self, node, value)
 
 
+# Constants above this many elements are promoted to value-carrying Leafs at
+# compile time so they cross the jit boundary as runtime inputs instead of
+# being baked into the HLO (which bloats the program and, on remote-compile
+# backends, exceeds payload limits).
+CONST_LEAF_THRESHOLD = 4096
+_const_leaf_counter = itertools.count()
+
+
+def _promote_big_constants(flat):
+    mapping = {}
+
+    def collect(node, seen):
+        if node in seen:
+            return
+        seen.add(node)
+        if isinstance(node, Constant) and node.size > CONST_LEAF_THRESHOLD:
+            if node not in mapping:
+                mapping[node] = Leaf(('const', next(_const_leaf_counter)), node.shape, node.dtype,
+                                     value=node.value)
+            return
+        for c in node.children:
+            collect(c, seen)
+    seen = set()
+    for f in flat:
+        collect(f, seen)
+    if not mapping:
+        return flat
+    return [replace(f, mapping) for f in flat]
+
+
 class Compiled:
     '''A compiled expression (tree): a pure traceable function plus a cached
     jitted wrapper.  ``funcs`` may be a single Array or an arbitrary pytree of
@@ -1302,6 +1332,7 @@ class Compiled:
         self.funcs = funcs
         flat, self.treedef = jax.tree.flatten(funcs, is_leaf=lambda x: isinstance(x, Array))
         assert all(isinstance(f, Array) for f in flat), 'compile expects Array nodes'
+        flat = _promote_big_constants(flat)
         self.flat = flat
         argnodes = {}
         for f in flat:

@@ -65,16 +65,18 @@ class _Loc:
 
     def leaf_value(self, args):
         import jax.numpy as jnp
-        flat = jnp.asarray(args[self.name]).reshape(-1)
+        from .utils import config
+        flat = jnp.asarray(args[self.name], dtype=config.float_dtype()).reshape(-1)
         return jnp.broadcast_to(flat[self.argidx], self.leaf.shape)
 
     def seeds(self):
         '''[S, *leaf.shape] tangent basis: identity over the seed axes,
         broadcast over element/point axes.'''
         import jax.numpy as jnp
+        from .utils import config
         S = self.nseeds
         shape = [S] + [self.leaf.shape[ax] if ax in self.seed_axes else 1 for ax in range(len(self.leaf.shape))]
-        eye = jnp.eye(S, dtype=float).reshape(shape)
+        eye = jnp.eye(S, dtype=config.float_dtype()).reshape(shape)
         return jnp.broadcast_to(eye, (S,) + self.leaf.shape)
 
     def cols(self):
@@ -242,9 +244,9 @@ class System:
                 deps = frozenset().union(*(tk for tk in term_lockeys if loc.leaf.key in tk)) if term_lockeys else frozenset()
                 trial_keys = deps & {l.leaf.key for u in self.trials for l in self._trial_locs[u]}
 
-                def fn(args, overrides, _loc=loc):
+                def fn(args, overrides, tables, _loc=loc):
                     import jax
-                    leaves = self._bound_leaves(args, overrides)
+                    leaves = self._bound_leaves(args, overrides, tables)
 
                     def scalar(x):
                         lv = dict(leaves)
@@ -258,14 +260,30 @@ class System:
 
     # -------------------------------------------------------- helpers
 
-    def _bound_leaves(self, args, overrides):
-        leaves = {}
+    def _bound_leaves(self, args, overrides, tables):
+        leaves = dict(tables)
         for ll in self._locs.values():
             for loc in ll:
                 key = loc.leaf.key
                 v = overrides.get(key)
                 leaves[key] = v if v is not None else loc.leaf_value(args)
         return leaves
+
+    def _tables(self):
+        '''Default bindings (sample coordinate / promoted constant tables) of
+        the compiled functional, passed through the jit boundary as runtime
+        inputs; device-committed once and reused.'''
+        import jax
+        cached = self._cache.get('tables')
+        if cached is None:
+            cached = {}
+            for key, node in self._comp.leafnodes.items():
+                if node.value is not None:
+                    cached[key] = node.value if not isinstance(node.value, numpy.ndarray) \
+                        else jax.device_put(node.value.astype(
+                            ev._concrete_dtype(node.dtype), copy=False))
+            self._cache['tables'] = cached
+        return cached
 
     def _clean(self, arguments):
         out = {}
@@ -286,21 +304,22 @@ class System:
 
     # -------------------------------------------------------- traces
 
-    def _residual_trace(self, args):
+    def _residual_trace(self, args, tables):
         import jax.numpy as jnp
+        from .utils import config
         parts = []
         for chunks, sl in zip(self._blocks, self._test_slices):
             n = sl.stop - sl.start
-            r = jnp.zeros(n, dtype=float)
+            r = jnp.zeros(n, dtype=config.float_dtype())
             for c in chunks:
-                v = c.fn(args, {})
+                v = c.fn(args, {}, tables)
                 rows = jnp.broadcast_to(jnp.asarray(c.rows), c.shape)
                 r = r.at[rows.ravel()].add(v.ravel())
             parts.append(r)
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
-    def _value_trace(self, args):
-        return self._comp.trace(args, self._bound_leaves(args, {}))
+    def _value_trace(self, args, tables):
+        return self._comp.trace(args, self._bound_leaves(args, {}, tables))
 
     @functools.cached_property
     def _jac_layout(self):
@@ -340,7 +359,7 @@ class System:
         pattern = matrix.SparsePattern(rows_cat, cols_cat, (self._ntest, self._ntrial))
         return chunk_meta, pattern
 
-    def _jacobian_trace(self, args):
+    def _jacobian_trace(self, args, tables):
         import jax
         import jax.numpy as jnp
         chunk_meta, pattern = self._jac_layout
@@ -352,7 +371,7 @@ class System:
 
             def one(seed, _c=c, _loc=loc, _x0=x0):
                 import jax as _jax
-                return _jax.jvp(lambda x: _c.fn(args, {_loc.leaf.key: x}), (_x0,), (seed,))[1]
+                return _jax.jvp(lambda x: _c.fn(args, {_loc.leaf.key: x}, tables), (_x0,), (seed,))[1]
             V = jax.vmap(one)(loc.seeds())   # [S, *cshape]
             V = jnp.moveaxis(V, 0, -1)       # [*cshape, S]
             if reduce_axes:
@@ -370,8 +389,10 @@ class System:
             trace = {'residual': self._residual_trace,
                      'jacobian': self._jacobian_trace,
                      'value': self._value_trace,
-                     'jacres': lambda args: (self._jacobian_trace(args), self._residual_trace(args))}[which]
-            fn = jax.jit(trace)
+                     'jacres': lambda args, tables: (self._jacobian_trace(args, tables),
+                                                     self._residual_trace(args, tables))}[which]
+            jitted = jax.jit(trace)
+            fn = lambda args: jitted(args, self._tables())
             self._cache[which] = fn
         return fn
 
