@@ -54,6 +54,19 @@ def triplot(name, points, values=None, *, tri=None, hull=None, cmap='viridis', c
             log.warning('triplot: 3-D rendering not implemented; skipping plot')
 
 
+def plotlines_(ax, xy, lines, **kwargs):
+    '''Add a line collection (element hulls) to an axis (reference: export.py
+    helper used by the examples); xy is [2, npoints] or [npoints, 2].'''
+    import matplotlib.collections
+    import numpy as np
+    xy = numpy.asarray(xy)
+    if xy.shape[0] == 2 and xy.shape[1] != 2:
+        xy = xy.T
+    lc = matplotlib.collections.LineCollection(xy[numpy.asarray(lines)], **kwargs)
+    ax.add_collection(lc)
+    return lc
+
+
 def vtk(name, cells, points, /, **data):
     '''Write a legacy ASCII VTK unstructured grid (reference: export.py:199
     writes the binary variant; ASCII keeps this dependency-free).'''

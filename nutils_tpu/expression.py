@@ -416,10 +416,11 @@ class Namespace:
             setattr(self, curl, functools.partial(_curl, geom, spaces))
         if normal:
             setattr(self, normal, function.normal(geom))
+        size = geom.shape[0] if geom.ndim else 1
         for i, jacobian in enumerate(jacobians):
-            if i > geom.shape[0]:
+            if i > size:
                 raise ValueError(f'cannot define jacobian {jacobian!r}: dimension is negative')
-            setattr(self, jacobian, function.jacobian(geom, geom.shape[0] - i))
+            setattr(self, jacobian, function.jacobian(geom, size - i))
 
     def add_field(self, __names, *__bases, shape=(), dtype=float):
         for name in (__names,) if isinstance(__names, str) else __names:

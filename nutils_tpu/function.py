@@ -50,7 +50,7 @@ class LowerArgs:
         Outward normal in root coordinates, [E, d] (boundary samples).
     '''
 
-    def __init__(self, space=None, points_shape=(), X=None, index=None, xi=None, tangents=None, normal_root=None, opposite=None):
+    def __init__(self, space=None, points_shape=(), X=None, index=None, xi=None, tangents=None, normal_root=None, opposite=None, part_ids=None):
         self.space = space
         self.points_shape = tuple(points_shape)
         self.X = X
@@ -59,6 +59,7 @@ class LowerArgs:
         self.tangents = tangents
         self.normal_root = normal_root
         self.opposite = opposite  # LowerArgs of the other side of an interface
+        self.part_ids = part_ids  # int [E]: originating part in a union topology
 
     @property
     def nprefix(self):
@@ -825,7 +826,11 @@ class _TakeScalar(Array):
 
 
 def grad(arg, geom):
-    return _Gradient(asarray(arg), asarray(geom))
+    geom = asarray(geom)
+    if geom.ndim == 0:  # scalar geometry: promote, differentiate, squeeze
+        g = _Gradient(asarray(arg), stack([geom], axis=0))
+        return _TakeScalar(g, 0, g.ndim - 1)
+    return _Gradient(asarray(arg), geom)
 
 
 def div(arg, geom):
@@ -881,15 +886,21 @@ def laplace(arg, geom):
 
 
 def normal(geom):
-    return _Normal(asarray(geom))
+    geom = asarray(geom)
+    if geom.ndim == 0:
+        return _TakeScalar(_Normal(stack([geom], axis=0)), 0, 0)
+    return _Normal(geom)
 
 
 def jacobian(geom, ndims=None):
-    return _Jacobian(asarray(geom), ndims)
+    geom = asarray(geom)
+    if geom.ndim == 0:
+        geom = stack([geom], axis=0)
+    return _Jacobian(geom, ndims)
 
 
 def J(geom):
-    return _Jacobian(asarray(geom), None)
+    return jacobian(geom, None)
 
 
 def normalized(a):
@@ -992,7 +1003,8 @@ def mean(a):
 
 
 def jump(a):
-    return subtract(a, opposite(a))
+    # sign convention: jump = opposite - self (reference: function.py:1619)
+    return subtract(opposite(a), a)
 
 
 class _Opposite(Array):
@@ -1028,8 +1040,32 @@ def derivative(func, var):
     raise NotImplementedError('symbolic function-level derivative is provided via the solver AD path')
 
 
+def arguments_for(*funcs):
+    '''Dict of name -> Argument for all arguments of the given arrays
+    (reference: function.arguments_for).'''
+    out = {}
+    for f in funcs:
+        for name, (shape, dtype) in asarray(f).arguments.items():
+            prev = out.setdefault(name, Argument(name, shape, dtype))
+            assert prev.shape == shape
+    return out
+
+
 def replace_arguments(func, arguments):
-    return _Replaced(asarray(func), {k: asarray(v) if not isinstance(v, Array) else v for k, v in arguments.items()})
+    '''Substitute arguments: mapping name -> replacement Array, or the string
+    shorthand 'old1:new1,old2:new2' renaming arguments (reference:
+    function.py:1906).'''
+    func = asarray(func)
+    if isinstance(arguments, str):
+        repl = {}
+        for pair in arguments.split(','):
+            old, new = pair.split(':')
+            old = old.strip()
+            spec = func.arguments.get(old)
+            assert spec is not None, f'argument {old!r} not present'
+            repl[old] = Argument(new.strip(), spec[0], spec[1])
+        arguments = repl
+    return _Replaced(func, {k: asarray(v) if not isinstance(v, Array) else v for k, v in arguments.items()})
 
 
 class _Replaced(Array):

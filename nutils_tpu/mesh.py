@@ -45,8 +45,9 @@ def rectilinear(richshape, periodic=(), space='X'):
 
 
 def line(nodes, periodic=False, space='X'):
-    nelems = nodes if numeric.isint(nodes) else len(nodes) - 1
-    return rectilinear([nodes], periodic=(0,) if periodic else (), space=space)
+    '''1-D mesh with scalar geometry (reference: mesh.py:66).'''
+    topo, geom = rectilinear([nodes], periodic=(0,) if periodic else (), space=space)
+    return topo, geom[0]
 
 
 def unitsquare(nelems, etype='square'):

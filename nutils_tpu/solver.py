@@ -197,7 +197,11 @@ class System:
             tests = self.trials if test is None else tuple(test.split(',') if isinstance(test, str) else test)
             self.is_symmetric = tests == self.trials
             self._synthetic_tests = ()
-            linear_degree = 2
+            # a true energy (no explicit tests) is linear when quadratic in the
+            # trials; with explicit test functions the functional already
+            # carries the test factor, so the residual is linear iff the
+            # functional is linear in the trials
+            linear_degree = 2 if test is None else 1
 
         argspecs = dict(value.arguments)
         self.argshapes = {n: spec[0] for n, spec in argspecs.items()}

@@ -186,6 +186,29 @@ class StructuredTopology(Topology):
         dofs = numpy.arange(E * L).reshape(E, L)
         return function.PlainBasis(self.space, dofs, coeffs, E * L)
 
+    def basis_legendre(self, degree):
+        '''Modal (shifted) Legendre basis, fully discontinuous
+        (reference: topology.py:2365 via function.LegendreBasis).'''
+        p = degree
+        coeffs1 = numpy.zeros((p + 1, p + 1))
+        coeffs1[0, 0] = 1.0
+        if p >= 1:
+            coeffs1[1, :2] = [-1.0, 2.0]
+        for k in range(1, p):
+            # (k+1) P~_{k+1}(t) = (2k+1)(2t-1) P~_k(t) - k P~_{k-1}(t)
+            shifted = numpy.zeros(p + 1)
+            shifted[1:] += 2 * coeffs1[k, :-1]
+            shifted -= coeffs1[k]
+            coeffs1[k + 1] = ((2 * k + 1) * shifted - k * coeffs1[k - 1]) / (k + 1)
+        E = len(self)
+        if self.ndims == 1:
+            coeffs = numpy.broadcast_to(coeffs1, (E, p + 1, p + 1)).copy()
+            L = p + 1
+        else:
+            raise NotImplementedError('legendre basis is 1-D only (as in the reference)')
+        dofs = numpy.arange(E * L).reshape(E, L)
+        return function.PlainBasis(self.space, dofs, coeffs, E * L)
+
     @property
     def refined(self):
         return StructuredTopology(self.space, tuple(2 * n for n in self.shape), self.periodic)
@@ -286,12 +309,90 @@ class UnionTopology(Topology):
 
 
 class _StructuredInterfaces(Topology):
-    '''Interior inter-element faces of a structured topology, with two-sided
-    lowering (jump/mean/opposite) — wired up with the DG path.'''
+    '''Interior inter-element faces of a structured topology with two-sided
+    lowering: each face carries the parent maps of both neighboring elements
+    (reference: topology.py:1740 interfaces with opposite transform chains);
+    ``function.opposite``/jump/mean switch to the second side.  The interface
+    normal points from the first (lower-index) into the second side.'''
 
     def __init__(self, parent):
         super().__init__(parent.space, parent.ndims - 1)
         self.parent = parent
+        self.ref = element.hypercube(self.ndims)
+
+    @functools.cached_property
+    def _face_tables(self):
+        '''Per dim: (left_parents [F], right_parents [F], lin [d,d-1], nrm [d]).'''
+        p = self.parent
+        d = p.ndims
+        out = []
+        for idim in range(d):
+            n = p.shape[idim]
+            other = [i for i in range(d) if i != idim]
+            grids = numpy.meshgrid(*[numpy.arange(p.shape[i]) for i in other], indexing='ij')
+            cross = numpy.stack([g.ravel() for g in grids], axis=1) if other else numpy.zeros((1, 0), dtype=int)
+            nint = n if idim in p.periodic else n - 1
+            ks = numpy.arange(nint)
+            left = numpy.zeros((nint, len(cross), d), dtype=int)
+            right = numpy.zeros((nint, len(cross), d), dtype=int)
+            for c, i in enumerate(other):
+                left[:, :, i] = cross[None, :, c]
+                right[:, :, i] = cross[None, :, c]
+            left[:, :, idim] = ks[:, None]
+            right[:, :, idim] = (ks[:, None] + 1) % n
+            lp = numpy.ravel_multi_index(left.reshape(-1, d).T, p.shape)
+            rp = numpy.ravel_multi_index(right.reshape(-1, d).T, p.shape)
+            lin = numpy.zeros((d, d - 1))
+            for c, i in enumerate(other):
+                lin[i, c] = 1.0
+            nrm = numpy.zeros(d)
+            nrm[idim] = 1.0
+            out.append((lp, rp, lin, nrm, idim))
+        return out
+
+    def __len__(self):
+        return sum(len(lp) for lp, *_ in self._face_tables)
 
     def sample(self, ischeme, degree=None):
-        raise NotImplementedError('interface sampling lands with the DG path')
+        p = self.parent
+        d = p.ndims
+        if ischeme == 'gauss':
+            assert degree is not None
+            pts, wts = self.ref.gauss(degree)
+        elif ischeme == 'bezier':
+            pts, _tri, _hull = self.ref.bezier(degree)
+            wts = None
+        else:
+            raise ValueError(f'unknown interface scheme {ischeme!r}')
+        P = len(pts)
+        sides = [[], []]
+        for lp, rp, lin, nrm, idim in self._face_tables:
+            E = len(lp)
+            for side, (parents, level) in enumerate(((lp, 1.0), (rp, 0.0))):
+                xi_local = pts @ lin.T  # [P, d]
+                xi_local = xi_local + level * numpy.eye(d)[idim]
+                origins = p._origins[parents]
+                coords = origins[:, None, :] + xi_local[None, :, :]
+                sides[side].append(dict(
+                    coords=coords,
+                    weights=None if wts is None else numpy.broadcast_to(wts, (E, P)).copy(),
+                    index=parents,
+                    p_linear=numpy.broadcast_to(numpy.eye(d), (E, d, d)),
+                    p_offset=-origins,
+                    tangents=numpy.broadcast_to(lin, (E, d, d - 1)),
+                    normal_root=numpy.broadcast_to(nrm if side == 0 else -nrm, (E, d)),
+                ))
+
+        def build(parts, opposite):
+            return _sample.Sample(
+                p.space,
+                numpy.concatenate([q['coords'] for q in parts]),
+                None if wts is None else numpy.concatenate([q['weights'] for q in parts]),
+                numpy.concatenate([q['index'] for q in parts]),
+                numpy.concatenate([q['p_linear'] for q in parts]),
+                numpy.concatenate([q['p_offset'] for q in parts]),
+                numpy.concatenate([q['tangents'] for q in parts]),
+                numpy.concatenate([q['normal_root'] for q in parts]),
+                None, None, opposite)
+        oppo = build(sides[1], None)
+        return build(sides[0], oppo)
