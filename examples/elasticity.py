@@ -120,9 +120,12 @@ class test(testing.TestCase):
             self.assertAlmostEqual64(cons['u'], '''
                 eNpjaGBAhSBAZTEAEKAUAQ==''')
         with self.subTest('solution'):
+            # extra absolute slack: the x-displacements on the symmetry axis
+            # are exact zeros in the recorded data but carry ~3e-15 assembly/LU
+            # rounding noise here (different summation order than the reference)
             self.assertAlmostEqual64(args['u'], '''
                 eNqTNig6vcVwwekjRuJn5Iy1zzIAwQs999MdBmWn+w0Zz7QYpoPFGBisTzMw5AMx6xkGhniwmMRF99MV
-                58tOF55jPFNzDqLu6fmi0z7nFpy2OSt+5tEZiHkAKRAl5A==''')
+                58tOF55jPFNzDqLu6fmi0z7nFpy2OSt+5tEZiHkAKRAl5A==''', noise=1e-14)
         with self.subTest('traction'):
             self.assertAlmostEqual64(args['t'], '''
                 eNpjYEAF/Sc+maMJMdw0emzGgAFiMdSpn8VUV2j+yRwAoCAJFw==''')

@@ -366,6 +366,17 @@ class Inflate(Array):
         out = flat.reshape(batch + (self.length,))
         return jnp.moveaxis(out, -1, self.axis)
 
+    def _unbroadcast(self, axis):
+        if axis == self.axis:
+            return None
+        v = self.values._unbroadcast(axis)
+        if v is None or self.dofs.shape[axis] != 1:
+            return None
+        d = self.dofs._unbroadcast(axis)
+        if d is None:
+            return None
+        return Inflate(v, d, self.length, self.axis - (1 if axis < self.axis else 0))
+
 
 class GatherAlong(Array):
     '''Batched gather along one axis: out[..., l, ...] = func[..., dofs[..., l, ...], ...].
@@ -742,9 +753,14 @@ def ones(shape, dtype=float):
 
 
 def insertaxis(func, axis, length):
+    axis = _norm_axis(axis, func.ndim + 1)
     if isinstance(func, Zeros):
-        axis = _norm_axis(axis, func.ndim + 1)
         return Zeros(func.shape[:axis] + (int(length),) + func.shape[axis:], func.dtype)
+    if isinstance(func, Inflate):
+        # keep the scatter at the outside so contraction rules can see it
+        new_ax = func.axis + (1 if axis <= func.axis else 0)
+        return inflate(insertaxis(func.values, axis, length),
+                       InsertAxis(func.dofs, axis, 1), func.length, new_ax)
     return InsertAxis(func, axis, length)
 
 
@@ -756,6 +772,9 @@ def transpose(func, axes):
         return Zeros(tuple(func.shape[i] for i in axes), func.dtype)
     if isinstance(func, Transpose):
         return transpose(func.func, tuple(func.axes[i] for i in axes))
+    if isinstance(func, Inflate):
+        return inflate(transpose(func.values, axes), transpose(func.dofs, axes),
+                       func.length, axes.index(func.axis))
     return Transpose(func, axes)
 
 
@@ -868,6 +887,19 @@ def sum_(func, axes):
                 # global basis-dot-argument pattern into a per-element sum.
                 L = x.values.shape[x.axis]
                 return sum_(multiply(x.values, gather_along(y, x.dofs, x.axis, L)), axes)
+        for x, y in ((a, b), (b, a)):
+            if isinstance(x, Concatenate) and x.axis in axes:
+                # distribute the contraction over concatenated blocks so each
+                # block's scatter/gather structure localizes independently
+                out = None
+                offset = 0
+                for part in x.children:
+                    n_i = part.shape[x.axis]
+                    y_i = take(y, Constant(numpy.arange(offset, offset + n_i)), x.axis)
+                    term = sum_(multiply(part, y_i), axes)
+                    out = term if out is None else add(out, term)
+                    offset += n_i
+                return out
     return Sum(func, axes)
 
 
@@ -932,11 +964,17 @@ def take(func, indices, axis):
         return Zeros(func.shape[:axis] + indices.shape + func.shape[axis + 1:], func.dtype)
     if isinstance(func, Constant) and isinstance(indices, Constant):
         return Constant(numpy.take(func.value, indices.value, axis=axis))
-    if isinstance(func, InsertAxis) and func.axis == axis:
-        out = func.func
-        for i, n in enumerate(indices.shape):
-            out = insertaxis(out, axis + i, n)
-        return out
+    if isinstance(func, InsertAxis):
+        if func.axis == axis:
+            out = func.func
+            for i, n in enumerate(indices.shape):
+                out = insertaxis(out, axis + i, n)
+            return out
+        # push the gather through an unrelated broadcast axis
+        inner_axis = axis if axis < func.axis else axis - 1
+        inner = take(func.func, indices, inner_axis)
+        new_pos = func.axis if func.axis < axis else func.axis + indices.ndim - 1
+        return insertaxis(inner, new_pos, func.length)
     return Take(func, indices, axis)
 
 

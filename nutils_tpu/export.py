@@ -25,7 +25,25 @@ def mplfigure(name, **kwargs):
 
 def triplot(name, points, values=None, *, tri=None, hull=None, cmap='viridis', clim=None, linewidth=.1, linecolor='k', **fig_kwargs):
     '''Plot a sampled scalar field over a triangulated point set
-    (reference: export.py:109).  Supports 1-D (line plot) and 2-D domains.'''
+    (reference: export.py:109).  Supports 1-D (line plot) and 2-D domains.
+    When ``name`` is a matplotlib axes object, draw into it and return the
+    mappable (the reference's axes-mode).'''
+    if not isinstance(name, str):
+        ax = name
+        points = numpy.asarray(points)
+        im = None
+        if values is not None and tri is not None and points.shape[1] == 2:
+            import matplotlib.tri
+            t = matplotlib.tri.Triangulation(points[:, 0], points[:, 1], tri)
+            im = ax.tripcolor(t, values, shading='gouraud', cmap=cmap)
+            if clim is not None:
+                im.set_clim(*clim)
+        if hull is not None and points.shape[1] == 2:
+            import matplotlib.collections
+            ax.add_collection(matplotlib.collections.LineCollection(points[hull], colors=linecolor, linewidths=linewidth))
+        ax.set_aspect('equal')
+        ax.autoscale(enable=True, axis='both', tight=True)
+        return im
     points = numpy.asarray(points)
     with mplfigure(name, **fig_kwargs) as fig:
         ax = fig.add_subplot(111)

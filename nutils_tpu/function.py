@@ -50,7 +50,7 @@ class LowerArgs:
         Outward normal in root coordinates, [E, d] (boundary samples).
     '''
 
-    def __init__(self, space=None, points_shape=(), X=None, index=None, xi=None, tangents=None, normal_root=None, opposite=None, part_ids=None):
+    def __init__(self, space=None, points_shape=(), X=None, index=None, xi=None, tangents=None, normal_root=None, opposite=None, part_ids=None, part_topos=None):
         self.space = space
         self.points_shape = tuple(points_shape)
         self.X = X
@@ -60,6 +60,7 @@ class LowerArgs:
         self.normal_root = normal_root
         self.opposite = opposite  # LowerArgs of the other side of an interface
         self.part_ids = part_ids  # int [E]: originating part in a union topology
+        self.part_topos = part_topos  # topologies aligned with part_ids
 
     @property
     def nprefix(self):
@@ -911,15 +912,24 @@ def normalized(a):
 def dotarg(name, *arrays, shape=(), dtype=float):
     '''Contraction of a new argument with bases (reference: function.py:2591).
 
-    With one basis: result[s...] = sum_n basis_n arg[n, s...]; the argument
-    carries shape (len(basis_1), ..., len(basis_k)) + shape.
+    The argument has shape (len(b_1), ..., len(b_k)) + shape; each basis's
+    leading axis is contracted in turn and its trailing axes (e.g. the vector
+    components of a ``vectorize``d basis) are appended to the result.
     '''
     result = Argument(name, tuple(b.shape[0] for b in arrays) + tuple(shape), dtype)
     for b in arrays:
-        bx = b  # [n] -> [n, 1, ..., 1] for broadcasting against [n, rest...]
-        for _ in range(result.ndim - 1):
-            bx = _InsertAxis(bx, bx.ndim, 1)
-        result = _Sum(multiply(bx, result), (0,))
+        b = asarray(b)
+        nrest = result.ndim - 1
+        ntrail = b.ndim - 1
+        # b: [n, tb...] -> [n, 1 x nrest, tb...]
+        bx = b
+        for _ in range(nrest):
+            bx = _InsertAxis(bx, 1, 1)
+        # result: [n, rest...] -> [n, rest..., 1 x ntrail]
+        rx = result
+        for _ in range(ntrail):
+            rx = _InsertAxis(rx, rx.ndim, 1)
+        result = _Sum(multiply(bx, rx), (0,))
     return result
 
 
@@ -1005,6 +1015,41 @@ def mean(a):
 def jump(a):
     # sign convention: jump = opposite - self (reference: function.py:1619)
     return subtract(opposite(a), a)
+
+
+class _Indicator(Array):
+    '''1 on elements originating from the target part topologies, 0 elsewhere
+    (reference: topology.py:760 indicator).'''
+
+    def __init__(self, targets):
+        self.targets = tuple(targets)
+        spaces = frozenset().union(*(frozenset({t.space}) for t in targets))
+        super().__init__((), float, spaces, {})
+
+    def lower(self, args):
+        E = args.points_shape[0]
+        if args.part_topos is not None and args.part_ids is not None:
+            target_ids = [i for i, t in enumerate(args.part_topos) if any(t is tt for tt in self.targets)]
+            mask = numpy.isin(args.part_ids, target_ids).astype(float)  # [E]
+        else:
+            mask = numpy.zeros(E)
+        expr = ev.constant(mask)
+        for i, n in enumerate(args.points_shape[1:], start=1):
+            expr = ev.insertaxis(expr, i, n)
+        return expr
+
+
+def vectorize(bases):
+    '''Combine scalar bases into a block-diagonal vector basis of shape
+    (sum(len(b_i)), len(bases)) (reference: function.vectorize).'''
+    bases = [asarray(b) for b in bases]
+    n = len(bases)
+    parts = []
+    for k, b in enumerate(bases):
+        unit = numpy.zeros((1, n))
+        unit[0, k] = 1.0
+        parts.append(multiply(_InsertAxis(b, 1, 1), _Constant(unit)))
+    return concatenate(parts, axis=0)
 
 
 class _Opposite(Array):

@@ -21,9 +21,11 @@ _token = itertools.count()
 class Sample:
 
     def __init__(self, space, coords, weights, index, p_linear, p_offset, tangents,
-                 normal_root=None, tri_local=None, hull_local=None, opposite=None, part_ids=None):
+                 normal_root=None, tri_local=None, hull_local=None, opposite=None, part_ids=None,
+                 part_topos=None):
         self.opposite = opposite    # Sample for the other side of an interface
         self.part_ids = part_ids    # int [E]: originating part in a union topology
+        self.part_topos = part_topos  # list of topologies aligned with part_ids
         self.space = space
         self.coords = numpy.asarray(coords, dtype=float)      # [E, P, d] root coords
         E, P, d = self.coords.shape
@@ -59,7 +61,7 @@ class Sample:
                 space=self.space, points_shape=(E, P), X=X, index=self.index,
                 xi=xi, tangents=self.tangents, normal_root=self.normal_root,
                 opposite=self.opposite.lower_args() if self.opposite is not None else None,
-                part_ids=self.part_ids)
+                part_ids=self.part_ids, part_topos=self.part_topos)
         return self._lower_args
 
     # ------------------------------------------------------------ integration
@@ -115,6 +117,7 @@ class Sample:
         s0 = samples[0]
         assert all(s.space == s0.space and s.npoints_per_elem == s0.npoints_per_elem and s.ndims == s0.ndims for s in samples)
         part_ids = numpy.concatenate([numpy.full(s.nelems, i) for i, s in enumerate(samples)])
+        part_topos = [(s.part_topos or [None])[0] for s in samples]
         opposite = None
         if all(s.opposite is not None for s in samples):
             opposite = Sample.concatenate([s.opposite for s in samples])
@@ -127,7 +130,7 @@ class Sample:
             numpy.concatenate([s.p_offset for s in samples]),
             numpy.concatenate([s.tangents for s in samples]),
             None if s0.normal_root is None else numpy.concatenate([s.normal_root for s in samples]),
-            s0.tri_local, s0.hull_local, opposite, part_ids)
+            s0.tri_local, s0.hull_local, opposite, part_ids, part_topos)
 
 
 class _Integral(function.Array):

@@ -106,8 +106,10 @@ def _localize(expr, names):
         return core is not None and core[0].name in names
 
     for node in ev.find(expr, isgather):
-        arg, axmap = _argcore(node.func)
+        arg, axmap, table = _argcore(node.func)
         dofs_np = _eval_const(node.dofs)
+        if table is not None:  # gather through a constant re-index (block bases)
+            dofs_np = table[dofs_np]
         arg_axes = {core_ax: leaf_ax for leaf_ax, core_ax in enumerate(axmap) if core_ax is not None}
         strides = numpy.cumprod([1] + list(arg.shape[::-1][:-1]))[::-1].astype(numpy.int64)
         idx = dofs_np.astype(numpy.int64) * strides[0]
@@ -137,11 +139,18 @@ def _localize(expr, names):
 
 
 def _argcore(node):
-    '''If node is a pure broadcast (InsertAxis/Transpose) of an Argument,
-    return (argument, axismap node_axis -> arg_axis or None).'''
+    '''If node is a pure broadcast (InsertAxis/Transpose) of an Argument — or
+    of a constant re-indexing Take of one (block/vectorized bases) — return
+    (argument, axismap node_axis -> arg_axis or None, index_table or None).'''
     factors = ev._decompose_product(node)
-    if len(factors) == 1 and isinstance(factors[0].core, ev.Argument):
-        return factors[0].core, factors[0].axismap
+    if len(factors) != 1:
+        return None
+    core = factors[0].core
+    if isinstance(core, ev.Argument):
+        return core, factors[0].axismap, None
+    if isinstance(core, ev.Take) and core.axis == 0 and isinstance(core.children[0], ev.Argument) \
+            and isinstance(core.children[1], ev.Constant) and core.children[1].ndim == 1:
+        return core.children[0], factors[0].axismap, core.children[1].value
     return None
 
 
@@ -156,6 +165,34 @@ def _additive_terms(expr):
     if isinstance(expr, ev.Add):
         return _additive_terms(expr.children[0]) + _additive_terms(expr.children[1])
     return [expr]
+
+
+def _scalarize(res_array, testname):
+    '''Contract a residual vector with a synthetic test argument *inside* each
+    integral: sum_t integral(R_t) . v becomes sum_t integral(R_t . v), keeping
+    every term's test/trial gathers on the same element batch so that
+    localization-based jacobian assembly stays per-element.'''
+    from .sample import _Integral
+    v = function.Argument(testname, res_array.shape)
+
+    def walk(arr, sign):
+        if isinstance(arr, function._Add):
+            return walk(arr.operands[0], sign) + walk(arr.operands[1], sign)
+        if isinstance(arr, function._Neg):
+            return walk(arr.operands[0], -sign)
+        return [(arr, sign)]
+
+    out = None
+    for term, sign in walk(res_array, 1):
+        if isinstance(term, _Integral) and term.integrand.ndim == res_array.ndim:
+            inner = function.sum_(function.multiply(term.integrand, v), tuple(range(res_array.ndim)))
+            e = term.sample.integral(inner)
+        else:
+            e = function.sum_(function.multiply(term, v), tuple(range(res_array.ndim)))
+        if sign < 0:
+            e = function.negative(e)
+        out = e if out is None else function.add(out, e)
+    return out if out is not None else function.asarray(0.0)
 
 
 class _Chunk:
@@ -185,8 +222,7 @@ class System:
             tests = tuple(f'__test_{i}__' for i in range(len(res_arrays)))
             value = None
             for r, tname in zip(res_arrays, tests):
-                v = function.Argument(tname, r.shape)
-                term = function.sum_(function.multiply(r, v), tuple(range(r.ndim)))
+                term = _scalarize(r, tname)
                 value = term if value is None else function.add(value, term)
             self._synthetic_tests = tests
             linear_degree = 1

@@ -41,9 +41,10 @@ class TestCase(unittest.TestCase):
         for a, d in zip(actual.ravel(), desired.ravel()):
             self.assertAlmostEqual(a, d, **kwargs)
 
-    def assertAlmostEqual64(self, actual, desired, *, atol=2e-15, rtol=2e-3, dtype='int16'):
+    def assertAlmostEqual64(self, actual, desired, *, atol=2e-15, rtol=2e-3, dtype='int16', noise=0.0):
         '''Compare against base64/zlib/int16 asinh-packed data
-        (reference: testing.py:187).'''
+        (reference: testing.py:187).  ``noise`` adds absolute slack to the
+        comparison (not the decoding) for entries dominated by solver rounding.'''
         actual = numpy.asarray(actual)
         try:
             des = numeric.unpack(numpy.frombuffer(zlib.decompress(binascii.a2b_base64(desired)), dtype=dtype), atol, rtol).reshape(actual.shape)
@@ -51,7 +52,7 @@ class TestCase(unittest.TestCase):
             status = [f'failed to decode data: {e}']
         else:
             error = abs(actual - des)
-            spacing = numpy.sqrt(atol ** 2 + (des * rtol) ** 2)
+            spacing = numpy.sqrt(atol ** 2 + (des * rtol) ** 2) + noise
             fail = numpy.logical_xor(numpy.isnan(actual), numpy.isnan(des))
             numpy.greater(error, spacing, where=~numpy.isnan(error), out=fail)
             nfail = int(fail.sum())

