@@ -1,0 +1,157 @@
+from nutils_tpu import mesh, function, export, testing
+from nutils_tpu.solver import System
+from nutils_tpu.expression import Namespace
+from nutils_tpu.utils import _log as treelog
+import itertools
+import numpy
+
+# Flow around a cylinder: time-dependent Navier-Stokes on an exponentially
+# graded periodic polar mesh with a divergence-free Raviart-Thomas
+# discretization in curvilinear coordinates (reference: examples/cylinderflow.py;
+# regression data copied verbatim).  The reference's particle-tracing flow
+# plot is simplified to field plots here.
+
+
+def main(nelems: int = 99,
+         degree: int = 3,
+         reynolds: float = 1000.,
+         uwall: float = 0.,
+         timestep: float = .04,
+         extdiam: float = 12.,
+         endtime: float = 30.):
+
+    '''Flow around a cylinder
+
+    Solves the Navier-Stokes equations around a cylinder, demonstrating
+    different flow regimes at different Reynolds numbers.
+
+    Parameters
+    ----------
+    nelems
+        Element size expressed in number of elements along the cylinder wall.
+    degree
+        Polynomial degree for velocity space; the pressure space is one degree
+        less.
+    reynolds
+        Reynolds number based on cylinder diameter and inflow velocity.
+    uwall
+        Cylinder wall velocity, relative to inflow velocity.
+    timestep
+        Time step, relative to the ratio of cylinder diameter to inflow
+        velocity.
+    extdiam
+        Target exterior diameter, relative to cylinder diameter.
+    endtime
+        Stopping time.
+    '''
+
+    elemangle = 2 * numpy.pi / nelems
+    melems = round(numpy.log(extdiam) / elemangle)
+    treelog.info('creating {}x{} mesh, outer radius {:.2f}', melems, nelems, .5*numpy.exp(elemangle*melems))
+    domain, geom = mesh.rectilinear([melems, nelems], periodic=(1,))
+    domain = domain.withboundary(inner='left', inflow=domain.boundary['right'][nelems//2:])
+
+    ns = Namespace()
+    ns.δ = function.eye(2)
+    ns.Σ = function.ones([2])
+    ns.ε = function.levicivita(2)
+    ns.uinf_i = 'δ_i0'  # unit horizontal flow
+    ns.Re = reynolds
+    ns.grid = geom * elemangle
+    ns.x_i = '.5 exp(grid_0) (sin(grid_1) δ_i0 + cos(grid_1) δ_i1)'  # polar coordinates
+    ns.define_for('x', gradient='∇', normal='n', jacobians=('dV', 'dS'))
+    J = ns.x.grad(geom)
+    detJ = numpy.linalg.det(J)
+    ns.u = function.field('u', function.vectorize([
+        domain.basis('spline', degree=(degree, degree-1), removedofs=((0,), None)),
+        domain.basis('spline', degree=(degree-1, degree))]) @ J.T / detJ)
+    ns.p = domain.field('p', btype='spline', degree=degree-1) / detJ
+    ns.v = function.replace_arguments(ns.u, 'u:v')
+    ns.q = function.replace_arguments(ns.p, 'p:q')
+    ns.t = function.field('t')
+    ns.du = ns.u - function.replace_arguments(ns.u, 'u:u0')
+    ns.dt = function.field('dt')
+    ns.σ_ij = '(∇_j(u_i) + ∇_i(u_j)) / Re - p δ_ij'
+    ns.ω = 'ε_ij ∇_j(u_i)'
+    ns.N = 10 * degree / elemangle  # Nitsche constant based on element size = elemangle/2
+    ns.nitsche_i = '(N v_i - (∇_j(v_i) + ∇_i(v_j)) n_j) / Re'
+    ns.rotation = uwall / .5
+    ns.uwall_i = 'rotation ε_ij x_j'  # clockwise positive rotation
+
+    sqr = domain.boundary['inflow'].integral('Σ_i (u_i - uinf_i)^2 dS' @ ns, degree=degree*2)
+    cons = System(sqr, trial='u').solve_constraints(droptol=1e-15)
+
+    sqr = domain.integral('(.5 Σ_i (u_i - uinf_i)^2 - ∇_k(u_k) p) dV' @ ns, degree=degree*2)
+    args = System(sqr, trial='u,p').solve(constrain=cons)  # potential flow initial condition
+
+    res = domain.integral('v_i du_i dV' @ ns, degree=degree*3)
+    res += domain.integral('(v_i ∇_j(u_i) u_j + ∇_j(v_i) σ_ij + q ∇_k(u_k)) dt dV' @ ns, degree=degree*3)
+    res += domain.boundary['inner'].integral('(nitsche_i (u_i - uwall_i) - v_i σ_ij n_j) dt dS' @ ns, degree=degree*2)
+    div = numpy.sqrt(abs(function.factor(domain.integral('∇_k(u_k)^2 dV' @ ns, degree=2))))
+
+    postprocess = PostProcessor(domain, ns)
+
+    system = System(function.factor(res), trial='u,p', test='v,q')
+
+    for _ in treelog.iter.plain('timestep', range(round(endtime / timestep))):
+        treelog.info('velocity divergence: {:.0e}', float(function.eval(div, args)))
+        args = system.step(timestep=timestep, timearg='t', timesteparg='dt', suffix='0',
+                           arguments=args, constrain=cons, tol=1e-10)
+        postprocess(args)
+
+    return args, numpy.sqrt(domain.integral('∇_k(u_k)^2 dV' @ ns, degree=2))
+
+
+class PostProcessor:
+
+    def __init__(self, topo, ns, region=4., aspect=16/9, figscale=7.2, vortlim=20):
+        self.ns = ns
+        self.figsize = aspect * figscale, figscale
+        self.bbox = numpy.array([[-.5, aspect-.5], [-.5, .5]]) * region
+        self.bezier = topo.sample('bezier', 5)
+        self.vortlim = vortlim
+        self.topo = topo
+
+    def __call__(self, args):
+        x, p, ω = self.bezier.eval(['x_i', 'p', 'ω'] @ self.ns, args)
+        with export.mplfigure('flow.png', figsize=self.figsize) as fig:
+            ax = fig.add_axes([0, 0, 1, 1], yticks=[], xticks=[], frame_on=False,
+                              xlim=self.bbox[0], ylim=self.bbox[1])
+            ax.tripcolor(*x.T, self.bezier.tri, ω, shading='gouraud', cmap='seismic').set_clim(-self.vortlim, self.vortlim)
+            export.plotlines_(ax, x.T, self.bezier.hull, colors='k', linewidths=.1, alpha=.5)
+
+
+class test(testing.TestCase):
+
+    def test_rot0(self):
+        args, div = main(nelems=6, reynolds=100., timestep=.1, extdiam=50., endtime=.1)
+        with self.subTest('divergence'):
+            self.assertLess(div.eval(args), 1e-13)
+        with self.subTest('velocity'):
+            self.assertAlmostEqual64(args['u'], '''
+                eNoBkABv//AzussRy7rL8DNVNU42sskxyLLJTjbPN7Q4SscGxkrHtDj9ObM6SMXmw0jFszofPFU8nsNk
+                wp7DVTyqPS49usKawbrCLj2APuHJi8hHyrk1dTcfNmbJJMhDyb023DeaNiPItMYoyNg3TDndNwnGv8QO
+                xvI5QTv3ORTErsIqxNY7Uj3sO8XCY8H1wgs9nT47Pc/9SG4=''')
+        with self.subTest('pressure'):
+            self.assertAlmostEqual64(args['p'], '''
+                eNoBSAC3/7w0bzXBzG81vDRXytwzezW0y3s13DOXyYfOxzVVM8c1h87LyJTJ3DezN9w3lMkBxzTIDDgz
+                Ogw4NMhAxu42Ij1DxCI97jZ+wirgIsM=''')
+
+    def test_rot1(self):
+        args, div = main(nelems=6, reynolds=100., uwall=.5, timestep=.1, extdiam=50., endtime=.1)
+        with self.subTest('divergence'):
+            self.assertLess(div.eval(args), 1e-13)
+        with self.subTest('velocity'):
+            self.assertAlmostEqual64(args['u'], '''
+                eNoBkABv//czw8sRy7HL6TNVNU82tckxyLDJTTbPN7Q4SscGxkrHszj9ObM6SMXmw0jFszofPFU8nsNk
+                wp7DVTyqPS49usKawbrCLj2APrnJdMgEym01XDf1NXHJKshPyck24jelNiHIs8YnyNc3SznaNwnGv8QO
+                xvI5QTv4ORTErcIqxNY7Uj3sO8XCY8H1wgs9nT47PdHgSI0=''')
+        with self.subTest('pressure'):
+            self.assertAlmostEqual64(args['p'], '''
+                eNoBSAC3/+M0kjXDzEs1kjRXyvszijW0y2w1ujOXyV0tAzZXM4I1Dc3LyA7KDTizN6Y3MckBxybJpDgz
+                OjE3j8dAxr84Pz1DxAQ9I8p9wpetHyk=''')
+
+
+if __name__ == '__main__':
+    from nutils_tpu import cli
+    cli.run(main)

@@ -129,6 +129,12 @@ class Array:
     def isconstant(self):
         return not self.arguments and not self.leafdeps
 
+    @functools.cached_property
+    def _has_sparse_structure(self):
+        '''True if the subtree contains an Inflate or Concatenate (structure
+        the contraction-localization rules still need to reach).'''
+        return any(c._has_sparse_structure for c in self.children)
+
     # Subclasses: evalf(*child_values) -> jnp array.  Nodes whose evaluation
     # needs the evaluator itself (Grad) are special-cased in _Evaluator.
 
@@ -352,6 +358,10 @@ class Inflate(Array):
         shape = values.shape[:axis] + (self.length,) + values.shape[axis + 1:]
         super().__init__((values, dofs), (self.length, axis), shape, values.dtype)
 
+    @functools.cached_property
+    def _has_sparse_structure(self):
+        return True
+
     def evalf(self, values, dofs):
         import jax.numpy as jnp
         dofs = jnp.broadcast_to(dofs, values.shape)
@@ -415,6 +425,10 @@ class Concatenate(Array):
         shape = list(funcs[0].shape)
         shape[axis] = sum(f.shape[axis] for f in funcs)
         super().__init__(funcs, (axis,), tuple(shape), funcs[0].dtype)
+
+    @functools.cached_property
+    def _has_sparse_structure(self):
+        return True
 
     def evalf(self, *funcs):
         import jax.numpy as jnp
@@ -761,6 +775,9 @@ def insertaxis(func, axis, length):
         new_ax = func.axis + (1 if axis <= func.axis else 0)
         return inflate(insertaxis(func.values, axis, length),
                        InsertAxis(func.dofs, axis, 1), func.length, new_ax)
+    if isinstance(func, Concatenate):
+        new_ax = func.axis + (1 if axis <= func.axis else 0)
+        return Concatenate([insertaxis(p, axis, length) for p in func.children], new_ax)
     return InsertAxis(func, axis, length)
 
 
@@ -775,6 +792,8 @@ def transpose(func, axes):
     if isinstance(func, Inflate):
         return inflate(transpose(func.values, axes), transpose(func.dofs, axes),
                        func.length, axes.index(func.axis))
+    if isinstance(func, Concatenate):
+        return Concatenate([transpose(p, axes) for p in func.children], axes.index(func.axis))
     return Transpose(func, axes)
 
 
@@ -879,28 +898,77 @@ def sum_(func, axes):
             return Inflate(sum_(func.values, axes), sq, func.length, newaxis)
         return _fold_sum_into_inflate(func, axes)
     if isinstance(func, Multiply):
-        a, b = func.children
-        for x, y in ((a, b), (b, a)):
-            if isinstance(x, Inflate) and x.axis in axes:
-                # sum over the scattered axis of a product: gather the
-                # cofactor at the dofs (localized contraction), turning the
-                # global basis-dot-argument pattern into a per-element sum.
-                L = x.values.shape[x.axis]
-                return sum_(multiply(x.values, gather_along(y, x.dofs, x.axis, L)), axes)
-        for x, y in ((a, b), (b, a)):
-            if isinstance(x, Concatenate) and x.axis in axes:
-                # distribute the contraction over concatenated blocks so each
-                # block's scatter/gather structure localizes independently
-                out = None
-                offset = 0
-                for part in x.children:
-                    n_i = part.shape[x.axis]
-                    y_i = take(y, Constant(numpy.arange(offset, offset + n_i)), x.axis)
-                    term = sum_(multiply(part, y_i), axes)
-                    out = term if out is None else add(out, term)
-                    offset += n_i
-                return out
+        # search the whole product tree for a scatter (Inflate) or block
+        # structure (Concatenate) whose structural axis is being contracted;
+        # the basis-dot-argument pattern may be arbitrarily nested in products
+        # (e.g. Piola-transformed bases).
+        factors = _decompose_product(func)
+        if len(factors) > 1:
+            for fi, f in enumerate(factors):
+                core = f.core
+                if isinstance(core, (Inflate, Concatenate)):
+                    core_struct_ax = core.axis
+                    prod_axes = [pa for pa, ca in enumerate(f.axismap) if ca == core_struct_ax]
+                    if prod_axes and prod_axes[0] in axes:
+                        x = _rebuild_factor(f, func.shape)  # bubbling rules keep the structure on top
+                        y = None
+                        for gj, g in enumerate(factors):
+                            if gj != fi:
+                                gfull = _rebuild_factor(g, func.shape)
+                                y = gfull if y is None else multiply(y, gfull)
+                        if isinstance(x, Inflate) and x.axis in axes:
+                            L = x.values.shape[x.axis]
+                            return sum_(multiply(x.values, gather_along(y, x.dofs, x.axis, L)), axes)
+                        if isinstance(x, Concatenate) and x.axis in axes:
+                            out = None
+                            offset = 0
+                            for part in x.children:
+                                n_i = part.shape[x.axis]
+                                y_i = take(y, Constant(numpy.arange(offset, offset + n_i)), x.axis)
+                                term = sum_(multiply(part, y_i), axes)
+                                out = term if out is None else add(out, term)
+                                offset += n_i
+                            return out
+            # no directly visible structure: flatten one nested contraction
+            # (sum-of-products inside a factor) into this sum so that deeper
+            # Inflate/Concatenate structure becomes reachable; restricted to
+            # factors that still hide such structure, to avoid blowing up
+            # ordinary products of contractions
+            for fi, f in enumerate(factors):
+                if isinstance(f.core, Sum) and f.core.func._has_sparse_structure:
+                    inner = f.core.func
+                    in_axes = f.core.axes
+                    k = len(in_axes)
+                    newshape = func.shape + tuple(inner.shape[a] for a in in_axes)
+                    sum_out_to_op = [i for i in range(inner.ndim) if i not in in_axes]
+                    newfs = []
+                    for gj, g in enumerate(factors):
+                        if gj == fi:
+                            amap = tuple(sum_out_to_op[ca] if ca is not None else None for ca in g.axismap) + tuple(in_axes)
+                            newfs.append(_Factor(inner, amap))
+                        else:
+                            newfs.append(_Factor(g.core, tuple(g.axismap) + (None,) * k))
+                    newfunc = None
+                    for g in newfs:
+                        gfull = _rebuild_factor(g, newshape)
+                        newfunc = gfull if newfunc is None else multiply(newfunc, gfull)
+                    return sum_(newfunc, tuple(axes) + tuple(range(func.ndim, func.ndim + k)))
     return Sum(func, axes)
+
+
+def _rebuild_factor(f, shape):
+    '''Reassemble a _Factor (core + axismap) into a node of the full product
+    shape via transpose + insertaxis (whose builder rules re-bubble any
+    Inflate inside the core to the outside).'''
+    core = f.core
+    mapped = [(pa, ca) for pa, ca in enumerate(f.axismap) if ca is not None]
+    perm = tuple(ca for pa, ca in mapped)
+    out = transpose(core, perm) if perm != tuple(range(core.ndim)) else core
+    for pa, ca in enumerate(f.axismap):
+        if ca is None:
+            out = insertaxis(out, pa, shape[pa])
+    assert out.shape == tuple(shape)
+    return out
 
 
 def _drop_unit_axis(node, axis):
@@ -954,6 +1022,9 @@ def gather_along(y, dofs, axis, L):
         return insertaxis(y0, axis, L)
     if isinstance(y, Constant) and isinstance(dofs, Constant):
         return Constant(numpy.take_along_axis(y.value, numpy.broadcast_to(dofs.value, y.shape[:axis] + (L,) + y.shape[axis + 1:]), axis=axis))
+    if isinstance(y, (Multiply, Add)):  # gathers distribute over pointwise ops
+        cls = add if isinstance(y, Add) else multiply
+        return cls(gather_along(y.children[0], dofs, axis, L), gather_along(y.children[1], dofs, axis, L))
     return GatherAlong(y, dofs, axis)
 
 
@@ -975,6 +1046,9 @@ def take(func, indices, axis):
         inner = take(func.func, indices, inner_axis)
         new_pos = func.axis if func.axis < axis else func.axis + indices.ndim - 1
         return insertaxis(inner, new_pos, func.length)
+    if isinstance(func, (Multiply, Add)):  # gathers distribute over pointwise ops
+        cls = add if isinstance(func, Add) else multiply
+        return cls(take(func.children[0], indices, axis), take(func.children[1], indices, axis))
     return Take(func, indices, axis)
 
 

@@ -130,6 +130,9 @@ class Array:
     def __pos__(self):
         return self
 
+    def __abs__(self):
+        return abs_(self)
+
     def __matmul__(self, other):
         return matmul(self, other)
 
@@ -553,12 +556,14 @@ class _Normal(Array):
         d = args.X.shape[-1]
         g = self.geom.shape[0]
         assert g == d
-        # normals transform with the cofactor matrix: n ~ det(G) G^{-T} n_root
-        cof = ev.multiply(_insert2(ev.Determinant(G), G.shape),
-                          ev.transpose(ev.Inverse(G), tuple(range(G.ndim - 2)) + (G.ndim - 1, G.ndim - 2)))
+        # normals transform as n ~ G^{-T} n_root, oriented by the parametric
+        # outward direction (NOT the cofactor: that would flip the normal for
+        # orientation-reversing geometries, whereas the reference's transform-
+        # chain orientation is parametric; function.py:530 normal).
+        GinvT = ev.transpose(ev.Inverse(G), tuple(range(G.ndim - 2)) + (G.ndim - 1, G.ndim - 2))
         nroot = ev.insertaxis(ev.constant(args.normal_root), 1, args.points_shape[1])  # [E,P,j]
-        # v_i = sum_j cof[i,j] nroot[j]: broadcast nroot over the new i axis, contract j
-        v = ev.sum_(ev.multiply(cof, ev.insertaxis(nroot, 2, d)), cof.ndim - 1)
+        # v_i = sum_j G^{-T}[i,j] nroot[j]: broadcast nroot over the new i axis
+        v = ev.sum_(ev.multiply(GinvT, ev.insertaxis(nroot, 2, d)), GinvT.ndim - 1)
         norm = ev.power(ev.sum_(ev.multiply(v, v), v.ndim - 1), ev.constant(0.5))
         return ev.multiply(v, _insertlast(ev.power(norm, ev.constant(-1.0)), d))
 
@@ -681,6 +686,27 @@ class StructuredBasis(Basis):
     def get_tables(self, elem_indices):
         multi = numpy.stack(numpy.unravel_index(elem_indices, self._shape), axis=1)
         return self._tensor_tables(self._offsets, self._coeffs, self._ndofs_per_dim, multi)
+
+
+class MaskedBasis(Basis):
+    '''An order-preserving subset of a basis: removed functions evaluate to
+    zero (reference: function.py:2990).  Per-element tables keep their static
+    shape; removed local functions get zeroed coefficients and dof 0.'''
+
+    def __init__(self, parent, mask):
+        self._parent = parent
+        mask = numpy.asarray(mask, dtype=bool)
+        assert mask.shape == (parent.ndofs,)
+        self._renumber = numpy.cumsum(mask) - 1
+        self._mask = mask
+        super().__init__(int(mask.sum()), parent.nelems, parent.space)
+
+    def get_tables(self, elem_indices):
+        pd, pc = self._parent.get_tables(elem_indices)
+        keep = self._mask[pd]
+        dofs = numpy.where(keep, self._renumber[pd], 0)
+        coeffs = numpy.where(keep.reshape(keep.shape + (1,) * (pc.ndim - 2)), pc, 0.0)
+        return dofs, coeffs
 
 
 class PlainBasis(Basis):
@@ -1083,6 +1109,15 @@ def _clean_args(arguments):
 
 def derivative(func, var):
     raise NotImplementedError('symbolic function-level derivative is provided via the solver AD path')
+
+
+def factor(func):
+    '''The reference expands residuals into precomputed sparse Taylor
+    coefficients so time loops avoid re-assembly (reference: function.py:2630,
+    evaluable.py:5785).  Here compiled assembly graphs are jitted and cached
+    per System, and constant tables live on device, so factoring is the
+    natural state of affairs: this is the identity.'''
+    return asarray(func)
 
 
 def arguments_for(*funcs):

@@ -60,6 +60,16 @@ class Topology:
     def boundary(self):
         raise NotImplementedError
 
+    def withboundary(self, **bgroups):
+        '''Attach named boundary groups; string values refer to existing
+        groups (reference: topology.py:734).'''
+        resolved = {}
+        for name, val in bgroups.items():
+            if isinstance(val, str):
+                val = self.boundary[val]
+            resolved[name] = val
+        return _WithGroupsTopology(self, resolved)
+
     @property
     def interfaces(self):
         raise NotImplementedError
@@ -164,9 +174,19 @@ class StructuredTopology(Topology):
             ndofs.append(n)
         return offsets, coeffs, ndofs
 
-    def basis_spline(self, degree, **kwargs):
+    def basis_spline(self, degree, removedofs=None, **kwargs):
         offsets, coeffs, ndofs = self._spline_tables(degree, **kwargs)
-        return function.StructuredBasis(self.space, offsets, coeffs, ndofs, self.shape)
+        basis = function.StructuredBasis(self.space, offsets, coeffs, ndofs, self.shape)
+        if removedofs is None or not any(removedofs):
+            return basis
+        if isinstance(removedofs[0], int):
+            removedofs = [removedofs] * self.ndims
+        mask = numpy.ones((), dtype=bool)
+        for idofs, nd in zip(removedofs, ndofs):
+            mask = mask[..., None].repeat(nd, axis=-1)
+            if idofs:
+                mask[..., [d % nd for d in idofs]] = False
+        return function.MaskedBasis(basis, mask.ravel())
 
     def basis_std(self, degree, **kwargs):
         return self.basis_spline(degree, continuity=0, **kwargs)
@@ -263,17 +283,30 @@ class StructuredTopology(Topology):
 
 class _StructuredBoundary(Topology):
     '''One side of a structured topology: (ndims-1)-dim elements embedded in
-    their parents via constant affine edge maps.'''
+    their parents via constant affine edge maps.  Supports slicing to a
+    contiguous subset of side elements (reference: boundary getitem via
+    DimAxis.getitem, transformseq.py:484).'''
 
-    def __init__(self, parent, idim, side):
+    def __init__(self, parent, idim, side, subset=None):
         super().__init__(parent.space, parent.ndims - 1)
         self.parent = parent
         self.idim = idim
         self.side = side  # 0 = low, 1 = high
+        self.subset = subset  # optional element index array into the full side
         self.ref = element.hypercube(self.ndims)
 
     def __len__(self):
-        return int(numpy.prod([n for i, n in enumerate(self.parent.shape) if i != self.idim], dtype=numpy.int64))
+        n = int(numpy.prod([n for i, n in enumerate(self.parent.shape) if i != self.idim], dtype=numpy.int64))
+        return n if self.subset is None else len(self.subset)
+
+    def __getitem__(self, item):
+        nfull = int(numpy.prod([n for i, n in enumerate(self.parent.shape) if i != self.idim], dtype=numpy.int64))
+        base = numpy.arange(nfull) if self.subset is None else self.subset
+        if isinstance(item, slice):
+            return _StructuredBoundary(self.parent, self.idim, self.side, base[item])
+        if isinstance(item, (list, numpy.ndarray)):
+            return _StructuredBoundary(self.parent, self.idim, self.side, base[numpy.asarray(item)])
+        raise KeyError(item)
 
     @functools.cached_property
     def _tables(self):
@@ -282,7 +315,8 @@ class _StructuredBoundary(Topology):
         d = p.ndims
         other = [i for i in range(d) if i != self.idim]
         grids = numpy.meshgrid(*[numpy.arange(p.shape[i]) for i in other], indexing='ij')
-        multi = numpy.zeros((len(self), d), dtype=int)
+        nfull = int(numpy.prod([p.shape[i] for i in other], dtype=numpy.int64))
+        multi = numpy.zeros((nfull, d), dtype=int)
         for k, i in enumerate(other):
             multi[:, i] = grids[k].ravel()
         multi[:, self.idim] = 0 if self.side == 0 else p.shape[self.idim] - 1
@@ -300,6 +334,8 @@ class _StructuredBoundary(Topology):
         E = len(self)
         d = self.parent.ndims
         parent_index, lin, off, nrm = self._tables
+        if self.subset is not None:
+            parent_index = parent_index[self.subset]
         tri_local = hull_local = None
         if ischeme == 'gauss':
             assert degree is not None
@@ -328,6 +364,38 @@ class _StructuredBoundary(Topology):
 
     def basis(self, btype='std', degree=1, **kwargs):
         return self.parent.basis(btype, degree, **kwargs)
+
+
+class _WithGroupsTopology(Topology):
+    '''Topology wrapper with user-defined named boundary groups
+    (reference: topology.py:734 withboundary).'''
+
+    def __init__(self, parent, bgroups):
+        super().__init__(parent.space, parent.ndims)
+        self.parent = parent
+        self._bgroups = bgroups
+
+    def __len__(self):
+        return len(self.parent)
+
+    def __getattr__(self, name):
+        return getattr(self.parent, name)
+
+    def sample(self, ischeme, degree=None):
+        return self.parent.sample(ischeme, degree)
+
+    def basis(self, btype='std', degree=1, **kwargs):
+        return self.parent.basis(btype, degree, **kwargs)
+
+    @functools.cached_property
+    def boundary(self):
+        parts = {}
+        try:
+            parts.update(self.parent.boundary.parts)
+        except (NotImplementedError, AttributeError):
+            pass
+        parts.update(self._bgroups)
+        return UnionTopology(self.space, self.ndims - 1, parts)
 
 
 class UnionTopology(Topology):
