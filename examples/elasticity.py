@@ -98,6 +98,19 @@ class test(testing.TestCase):
             self.assertAlmostEqual64(args['t'], '''
                 eNpjYEAF7Kd2mqMJMXAZiGKIMTCEYIh9O4+p7qfpTnMA/hUHAg==''')
 
+    def test_mixed(self):
+        cons, args = main(nelems=4, etype='mixed', degree=1, poisson=.25)
+        with self.subTest('constraints'):
+            self.assertAlmostEqual64(cons['u'], '''
+                eNpjaGDAD2EAmziRYgAgoBQB''')
+        with self.subTest('solution'):
+            self.assertAlmostEqual64(args['u'], '''
+                eNoz1c0466vXfrZeJ+ystm7TWVl9lnPPdd+erdf/fG66rvR5Bijg0Ko4e0or+uwjjT9nHTVEweKOt2PO
+                rrrcdjbj0uezTpdkwGK2l6afnXW14SznRZ5z+y5wgcUAJX0p8A==''')
+        with self.subTest('traction'):
+            self.assertAlmostEqual64(args['t'], '''
+                eNpjYMAPXE7tNZ98ls8cXTzFOAVDbMfpz2boYqfMLpkDAGMuCY8=''')
+
     def test_quadratic(self):
         cons, args = main(nelems=4, etype='square', degree=2, poisson=.25)
         with self.subTest('constraints'):

@@ -92,6 +92,17 @@ class test(testing.TestCase):
                 eNpjYMAEZdrKl2/p37soY1h84aKh2/lmI4Zz7loq5y0MD55rNtI652Rcefa48aUzzZcjzj4ylDjrYnz6
                 jIBJ8Zl2E9Yzty9InlE2+nB6o/HJ090my04rm7acBgAKcSdV''')
 
+    def test_mixed(self):
+        u0, u1 = main(nelems=4, etype='mixed', angle=10., trim=False)
+        with self.subTest('linear'):
+            self.assertAlmostEqual64(u0, '''
+                eNpjYICAqxfbL+Xov7kIYi80OA+mtxleOA+iVxjNPBdncOdc6sXT51yNgs8ZGX89e8/Y66zqBaOz/Ya8
+                Z4WMX575ZTz5zAqTgDPKRh9O374geWaj8cnT3SbLTiubtpwGAJ6hLHk=''')
+        with self.subTest('non-linear'):
+            self.assertAlmostEqual64(u1, '''
+                eNpjYIAA7fv2l6UMEi6C2H8N7l0A0VcMzc+D6H4jznPyhpfOdelwnm80EjznYTz57CnjG2eWX0o/+9VQ
+                +KyT8cUzzCbZZ2abiJ9RNvpw+vYFyTMbjU+e7jZZdlrZtOU0AJN4KHY=''')
+
     def test_spline(self):
         u0, u1 = main(nelems=4, btype='spline', degree=2, angle=10., trim=False)
         with self.subTest('linear'):

@@ -82,6 +82,20 @@ class test(testing.TestCase):
         with self.subTest('L2-error'):
             self.assertAlmostEqual(err, 1.63e-3, places=5)
 
+    def test_mixed(self):
+        cons, u, err = main(nelems=4, etype='mixed', degree=2)
+        with self.subTest('constraints'):
+            self.assertAlmostEqual64(cons, '''
+                eNorfLZF2ucJQwMC3pR7+QDG9lCquAtj71Rlu8XQIGfC0FBoiqweE1qaMTTsNsOvRtmcoSHbHL+a1UD5
+                q+YAxhcu1g==''')
+        with self.subTest('left-hand side'):
+            self.assertAlmostEqual64(u, '''
+                eNorfLZF2ueJq7GrcYjxDJPpJstNbsq9fOBr3Gh8xWS7iYdSxd19xseMP5hImu5UZbv1xljOxM600DTW
+                NN/0k2mC6SPTx6Z1pnNMGc3kzdaaPjRNMbMyEzWzNOsy223mBYRRZpPNJpktMks1azM7Z7bRbIXZabNX
+                ZiLmH82UzS3Ns80vmj004za/ZPYHCD+Y8ZlLmVuYq5kHm9eahwDxavPF5lfNAWFyPdk=''')
+        with self.subTest('L2-error'):
+            self.assertAlmostEqual(err, 1.25e-4, places=6)
+
     def test_spline(self):
         cons, u, err = main(nelems=4, btype='spline', degree=2)
         with self.subTest('constraints'):

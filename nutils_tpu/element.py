@@ -57,6 +57,9 @@ class LineReference(Reference):
     ndims = 1
     vertices = numpy.array([[0.0], [1.0]])
     volume = 1.0
+    # edge i is the facet opposite vertex i (reference: element.py:413
+    # SimplexReference.edge_vertices): edge 0 at x=1, edge 1 at x=0
+    edge_vertex_ids = ((1,), (0,))
 
     def gauss(self, degree):
         return quadrature.line(degree)
@@ -71,8 +74,8 @@ class LineReference(Reference):
     def edges(self):
         e = numpy.zeros((1, 0))
         return [
-            (e.copy(), numpy.array([0.0]), numpy.array([-1.0]), PointReference()),
             (e.copy(), numpy.array([1.0]), numpy.array([1.0]), PointReference()),
+            (e.copy(), numpy.array([0.0]), numpy.array([-1.0]), PointReference()),
         ]
 
 
@@ -106,18 +109,21 @@ class QuadReference(Reference):
             hull.append([k * n + n - 1, (k + 1) * n + n - 1])  # j=n-1
         return coords, numpy.asarray(tris), numpy.asarray(hull)
 
+    # tensor edge order (reference: element.py:739 TensorReference): ref1's
+    # edges first; line edge 0 is the high side.  Edges: x0=1, x0=0, x1=1, x1=0.
+    # Vertex numbering is C-order over (x0, x1): v = 2*i0 + i1.
+    edge_vertex_ids = ((2, 3), (0, 1), (1, 3), (0, 2))
+
     @property
     def edges(self):
-        # sides in dim-major order: (dim 0 low: 'left'), (dim 0 high: 'right'),
-        # (dim 1 low: 'bottom'), (dim 1 high: 'top')
         line = LineReference()
         c0 = numpy.array([[0.0], [1.0]])  # edge coord maps to dim 1
         c1 = numpy.array([[1.0], [0.0]])  # edge coord maps to dim 0
         return [
-            (c0, numpy.array([0.0, 0.0]), numpy.array([-1.0, 0.0]), line),
             (c0, numpy.array([1.0, 0.0]), numpy.array([1.0, 0.0]), line),
-            (c1, numpy.array([0.0, 0.0]), numpy.array([0.0, -1.0]), line),
+            (c0, numpy.array([0.0, 0.0]), numpy.array([-1.0, 0.0]), line),
             (c1, numpy.array([0.0, 1.0]), numpy.array([0.0, 1.0]), line),
+            (c1, numpy.array([0.0, 0.0]), numpy.array([0.0, -1.0]), line),
         ]
 
 
@@ -206,14 +212,18 @@ class TriangleReference(Reference):
             hull.append([idx[k, n - 1 - k], idx[k + 1, n - 2 - k]])
         return numpy.asarray(coords, dtype=float), numpy.asarray(tris), numpy.asarray(hull)
 
+    # edge i is opposite vertex i: e0 = (v1,v2) hypotenuse, e1 = (v0,v2)
+    # left side, e2 = (v0,v1) bottom (reference: element.py:413)
+    edge_vertex_ids = ((1, 2), (0, 2), (0, 1))
+
     @property
     def edges(self):
         line = LineReference()
         s = numpy.sqrt(0.5)
         return [
-            (numpy.array([[1.0], [0.0]]), numpy.array([0.0, 0.0]), numpy.array([0.0, -1.0]), line),
             (numpy.array([[-1.0], [1.0]]), numpy.array([1.0, 0.0]), numpy.array([s, s]), line),
-            (numpy.array([[0.0], [-1.0]]), numpy.array([0.0, 1.0]), numpy.array([-1.0, 0.0]), line),
+            (numpy.array([[0.0], [1.0]]), numpy.array([0.0, 0.0]), numpy.array([-1.0, 0.0]), line),
+            (numpy.array([[1.0], [0.0]]), numpy.array([0.0, 0.0]), numpy.array([0.0, -1.0]), line),
         ]
 
 
@@ -259,3 +269,87 @@ def hypercube(ndims):
 @functools.cache
 def simplex(ndims):
     return [PointReference(), LineReference(), TriangleReference(), TetReference()][ndims]
+
+
+# ------------------------------------------------------------- C0 bases
+
+import itertools as _itertools
+import math as _math
+
+
+def _barycentric_powers(ndims, degree):
+    """Local dof enumeration of simplex Bernstein bases: barycentric power
+    tuples in the reference's canonical order (reference: element.py:1129
+    _integer_barycentric_coordinates)."""
+    return tuple((degree - sum(i), *i[::-1])
+                 for i in _itertools.product(*[range(degree + 1)] * ndims)
+                 if sum(i) <= degree)
+
+
+def _simplex_bernstein(ndims, degree):
+    """[ndofs, (degree+1),..d..] power-basis coefficients of the simplex
+    Bernstein polynomials B_p = multinom * lam0^p0 * x1^p1 * ... with
+    lam0 = 1 - sum(x)."""
+    K = degree + 1
+    powers = _barycentric_powers(ndims, degree)
+    out = numpy.zeros((len(powers),) + (K,) * ndims)
+    for idof, p in enumerate(powers):
+        p0, prest = p[0], p[1:]
+        scale = _math.factorial(degree)
+        for q in p:
+            scale //= _math.factorial(q)
+        # expand (1 - x1 - ... - xd)^p0 multinomially
+        base = numpy.zeros((K,) * ndims)
+        for ks in _itertools.product(*[range(p0 + 1)] * ndims):
+            if sum(ks) > p0:
+                continue
+            rem = p0 - sum(ks)
+            c = _math.factorial(p0) * (-1) ** sum(ks)
+            c //= _math.factorial(rem)
+            for k in ks:
+                c //= _math.factorial(k)
+            base[ks] += c
+        term = numpy.zeros((K,) * ndims)
+        idx = tuple(prest)
+        shifted = numpy.zeros((K,) * ndims)
+        sl = tuple(slice(q, None) for q in prest)
+        src = tuple(slice(None, K - q) for q in prest)
+        shifted[sl] = base[src]
+        out[idof] = scale * shifted
+    return out
+
+
+def bernstein_coeffs(ref, degree):
+    """Per-reference Bernstein basis tables in tensor power layout, local dof
+    order matching the reference (simplex: barycentric enumeration; tensor:
+    C-order products)."""
+    if isinstance(ref, (LineReference, TriangleReference, TetReference)):
+        return _simplex_bernstein(ref.ndims, degree)
+    if isinstance(ref, QuadReference):
+        c1 = _simplex_bernstein(1, degree)  # [d+1, K]
+        K = degree + 1
+        return (c1[:, None, :, None] * c1[None, :, None, :]).reshape(K * K, K, K)
+    if isinstance(ref, HexReference):
+        c1 = _simplex_bernstein(1, degree)
+        K = degree + 1
+        out = numpy.einsum('ap,bq,cr->abcpqr', c1, c1, c1)
+        return out.reshape(K ** 3, K, K, K)
+    raise NotImplementedError(type(ref))
+
+
+def edge_dofs(ref, degree, iedge):
+    """Local dofs of ``ref`` lying on edge ``iedge``, in canonical order
+    (reference: element.py:463,739 get_edge_dofs)."""
+    if isinstance(ref, (LineReference, TriangleReference, TetReference)):
+        powers = _barycentric_powers(ref.ndims, degree)
+        return numpy.array([i for i, p in enumerate(powers) if p[iedge] == 0], dtype=int)
+    if isinstance(ref, QuadReference):
+        nd = degree + 1
+        if iedge < 2:
+            dofs1 = edge_dofs(LineReference(), degree, iedge)
+            dofs2 = numpy.arange(nd)
+        else:
+            dofs1 = numpy.arange(nd)
+            dofs2 = edge_dofs(LineReference(), degree, iedge - 2)
+        return numpy.array([d1 * nd + d2 for d1 in dofs1 for d2 in dofs2], dtype=int)
+    raise NotImplementedError(type(ref))

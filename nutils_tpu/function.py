@@ -533,11 +533,11 @@ class _Gradient(Array):
         d = args.X.shape[-1]
         g = self.geom.shape[0]
         assert g == d, f'gradient requires a square geometry jacobian (geom dim {g}, root dim {d})'
-        Ginv = ev.Inverse(G)  # [E,P,g,d] -> inverse of dgeom/dX
+        Ginv = ev.Inverse(G)  # (G^{-1})[j,k] = dX_j/dgeom_k
         # grad_k = sum_j F[..., j] * (G^{-1})[j, k]; align axes for contraction
         n = F.ndim
-        Fx = ev.insertaxis(F, n, g)           # [..., *shape, d, k]
-        Gx = ev.transpose(Ginv, tuple(range(Ginv.ndim - 2)) + (Ginv.ndim - 1, Ginv.ndim - 2))  # [E,P,d,g] -> index [j,k]
+        Fx = ev.insertaxis(F, n, g)           # [..., *shape, j, k_new]
+        Gx = Ginv                             # [E,P,j,k]
         for ax in range(args.nprefix, n - 1):  # broadcast Ginv over *shape axes
             Gx = ev.insertaxis(Gx, ax, F.shape[ax])
         return ev.sum_(ev.multiply(Fx, Gx), n - 1)
@@ -710,15 +710,31 @@ class MaskedBasis(Basis):
 
 
 class PlainBasis(Basis):
-    '''Basis from explicit per-element tables (unstructured topologies).'''
+    '''Basis from explicit per-element tables (unstructured topologies).
 
-    def __init__(self, space, dofs, coeffs, ndofs):
-        self._dofs = numpy.asarray(dofs)
-        self._elemcoeffs = numpy.asarray(coeffs)
-        super().__init__(ndofs, len(self._dofs), space)
+    With ``ragged=True`` the tables are python lists (mixed element types);
+    any requested element subset must then be type-uniform (one bucket), which
+    the sampling layer guarantees.
+    '''
+
+    def __init__(self, space, dofs, coeffs, ndofs, ragged=False):
+        self._ragged = ragged
+        if ragged:
+            self._dofs = [numpy.asarray(d) for d in dofs]
+            self._elemcoeffs = [numpy.asarray(c) for c in coeffs]
+            nelems = len(self._dofs)
+        else:
+            self._dofs = numpy.asarray(dofs)
+            self._elemcoeffs = numpy.asarray(coeffs)
+            nelems = len(self._dofs)
+        super().__init__(ndofs, nelems, space)
 
     def get_tables(self, elem_indices):
-        return self._dofs[elem_indices], self._elemcoeffs[elem_indices]
+        if not self._ragged:
+            return self._dofs[elem_indices], self._elemcoeffs[elem_indices]
+        dofs = numpy.stack([self._dofs[i] for i in elem_indices])
+        coeffs = numpy.stack([self._elemcoeffs[i] for i in elem_indices])
+        return dofs, coeffs
 
 
 # ---------------------------------------------------------------- builders

@@ -51,8 +51,86 @@ def line(nodes, periodic=False, space='X'):
 
 
 def unitsquare(nelems, etype='square'):
-    '''Unit square [0,1]^2 (reference: mesh.py:686).'''
+    '''Unit square [0,1]^2 as structured squares, unstructured triangles, or a
+    mixed triangle/square mesh (reference: mesh.py:686; the triangle/mixed
+    vertex and element numbering is reproduced exactly so dof orderings and
+    regression data match).'''
+    from . import element
+    from .unstructured import UnstructuredTopology
+
     if etype in ('square', 'rectilinear'):
         topo, geom = rectilinear([nelems, nelems])
         return topo, geom / nelems
-    raise NotImplementedError(f'unitsquare etype {etype!r} pending (simplex topologies)')
+
+    if etype not in ('triangle', 'mixed'):
+        raise ValueError(f'invalid element type {etype!r}')
+
+    n = nelems
+    # vertex grid: id = i*(n+1)+j at coordinates (i, j); each cell split into
+    # two sorted-vertex triangles with parity-dependent diagonal
+    tri = element.simplex(2)
+    refs = []
+    elem_verts = []
+    for i in range(n):
+        for j in range(n):
+            v00 = i * (n + 1) + j
+            v01 = v00 + 1
+            v10 = v00 + (n + 1)
+            v11 = v10 + 1
+            if i % 2 == j % 2:
+                pair = ((v00, v01, v10), (v01, v10, v11))
+            else:
+                pair = ((v00, v01, v11), (v00, v10, v11))
+            for verts in pair:
+                refs.append(tri)
+                elem_verts.append(numpy.array(verts))
+
+    if etype == 'mixed':
+        square = element.hypercube(2)
+        isquares = [i * n + j for i in range(n) for j in range(n) if i % 2 == j % 3]
+        for cell in sorted(isquares, reverse=True):
+            merged = numpy.unique(numpy.concatenate([elem_verts[2 * cell], elem_verts[2 * cell + 1]]))
+            refs[2 * cell:2 * cell + 2] = [square]
+            elem_verts[2 * cell:2 * cell + 2] = [merged]
+
+    v = numpy.arange(n + 1, dtype=float)
+    coords = numeric.meshgrid(v, v).reshape(2, -1).T
+    topo = UnstructuredTopology('X', refs, elem_verts, (n + 1) ** 2)
+    basis = topo.basis('std', degree=1)
+    # permute coords to the basis's merged dof numbering (first appearance
+    # order of vertices over elements; reference: mesh.py:748)
+    order = numpy.argsort(numpy.unique(numpy.concatenate(elem_verts), return_index=True)[1])
+    dof_coords = coords[order] if etype == 'mixed' else coords
+    geom = function.matmul(basis, function.asarray(dof_coords))
+
+    # named boundary groups from boundary-edge centroids
+    btopo = topo.boundary
+    bsmp = btopo.sample('_centroid', None)
+    xy = numpy.asarray(bsmp.eval(geom))
+    x, y = xy.T
+    perm = _sample_elem_perm(bsmp, btopo)
+    masks = {'left': x < .1, 'right': x > n - .1, 'bottom': y < .1, 'top': y > n - .1}
+    groups = {}
+    for name, m in masks.items():
+        medges = numpy.zeros(len(btopo), dtype=bool)
+        medges[perm] = m
+        groups[name] = btopo[medges]
+    topo = topo.withboundary(**groups)
+    return topo, geom / n
+
+
+def _sample_elem_perm(smp, topo):
+    '''Map sample row order to topology element order (chained samples order
+    elements bucket-by-bucket).'''
+    from .sample import ChainedSample
+    from .unstructured import UnstructuredBoundary
+    if not isinstance(smp, ChainedSample):
+        return numpy.arange(len(topo))
+    assert isinstance(topo, UnstructuredBoundary)
+    buckets = {}
+    for k, (ielem, iedge) in enumerate(topo._edges):
+        ref = topo.parent._refs[ielem]
+        key = (type(ref).__name__, type(ref.edges[iedge][3]).__name__)
+        buckets.setdefault(key, []).append(k)
+    order = [k for rows in buckets.values() for k in rows]
+    return numpy.asarray(order)

@@ -22,10 +22,11 @@ class Sample:
 
     def __init__(self, space, coords, weights, index, p_linear, p_offset, tangents,
                  normal_root=None, tri_local=None, hull_local=None, opposite=None, part_ids=None,
-                 part_topos=None):
+                 part_topos=None, batch_key=None):
         self.opposite = opposite    # Sample for the other side of an interface
         self.part_ids = part_ids    # int [E]: originating part in a union topology
         self.part_topos = part_topos  # list of topologies aligned with part_ids
+        self.batch_key = batch_key  # batching compatibility token (parent ref type)
         self.space = space
         self.coords = numpy.asarray(coords, dtype=float)      # [E, P, d] root coords
         E, P, d = self.coords.shape
@@ -115,7 +116,8 @@ class Sample:
         '''Concatenate samples with identical point structure (same space,
         reference type and point count) into one batch.'''
         s0 = samples[0]
-        assert all(s.space == s0.space and s.npoints_per_elem == s0.npoints_per_elem and s.ndims == s0.ndims for s in samples)
+        assert all(s.space == s0.space and s.npoints_per_elem == s0.npoints_per_elem
+                   and s.ndims == s0.ndims and s.batch_key == s0.batch_key for s in samples)
         part_ids = numpy.concatenate([numpy.full(s.nelems, i) for i, s in enumerate(samples)])
         part_topos = [(s.part_topos or [None])[0] for s in samples]
         opposite = None
@@ -130,7 +132,66 @@ class Sample:
             numpy.concatenate([s.p_offset for s in samples]),
             numpy.concatenate([s.tangents for s in samples]),
             None if s0.normal_root is None else numpy.concatenate([s.normal_root for s in samples]),
-            s0.tri_local, s0.hull_local, opposite, part_ids, part_topos)
+            s0.tri_local, s0.hull_local, opposite, part_ids, part_topos, s0.batch_key)
+
+
+class ChainedSample:
+    '''Sample over a mixed-element topology: one uniform Sample per element
+    bucket, chained (reference: element batching via elementseq._Chain).
+    Integrals sum per-bucket contributions; evaluations concatenate.'''
+
+    def __init__(self, samples):
+        self.samples = list(samples)
+        self.space = self.samples[0].space
+        self.ndims = self.samples[0].ndims
+        self.nelems = sum(s.nelems for s in self.samples)
+        self.npoints = sum(s.npoints for s in self.samples)
+        # sample row (element) -> original element position, for mask alignment
+        self.elem_index = numpy.concatenate([s.index for s in self.samples])
+
+    @property
+    def spaces(self):
+        return frozenset({self.space})
+
+    def integral(self, func):
+        out = None
+        for s in self.samples:
+            term = s.integral(func)
+            out = term if out is None else function.add(out, term)
+        return out
+
+    def integrate(self, funcs, arguments=None, /, **kwargs):
+        single = not isinstance(funcs, (list, tuple))
+        flist = [funcs] if single else list(funcs)
+        out = function.eval([self.integral(f) for f in flist], arguments, **kwargs)
+        return out[0] if single else out
+
+    def bind(self, func):
+        return function.concatenate([s.bind(func) for s in self.samples], axis=0)
+
+    def eval(self, funcs, arguments=None, /, **kwargs):
+        single = not isinstance(funcs, (list, tuple))
+        flist = [funcs] if single else list(funcs)
+        out = function.eval([self.bind(f) for f in flist], arguments, **kwargs)
+        return out[0] if single else out
+
+    @property
+    def tri(self):
+        parts = []
+        offset = 0
+        for s in self.samples:
+            parts.append(s.tri + offset)
+            offset += s.npoints
+        return numpy.concatenate([p for p in parts if len(p)])
+
+    @property
+    def hull(self):
+        parts = []
+        offset = 0
+        for s in self.samples:
+            parts.append(s.hull + offset)
+            offset += s.npoints
+        return numpy.concatenate([p for p in parts if len(p)])
 
 
 class _Integral(function.Array):

@@ -417,7 +417,17 @@ class UnionTopology(Topology):
         raise KeyError(item)
 
     def sample(self, ischeme, degree=None):
-        return _sample.Sample.concatenate([p.sample(ischeme, degree) for p in self.parts.values()])
+        flat = []
+        for p in self.parts.values():
+            s = p.sample(ischeme, degree)
+            flat.extend(s.samples if isinstance(s, _sample.ChainedSample) else [s])
+        groups = {}
+        for s in flat:
+            groups.setdefault((s.batch_key, s.npoints_per_elem, s.ndims), []).append(s)
+        merged = [_sample.Sample.concatenate(g) if len(g) > 1 else g[0] for g in groups.values()]
+        if len(merged) == 1:
+            return merged[0]
+        return _sample.ChainedSample(merged)
 
     def basis(self, btype='std', degree=1, **kwargs):
         parts = list(self.parts.values())

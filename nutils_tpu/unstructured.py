@@ -1,0 +1,264 @@
+'''Unstructured topologies: simplex and mixed-element meshes.
+
+The TPU-native counterpart of the reference's SimplexTopology/ConnectedTopology
+(reference: topology.py:2437,2422): per-element vertex tables plus generic
+edge-matching connectivity replace transform chains; elements are grouped into
+uniform *buckets* by reference type so every bucket lowers to statically
+shaped batched arrays, and samples over mixed meshes are chains of per-bucket
+samples.
+'''
+
+import functools
+
+import numpy
+
+from . import element, function, sample as _sample
+from .topology import Topology, UnionTopology
+
+
+def merge_index_map(nin, merge_sets):
+    '''Union-find index merge with minimal representatives, condensed by first
+    appearance (reference semantics: _util.py:759 merge_index_map).'''
+    index_map = numpy.arange(nin)
+
+    def find(i):
+        root = i
+        while index_map[root] != root:
+            root = index_map[root]
+        while index_map[i] != root:
+            index_map[i], i = root, index_map[i]
+        return root
+
+    for merge_set in merge_sets:
+        roots = sorted(set(find(i) for i in merge_set))
+        keep = roots[0]
+        for r in roots[1:]:
+            index_map[r] = keep
+    # resolve chains
+    for i in range(nin):
+        index_map[i] = find(i)
+    # condense by first appearance
+    renumber = {}
+    out = numpy.empty(nin, dtype=int)
+    for i, r in enumerate(index_map):
+        if r not in renumber:
+            renumber[r] = len(renumber)
+        out[i] = renumber[r]
+    return out, len(renumber)
+
+
+class UnstructuredTopology(Topology):
+    '''Mesh of elements given by (reference, vertex ids) per element.
+
+    Parameters
+    ----------
+    space : str
+    refs : list of Reference, one per element (shared instances define buckets)
+    elem_verts : list of int arrays, vertex ids per element (sorted rows)
+    nverts : total number of vertices
+    '''
+
+    def __init__(self, space, refs, elem_verts, nverts):
+        ndims = refs[0].ndims
+        assert all(r.ndims == ndims for r in refs)
+        super().__init__(space, ndims)
+        self._refs = list(refs)
+        self._elem_verts = [numpy.asarray(v) for v in elem_verts]
+        self.nverts = int(nverts)
+        # bucket elements by reference type
+        buckets = {}
+        for ielem, ref in enumerate(self._refs):
+            buckets.setdefault(type(ref).__name__, (ref, []))[1].append(ielem)
+        self._buckets = [(ref, numpy.asarray(ids)) for ref, ids in buckets.values()]
+
+    def __len__(self):
+        return len(self._refs)
+
+    # ------------------------------------------------------------ sampling
+
+    def sample(self, ischeme, degree=None):
+        samples = []
+        for ref, ids in self._buckets:
+            tri_local = hull_local = None
+            if ischeme == 'gauss':
+                pts, wts = ref.gauss(degree)
+            elif ischeme == 'bezier':
+                pts, tri_local, hull_local = ref.bezier(degree)
+                wts = None
+            elif ischeme == '_centroid':
+                pts = ref.vertices.mean(0, keepdims=True)
+                wts = None
+            elif ischeme == 'vertex':
+                pts = ref.vertices
+                wts = None
+            else:
+                raise ValueError(f'unknown sample scheme {ischeme!r}')
+            E, P, d = len(ids), len(pts), self.ndims
+            coords = numpy.broadcast_to(pts, (E, P, d)).copy()
+            weights = None if wts is None else numpy.broadcast_to(wts, (E, P)).copy()
+            p_linear = numpy.broadcast_to(numpy.eye(d), (E, d, d))
+            p_offset = numpy.zeros((E, d))
+            tangents = numpy.broadcast_to(numpy.eye(d), (E, d, d))
+            samples.append(_sample.Sample(self.space, coords, weights, ids, p_linear, p_offset,
+                                          tangents, None, tri_local, hull_local,
+                                          part_ids=numpy.zeros(E, dtype=int), part_topos=[self],
+                                          batch_key=type(ref).__name__))
+        if len(samples) == 1:
+            return samples[0]
+        return _sample.ChainedSample(samples)
+
+    # ------------------------------------------------------------ structure
+
+    @functools.cached_property
+    def connectivity(self):
+        '''Per-element neighbor list aligned with the reference-type edge
+        numbering; -1 marks boundary edges.  Computed by sorted-vertex edge
+        matching (the reference computes the same relation from its
+        transform sequences, topology.py:2479).'''
+        edge_owner = {}
+        conn = [numpy.full(len(ref.edge_vertex_ids), -1, dtype=int) for ref in self._refs]
+        for ielem, ref in enumerate(self._refs):
+            verts = self._elem_verts[ielem]
+            for iedge, ev in enumerate(ref.edge_vertex_ids):
+                key = tuple(sorted(verts[list(ev)]))
+                if key in edge_owner:
+                    jelem, jedge = edge_owner.pop(key)
+                    conn[ielem][iedge] = jelem
+                    conn[jelem][jedge] = ielem
+                else:
+                    edge_owner[key] = (ielem, iedge)
+        self._boundary_edges = sorted(edge_owner.values())
+        return conn
+
+    @functools.cached_property
+    def boundary(self):
+        conn = self.connectivity  # also computes self._boundary_edges
+        return UnstructuredBoundary(self, self._boundary_edges)
+
+    # ------------------------------------------------------------ bases
+
+    def basis_std(self, degree):
+        if degree == 1 and all(isinstance(r, (element.LineReference, element.TriangleReference, element.TetReference)) for r in self._refs):
+            # pure simplex: vertex dofs directly (reference: topology.py:2495)
+            coeffs = [element.bernstein_coeffs(ref, 1) for ref in self._refs]
+            return function.PlainBasis(self.space, list(self._elem_verts), coeffs, self.nverts, ragged=True)
+        return self.basis_bernstein(degree)
+
+    def basis_bernstein(self, degree):
+        '''C0 Bernstein basis: per-element dofs merged across shared edges
+        (reference: topology.py:1777 _basis_c0_structured).'''
+        coeffs = [element.bernstein_coeffs(ref, degree) for ref in self._refs]
+        counts = [len(c) for c in coeffs]
+        offsets = numpy.cumsum([0] + counts)
+
+        def merge_sets():
+            for ielem, neighbors in enumerate(self.connectivity):
+                for iedge, jelem in enumerate(neighbors):
+                    if jelem >= ielem:
+                        jedge = list(self.connectivity[jelem]).index(ielem)
+                        di = offsets[ielem] + element.edge_dofs(self._refs[ielem], degree, iedge)
+                        dj = offsets[jelem] + element.edge_dofs(self._refs[jelem], degree, jedge)
+                        yield from zip(di.tolist(), dj.tolist())
+        dofmap, ndofs = merge_index_map(int(offsets[-1]), merge_sets())
+        dofs = [dofmap[offsets[i]:offsets[i + 1]] for i in range(len(self._refs))]
+        return function.PlainBasis(self.space, dofs, coeffs, ndofs, ragged=True)
+
+    basis_lagrange = basis_bernstein  # lagrange merge structure is identical; coeffs differ (future)
+
+    def basis_discont(self, degree):
+        coeffs = [element.bernstein_coeffs(ref, degree) for ref in self._refs]
+        counts = [len(c) for c in coeffs]
+        offsets = numpy.cumsum([0] + counts)
+        dofs = [numpy.arange(offsets[i], offsets[i + 1]) for i in range(len(self._refs))]
+        return function.PlainBasis(self.space, dofs, coeffs, int(offsets[-1]), ragged=True)
+
+    def basis_bubble(self):
+        '''Linear simplex basis enriched with interior bubbles
+        (reference: topology.py:2502 basis_bubble).'''
+        assert all(isinstance(r, element.TriangleReference) for r in self._refs), 'bubble basis: 2-D simplex only'
+        d = self.ndims
+        K = d + 2
+        coeffs = []
+        for ielem, ref in enumerate(self._refs):
+            lin = element.bernstein_coeffs(ref, 1)  # [3, 2, 2]
+            lin_p = numpy.zeros((3, K, K))
+            lin_p[:, :2, :2] = lin
+            bubble = numpy.zeros((K, K))
+            # lam0*lam1*lam2 = (1-x-y) x y = xy - x^2 y - x y^2
+            bubble[1, 1] += 1.0
+            bubble[2, 1] -= 1.0
+            bubble[1, 2] -= 1.0
+            c = numpy.concatenate([lin_p - bubble[None] / (d + 1), bubble[None]], axis=0)
+            coeffs.append(c)
+        ndofs = self.nverts + len(self)
+        dofs = [numpy.concatenate([self._elem_verts[i], [self.nverts + i]]) for i in range(len(self))]
+        return function.PlainBasis(self.space, dofs, coeffs, ndofs, ragged=True)
+
+
+class UnstructuredBoundary(Topology):
+    '''Boundary edges of an unstructured topology, bucketed by edge type.'''
+
+    def __init__(self, parent, edges, subset=None):
+        super().__init__(parent.space, parent.ndims - 1)
+        self.parent = parent
+        self._edges = list(edges)  # [(ielem, iedge)]
+        if subset is not None:
+            self._edges = [self._edges[i] for i in subset]
+
+    def __len__(self):
+        return len(self._edges)
+
+    def __getitem__(self, item):
+        if isinstance(item, numpy.ndarray) and item.dtype == bool:
+            return UnstructuredBoundary(self.parent, self._edges, numpy.nonzero(item)[0])
+        if isinstance(item, (slice, list, numpy.ndarray)):
+            idx = numpy.arange(len(self._edges))[item]
+            return UnstructuredBoundary(self.parent, self._edges, idx)
+        raise KeyError(item)
+
+    def sample(self, ischeme, degree=None):
+        # bucket boundary edges by (parent ref type, edge ref type)
+        buckets = {}
+        for k, (ielem, iedge) in enumerate(self._edges):
+            ref = self.parent._refs[ielem]
+            key = (type(ref).__name__, type(ref.edges[iedge][3]).__name__)
+            buckets.setdefault(key, []).append((ielem, iedge))
+        samples = []
+        for key, items in buckets.items():
+            pref = self.parent._refs[items[0][0]]
+            eref = pref.edges[items[0][1]][3]
+            tri_local = hull_local = None
+            if ischeme == 'gauss':
+                pts, wts = eref.gauss(degree)
+            elif ischeme == 'bezier':
+                pts, tri_local, hull_local = eref.bezier(degree)
+                wts = None
+            elif ischeme == '_centroid':
+                pts = eref.vertices.mean(0, keepdims=True)
+                wts = None
+            else:
+                raise ValueError(f'unknown sample scheme {ischeme!r}')
+            E, P = len(items), len(pts)
+            d = self.parent.ndims
+            coords = numpy.empty((E, P, d))
+            tangents = numpy.empty((E, d, d - 1))
+            normals = numpy.empty((E, d))
+            index = numpy.empty(E, dtype=int)
+            for k, (ielem, iedge) in enumerate(items):
+                lin, off, nrm, _ = self.parent._refs[ielem].edges[iedge]
+                coords[k] = pts @ lin.T + off
+                tangents[k] = lin
+                normals[k] = nrm
+                index[k] = ielem
+            p_linear = numpy.broadcast_to(numpy.eye(d), (E, d, d))
+            p_offset = numpy.zeros((E, d))
+            samples.append(_sample.Sample(self.parent.space, coords, None if wts is None else numpy.broadcast_to(wts, (E, P)).copy(),
+                                          index, p_linear, p_offset, tangents, normals, tri_local, hull_local,
+                                          part_ids=numpy.zeros(E, dtype=int), part_topos=[self],
+                                          batch_key=key))
+        if len(samples) == 1:
+            return samples[0]
+        return _sample.ChainedSample(samples)
+
+    def basis(self, btype='std', degree=1, **kwargs):
+        return self.parent.basis(btype, degree, **kwargs)
