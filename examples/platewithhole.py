@@ -1,0 +1,155 @@
+from nutils_tpu import mesh, function, export, testing
+from nutils_tpu.solver import System
+from nutils_tpu.expression import Namespace
+from nutils_tpu.utils import _log as log
+from dataclasses import dataclass
+from typing import Union
+import numpy
+
+# Infinite plate with a circular hole under tension: NURBS-mapped exact
+# geometry (reference: examples/platewithhole.py; regression data copied
+# verbatim).  The FCM (trimmed) mode lands with finite-cell support.
+
+
+@dataclass
+class NURBS:
+    '''Non-Uniform Rational B-Splines
+
+    Generate a 1x2 structured topology, map it using quadratic NURBS to a
+    square domain with circular cut-out, and refine several times before
+    constructing a NURBS basis for analysis.
+
+    Parameters
+    ----------
+    nrefine
+        Number of refinement levels for analysis.
+    '''
+
+    nrefine: int = 2
+
+    def generate(self, radius):
+        topo, geom0 = mesh.rectilinear([1, 2])
+        bsplinebasis = topo.basis('spline', degree=2)
+        controlweights = numpy.ones(12)
+        controlweights[1:3] = .5 + .25 * numpy.sqrt(2)
+        weightfunc = bsplinebasis @ controlweights
+        nurbsbasis = bsplinebasis * controlweights / weightfunc
+        # create geometry function
+        A = 0, 0, 0
+        B = (2**.5 - 1) * radius, .3 * (radius + 1) / 2, 1
+        C = radius, (radius + 1) / 2, 1
+        controlpoints = numpy.array([[A, B, C, C], [C, C, B, A]]).T.reshape(-1, 2)
+        geom = nurbsbasis @ controlpoints
+        # refine topology
+        if self.nrefine:
+            topo = topo.refine(self.nrefine)
+            bsplinebasis = topo.basis('spline', degree=2)
+            sqr = topo.integral((function.field('w', bsplinebasis) - weightfunc)**2, degree=9)
+            controlweights = System(sqr, trial='w').solve()['w']
+            nurbsbasis = bsplinebasis * controlweights / weightfunc
+        return topo.withboundary(hole='left', sym='top,bottom', far='right'), geom, nurbsbasis, 5
+
+
+def main(mode: NURBS = NURBS(),
+         radius: float = .5,
+         traction: float = .1,
+         poisson: float = .3):
+
+    '''Deformation of an infinite plate with a circular hole
+
+    Solves the linear plane strain elasticity problem for an infinite plate
+    with a circular hole under tension, using a NURBS-mapped geometry with
+    symmetry conditions ("sym") and far-field Dirichlet data from the
+    analytical solution ("far").
+
+    Parameters
+    ----------
+    mode
+        Discretization strategy.
+    radius
+        Cut-out radius.
+    traction
+        Far field traction (relative to Young's modulus).
+    poisson
+        Poisson's ratio, nonnegative and strictly smaller than 1/2.
+    '''
+
+    topo, geom, basis, degree = mode.generate(radius)
+
+    ns = Namespace()
+    ns.δ = function.eye(topo.ndims)
+    ns.x = geom
+    ns.define_for('x', gradient='∇', normal='n', jacobians=('dV', 'dS'))
+    ns.λ = 2 * poisson
+    ns.μ = 1 - poisson
+    ns.u = function.field('u', basis, shape=[2])
+    ns.v = function.field('v', basis, shape=[2])
+    ns.X_i = 'x_i + u_i'
+    ns.ε_ij = '(∇_j(u_i) + ∇_i(u_j)) / 2'
+    ns.σ_ij = 'λ ε_kk δ_ij + 2 μ ε_ij'
+    ns.r2 = 'x_k x_k'
+    ns.R2 = radius**2 / ns.r2
+    ns.k = (3 - poisson) / (1 + poisson)  # plane stress parameter
+    ns.scale = traction * (1 + poisson) / 2
+    ns.uexact_i = 'scale (x_i ((k + 1) (.5 + R2) + (1 - R2) R2 (x_0^2 - 3 x_1^2) / r2) - 2 δ_i1 x_1 (1 + (k - 1 + R2) R2))'
+    ns.du_i = 'u_i - uexact_i'
+    ns.dr = function.sqrt(ns.r2) - radius
+
+    radiuserr = topo.boundary['hole'].integrate('dr^2 dS' @ ns, degree=9)**.5
+    log.info('hole radius exact up to L2 error {:.2e}', float(radiuserr))
+
+    sqr = topo.boundary['sym'].integral('(u_i n_i)^2 dS' @ ns, degree=degree*2)
+    cons = System(sqr, trial='u').solve_constraints(droptol=1e-15)
+
+    sqr = topo.boundary['far'].integral('du_k du_k dS' @ ns, degree=20)
+    cons = System(sqr, trial='u').solve_constraints(droptol=1e-15, constrain=cons)
+
+    res = topo.integral('∇_j(v_i) σ_ij dV' @ ns, degree=degree*2)
+    args = System(res, trial='u', test='v').solve(constrain=cons)
+
+    bezier = topo.sample('bezier', 5)
+    X, σxx = bezier.eval(['X_i', 'σ_00'] @ ns, args)
+    export.triplot('stressxx.png', X, σxx, tri=bezier.tri, hull=bezier.hull, clim=(numpy.nanmin(σxx), numpy.nanmax(σxx)), cmap='jet')
+
+    err = numpy.sqrt(topo.integrate(['du_k du_k dV', '∇_j(du_i) ∇_j(du_i) dV'] @ ns, degree=max(degree, 3)*2, arguments=args))
+    log.user('errors: L2={:.2e}, H1={:.2e}', err[0], err[1])
+
+    return err, cons, args
+
+
+class test(testing.TestCase):
+
+    def test_nurbs0(self):
+        err, cons, args = main(mode=NURBS(nrefine=0))
+        with self.subTest('l2-error'):
+            self.assertAlmostEqual(err[0], .00200, places=5)
+        with self.subTest('h1-error'):
+            self.assertAlmostEqual(err[1], .02271, places=5)
+        with self.subTest('constraints'):
+            self.assertAlmostEqual64(cons['u'], '''
+                eNpjYGBoQIIggMZXOKdmnHRe3vjh+cvGDAwA6w0LgQ==''')
+        with self.subTest('left-hand side'):
+            self.assertAlmostEqual64(args['u'], '''
+                eNpjYJh07qLhhnOTjb0vTDdmAAKVcy/1u85lGYforQDzFc6pGSedlzd+eP4ykA8AvkQRaA==''')
+
+    def test_nurbs2(self):
+        err, cons, args = main(mode=NURBS(nrefine=2))
+        with self.subTest('l2-error'):
+            self.assertAlmostEqual(err[0], .00009, places=5)
+        with self.subTest('h1-error'):
+            self.assertAlmostEqual(err[1], .00286, places=5)
+        with self.subTest('constraints'):
+            self.assertAlmostEqual64(cons['u'], '''
+                eNpjYGBoIAKCwCBXp3kuysDjnLXR+3NPjTzPqxrnAnHeeQvjk+dTjZ9d2GG85soJYwYGAPkhPtE=''')
+        with self.subTest('left-hand side'):
+            self.assertAlmostEqual64(args['u'], '''
+                eNpjYOg890mv85yM4axz0kYHz+00Yj6vZJxzPtWY+0KPMffFucaml+caMwBB5LlCvYhzCw0qzu0wPHyu
+                0sjlPIsx14VoY/6LvcaxlxYZz7myCKzO+dwWPZdzBwzqz20z/Hguxmj2+TtGHRdsjHdfbDB2v7zUeMXV
+                pWB1VucC9B3OORmuOCdhZHR+ktGu87eNbC6oGstfLDA+eWm1seG19WB1Buf+6ruce2p469wco9Dzb4wm
+                n2c23nZe3djqQqpx88XNxrOv7gOr0zwXZeBxztro/bmnRp7nVY1zgTjvvIXxSaBfnl3YYbzmygmgOgDU
+                Imlr''')
+
+
+if __name__ == '__main__':
+    from nutils_tpu import cli
+    cli.run(main)

@@ -50,7 +50,7 @@ class LowerArgs:
         Outward normal in root coordinates, [E, d] (boundary samples).
     '''
 
-    def __init__(self, space=None, points_shape=(), X=None, index=None, xi=None, tangents=None, normal_root=None, opposite=None, part_ids=None, part_topos=None):
+    def __init__(self, space=None, points_shape=(), X=None, index=None, xi=None, tangents=None, normal_root=None, opposite=None, part_ids=None, part_topos=None, origin_topo=None):
         self.space = space
         self.points_shape = tuple(points_shape)
         self.X = X
@@ -61,6 +61,7 @@ class LowerArgs:
         self.opposite = opposite  # LowerArgs of the other side of an interface
         self.part_ids = part_ids  # int [E]: originating part in a union topology
         self.part_topos = part_topos  # topologies aligned with part_ids
+        self.origin_topo = origin_topo  # topology that `index` refers to
 
     @property
     def nprefix(self):
@@ -669,15 +670,21 @@ class StructuredBasis(Basis):
     '''Tensor-product (B-)spline basis on a structured topology.
 
     Stores per-dimension offset/coefficient tables (O(n) memory) and builds
-    per-element-batch tables on demand (reference: function.py:3029).
+    per-element-batch tables on demand (reference: function.py:3029).  When
+    lowered on a sample of a *different* (e.g. refined) topology of the same
+    root chart, element membership and local coordinates are recovered from
+    the root coordinates (the analogue of the reference's
+    ``index_with_tail`` chain resolution, transformseq.py:15).
     '''
 
-    def __init__(self, space, offsets_per_dim, coeffs_per_dim, ndofs_per_dim, shape):
+    def __init__(self, space, offsets_per_dim, coeffs_per_dim, ndofs_per_dim, shape, topo=None, root_h=1.0):
         from .ops import spline as _spline
         self._offsets = offsets_per_dim
         self._coeffs = coeffs_per_dim
         self._ndofs_per_dim = ndofs_per_dim
         self._shape = tuple(shape)  # elements per dim
+        self._topo = topo
+        self._root_h = float(root_h)
         self._tensor_tables = _spline.tensor_tables
         ndofs = int(numpy.prod(ndofs_per_dim, dtype=numpy.int64))
         nelems = int(numpy.prod(shape, dtype=numpy.int64))
@@ -686,6 +693,37 @@ class StructuredBasis(Basis):
     def get_tables(self, elem_indices):
         multi = numpy.stack(numpy.unravel_index(elem_indices, self._shape), axis=1)
         return self._tensor_tables(self._offsets, self._coeffs, self._ndofs_per_dim, multi)
+
+    def lower(self, args):
+        if self._topo is None or args.origin_topo is self._topo:
+            return super().lower(args)
+        # cross-topology: locate our elements from the root coordinate table
+        assert args.space == self.space
+        Xtab = numpy.asarray(args.X.value)  # [E, P, d]
+        cent = Xtab.mean(axis=1) / self._root_h
+        multi = numpy.minimum(numpy.maximum(numpy.floor(cent).astype(int), 0),
+                              numpy.array(self._shape) - 1)  # [E, d]
+        dofs, coeffs = self._tensor_tables(self._offsets, self._coeffs, self._ndofs_per_dim, multi)
+        E, P = args.points_shape
+        L = dofs.shape[1]
+        K = coeffs.shape[2:]
+        dp = len(K)
+        # local coords in our elements: X / h - elem_multi
+        origin = ev.insertaxis(ev.constant(multi.astype(float)), 1, P)  # [E,P,d]
+        xi = ev.add(ev.multiply(args.X, _prefix_broadcast(ev.constant(1.0 / self._root_h), (E, P, dp))), ev.negative(origin))
+        expr = ev.insertaxis(ev.constant(coeffs), 1, P)
+        for i in range(dp):
+            xi_i = ev.take(xi, ev.constant(numpy.array(i)), 2)
+            mono = ev.Monomials(xi_i, K[i])
+            m = ev.insertaxis(mono, 2, L)
+            for j in range(i):
+                m = ev.insertaxis(m, 3, K[j])
+            for j in range(i + 1, dp):
+                m = ev.insertaxis(m, m.ndim, K[j])
+            expr = ev.multiply(expr, m)
+        vals = ev.sum_(expr, tuple(range(3, 3 + dp)))
+        dofs_b = ev.constant(dofs[:, None, :])
+        return ev.inflate(vals, dofs_b, self.ndofs, 2)
 
 
 class MaskedBasis(Basis):

@@ -22,7 +22,8 @@ class Sample:
 
     def __init__(self, space, coords, weights, index, p_linear, p_offset, tangents,
                  normal_root=None, tri_local=None, hull_local=None, opposite=None, part_ids=None,
-                 part_topos=None, batch_key=None):
+                 part_topos=None, batch_key=None, origin_topo=None):
+        self.origin_topo = origin_topo  # topology whose elements `index` refers to
         self.opposite = opposite    # Sample for the other side of an interface
         self.part_ids = part_ids    # int [E]: originating part in a union topology
         self.part_topos = part_topos  # list of topologies aligned with part_ids
@@ -62,7 +63,7 @@ class Sample:
                 space=self.space, points_shape=(E, P), X=X, index=self.index,
                 xi=xi, tangents=self.tangents, normal_root=self.normal_root,
                 opposite=self.opposite.lower_args() if self.opposite is not None else None,
-                part_ids=self.part_ids, part_topos=self.part_topos)
+                part_ids=self.part_ids, part_topos=self.part_topos, origin_topo=self.origin_topo)
         return self._lower_args
 
     # ------------------------------------------------------------ integration
@@ -132,7 +133,8 @@ class Sample:
             numpy.concatenate([s.p_offset for s in samples]),
             numpy.concatenate([s.tangents for s in samples]),
             None if s0.normal_root is None else numpy.concatenate([s.normal_root for s in samples]),
-            s0.tri_local, s0.hull_local, opposite, part_ids, part_topos, s0.batch_key)
+            s0.tri_local, s0.hull_local, opposite, part_ids, part_topos, s0.batch_key,
+            s0.origin_topo if all(s.origin_topo is s0.origin_topo for s in samples) else None)
 
 
 class ChainedSample:

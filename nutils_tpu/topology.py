@@ -83,10 +83,14 @@ class StructuredTopology(Topology):
     slowest), root coordinates = element multi-index + local coordinate
     (reference: topology.py:1982 with transformseq.StructuredTransforms).'''
 
-    def __init__(self, space, shape, periodic=()):
+    def __init__(self, space, shape, periodic=(), root_h=1.0):
         super().__init__(space, len(shape))
         self.shape = tuple(int(n) for n in shape)
         self.periodic = tuple(periodic)
+        self.root_h = float(root_h)  # element size in root coordinates: the
+        # root chart is stable under refinement so coarse bases and geometries
+        # evaluate on refined samples (the analogue of the reference's shared
+        # transform-chain roots, transformseq.py:526)
         self.ref = element.hypercube(self.ndims)
 
     def __len__(self):
@@ -99,7 +103,7 @@ class StructuredTopology(Topology):
     def _origins(self):
         '''Root-coordinate origin of each element, [nelems, ndims].'''
         grids = numpy.meshgrid(*[numpy.arange(n) for n in self.shape], indexing='ij')
-        return numpy.stack([g.ravel() for g in grids], axis=1).astype(float)
+        return numpy.stack([g.ravel() for g in grids], axis=1).astype(float) * self.root_h
 
     def sample(self, ischeme, degree=None):
         E = len(self)
@@ -123,13 +127,14 @@ class StructuredTopology(Topology):
         else:
             raise ValueError(f'unknown sample scheme {ischeme!r}')
         P = len(pts)
-        coords = self._origins[:, None, :] + pts[None, :, :]
+        h = self.root_h
+        coords = self._origins[:, None, :] + pts[None, :, :] * h
         weights = None if wts is None else numpy.broadcast_to(wts, (E, P)).copy()
-        p_linear = numpy.broadcast_to(numpy.eye(d), (E, d, d))
-        p_offset = -self._origins
-        tangents = numpy.broadcast_to(numpy.eye(d), (E, d, d))
+        p_linear = numpy.broadcast_to(numpy.eye(d) / h, (E, d, d))
+        p_offset = -self._origins / h
+        tangents = numpy.broadcast_to(numpy.eye(d) * h, (E, d, d))
         return _sample.Sample(self.space, coords, weights, numpy.arange(E), p_linear, p_offset,
-                              tangents, None, tri_local, hull_local)
+                              tangents, None, tri_local, hull_local, origin_topo=self)
 
     # ---------------------------------------------------------- boundaries
 
@@ -176,7 +181,8 @@ class StructuredTopology(Topology):
 
     def basis_spline(self, degree, removedofs=None, **kwargs):
         offsets, coeffs, ndofs = self._spline_tables(degree, **kwargs)
-        basis = function.StructuredBasis(self.space, offsets, coeffs, ndofs, self.shape)
+        basis = function.StructuredBasis(self.space, offsets, coeffs, ndofs, self.shape,
+                                         topo=self, root_h=self.root_h)
         if removedofs is None or not any(removedofs):
             return basis
         if isinstance(removedofs[0], int):
@@ -231,7 +237,14 @@ class StructuredTopology(Topology):
 
     @property
     def refined(self):
-        return StructuredTopology(self.space, tuple(2 * n for n in self.shape), self.periodic)
+        return StructuredTopology(self.space, tuple(2 * n for n in self.shape), self.periodic,
+                                  root_h=self.root_h / 2)
+
+    def refine(self, n):
+        topo = self
+        for _ in range(n):
+            topo = topo.refined
+        return topo
 
     # ---------------------------------------------------------- point location
 
@@ -264,7 +277,7 @@ class StructuredTopology(Topology):
             tol = 1e-12
         if fit_err > max(tol, 1e-10):
             raise NotImplementedError('locate on non-affine geometry pending (Newton fallback)')
-        xi = (coords - off) @ numpy.linalg.inv(lin)  # root coordinates
+        xi = (coords - off) @ numpy.linalg.inv(lin) / self.root_h  # element units
         ielem = numpy.minimum(numpy.maximum(numpy.floor(xi).astype(int), 0), numpy.array(self.shape) - 1)
         inside = (xi > -eps - 1e-10).all(1) & (xi < numpy.array(self.shape) + eps + 1e-10).all(1)
         if not inside.all():
@@ -274,11 +287,13 @@ class StructuredTopology(Topology):
             ielem = ielem[inside]
         ielems = numpy.ravel_multi_index(ielem.T, self.shape)
         E = len(xi)
+        h = self.root_h
         origins = self._origins[ielems]
-        sample_coords = xi[:, None, :]  # [E, 1, d] root coords
-        p_linear = numpy.broadcast_to(numpy.eye(d), (E, d, d))
+        sample_coords = xi[:, None, :] * h  # [E, 1, d] root coords
+        p_linear = numpy.broadcast_to(numpy.eye(d) / h, (E, d, d))
         tangents = numpy.zeros((E, d, 0))  # point sample: no intrinsic dims
-        return _sample.Sample(self.space, sample_coords, None, ielems, p_linear, -origins, tangents)
+        return _sample.Sample(self.space, sample_coords, None, ielems, p_linear, -origins / h, tangents,
+                              origin_topo=self)
 
 
 class _StructuredBoundary(Topology):
@@ -349,18 +364,20 @@ class _StructuredBoundary(Topology):
         else:
             raise ValueError(f'unknown sample scheme {ischeme!r}')
         P = len(pts)
+        h = self.parent.root_h
         # parent-local coordinates of the edge points
         xi_local = pts @ lin.T + off  # [P, d]
         origins = self.parent._origins[parent_index]  # [E, d]
-        coords = origins[:, None, :] + xi_local[None, :, :]
+        coords = origins[:, None, :] + xi_local[None, :, :] * h
         weights = None if wts is None else numpy.broadcast_to(wts, (E, P)).copy()
-        p_linear = numpy.broadcast_to(numpy.eye(d), (E, d, d))
-        p_offset = -origins
-        tangents = numpy.broadcast_to(lin, (E, d, d - 1))
+        p_linear = numpy.broadcast_to(numpy.eye(d) / h, (E, d, d))
+        p_offset = -origins / h
+        tangents = numpy.broadcast_to(lin * h, (E, d, d - 1))
         normal_root = numpy.broadcast_to(nrm, (E, d))
         return _sample.Sample(self.space, coords, weights, parent_index, p_linear, p_offset,
                               tangents, normal_root, tri_local, hull_local,
-                              part_ids=numpy.zeros(E, dtype=int), part_topos=[self])
+                              part_ids=numpy.zeros(E, dtype=int), part_topos=[self],
+                              origin_topo=self.parent)
 
     def basis(self, btype='std', degree=1, **kwargs):
         return self.parent.basis(btype, degree, **kwargs)
@@ -500,18 +517,19 @@ class _StructuredInterfaces(Topology):
         sides = [[], []]
         for lp, rp, lin, nrm, idim in self._face_tables:
             E = len(lp)
+            h = p.root_h
             for side, (parents, level) in enumerate(((lp, 1.0), (rp, 0.0))):
                 xi_local = pts @ lin.T  # [P, d]
                 xi_local = xi_local + level * numpy.eye(d)[idim]
                 origins = p._origins[parents]
-                coords = origins[:, None, :] + xi_local[None, :, :]
+                coords = origins[:, None, :] + xi_local[None, :, :] * h
                 sides[side].append(dict(
                     coords=coords,
                     weights=None if wts is None else numpy.broadcast_to(wts, (E, P)).copy(),
                     index=parents,
-                    p_linear=numpy.broadcast_to(numpy.eye(d), (E, d, d)),
-                    p_offset=-origins,
-                    tangents=numpy.broadcast_to(lin, (E, d, d - 1)),
+                    p_linear=numpy.broadcast_to(numpy.eye(d) / h, (E, d, d)),
+                    p_offset=-origins / h,
+                    tangents=numpy.broadcast_to(lin * h, (E, d, d - 1)),
                     normal_root=numpy.broadcast_to(nrm if side == 0 else -nrm, (E, d)),
                 ))
 
