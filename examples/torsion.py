@@ -1,0 +1,104 @@
+from nutils_tpu import mesh, function, export, testing
+from nutils_tpu.solver import System, Minimize
+from nutils_tpu.expression import Namespace
+from nutils_tpu.utils import _log as log
+import numpy as np
+
+# Hyperelastic (Neo-Hookean) cylinder under torsion: tensor-product topology
+# of a periodic 2D surface grid and a 1D thickness extrusion in a separate
+# space (reference: examples/torsion.py; regression data copied verbatim).
+# The trimmed-hole variant lands with finite-cell support.
+
+
+def main(length: float = 2*np.pi,
+         thickness: float = .5,
+         rotation: float = 90.,
+         increment: float = 5.,
+         elemsize: float = .5,
+         poisson: float = .4,
+         restol: float = 1e-8,
+         trim: float = 0.,
+         stretch: float = 1.,
+         degree: int = 2):
+
+    '''Hyperelastic cylinder under torque
+
+    A hollow cylinder with Neo-Hookean energy density W = F:F - 3 - 2 log|F| +
+    D (|F| - 1)^2 is twisted by rotating its ends; the equilibrium follows
+    from energy minimization.
+
+    Parameters
+    ----------
+    length
+        Tube length.
+    thickness
+        Tube thickness.
+    rotation
+        Final rotation angle (degrees).
+    increment
+        Approximate angle increment (degrees).
+    elemsize
+        Approximate element size.
+    poisson
+        Poisson's ratio; value in the range [0,0.5).
+    restol
+        Newton tolerance.
+    trim
+        Radius of hole (pending finite-cell support).
+    stretch
+        Length stretch factor.
+    degree
+        Polynomial degree.
+    '''
+
+    zgrid = length * np.linspace(-.5, .5, round(length / elemsize)+1)
+    θgrid = np.linspace(-np.pi, np.pi, round(2 * np.pi / elemsize)+1)
+    cylinder, (z, θ) = mesh.rectilinear([zgrid, θgrid], periodic=(1,))
+    φ = θ - (z / length * np.pi / 180) * function.field('φ')
+    if trim:
+        cylinder = cylinder.trim(θ**2 + z**2 - trim**2, maxrefine=2)
+    extrusion, r = mesh.line([1 - thickness/2, 1 + thickness/2], space='T')
+    topo = cylinder * extrusion
+    bezier = topo.boundary.sample('bezier', 5)
+
+    ns = Namespace()
+    ns.X = np.stack([z, r * np.sin(θ), r * np.cos(θ)])  # reference geometry
+    ns.Xφ = np.stack([z * stretch, r * np.sin(φ), r * np.cos(φ)])
+    ns.define_for('X', gradient='∇', jacobians=('dV',))
+    ns.u = topo.field('u', btype='spline', degree=degree, removedofs=((0, -1), None, None), shape=[3])
+    ns.x_i = 'Xφ_i + u_i'  # deformed geometry
+    ns.F_ij = '∇_j(x_i)'
+    ns.J = np.linalg.det(ns.F)
+    ns.D = poisson / (.5 - poisson)
+    ns.W = 'F_ij F_ij - 3 - 2 log(J) + D (J - 1)^2'  # Neo-Hookean energy density
+
+    energy = topo.integral('W dV' @ ns, degree=degree*2)
+    system = System(energy, trial='u')
+
+    args = {}
+    clim = (0, 1) if stretch == 1 else None
+    for args['φ'] in np.linspace(0, rotation, round(rotation / increment) + 1):
+        with log.context('{:.1f} deg', float(args['φ'])):
+            args = system.solve(arguments=args, method=Minimize(), tol=restol)
+            x, W = bezier.eval(['x_i', 'W'] @ ns, args)
+            export.triplot('energy.jpg', x, W, tri=bezier.tri, hull=bezier.hull,
+                           clim=clim, cmap='inferno_r')
+            clim = None
+
+    return args
+
+
+class test(testing.TestCase):
+
+    def test_stretch(self):
+        args = main(rotation=0., elemsize=2., poisson=.25, restol=1e-8, trim=0., stretch=1.1, degree=3)
+        self.assertAlmostEqual64(args['u'], '''
+            eNodjy2OwlAURu8GipmgJ6gRff25jCGT1LOFBtd0AxVTMyEhIRgEVbgG2y3gCQmGdx+9ONSIUeOmG5j3
+            YT7x5eQkp3MqP+71RvLimtuX3clJR3YinSP6TP1Pc278XvmkRB/TzkXpk2fwGwb/xxNpo7G8ucFc7EO2
+            Zm33crjP7cL/RO88GKIVb/2e+XAnomkb/abgZwx+yeCPvJCyhydQeGqFpwjhKXt4AoWnVniKEJ6yhydQ
+            eGqFpwjhyRN0fcfoqmJ0ZQZdeYIu//uuKkZXZtCVJ+jyP4NHV2bQ9Q9mTH+1''')
+
+
+if __name__ == '__main__':
+    from nutils_tpu import cli
+    cli.run(main)

@@ -1025,6 +1025,15 @@ def gather_along(y, dofs, axis, L):
     if isinstance(y, (Multiply, Add)):  # gathers distribute over pointwise ops
         cls = add if isinstance(y, Add) else multiply
         return cls(gather_along(y.children[0], dofs, axis, L), gather_along(y.children[1], dofs, axis, L))
+    if isinstance(y, Sum):  # gathers commute with sums over other axes
+        inner_axes = y.axes
+        # map our axis (in y's reduced shape) to the operand's axis
+        remaining = [i for i in range(y.func.ndim) if i not in inner_axes]
+        op_axis = remaining[axis]
+        d = dofs
+        for a in sorted(inner_axes):
+            d = InsertAxis(d, a, 1)
+        return sum_(gather_along(y.func, d, op_axis, L), inner_axes)
     return GatherAlong(y, dofs, axis)
 
 

@@ -30,38 +30,79 @@ from . import evaluable as ev
 _token_counter = itertools.count()
 
 
-class LowerArgs:
-    '''Lowering context for one sample (single space).
+class Chart:
+    '''Per-space lowering data of a sample (one coordinate chart).
 
-    Attributes
-    ----------
-    space : str
-    points_shape : tuple
-        Prefix shape of lowered arrays, () for space-free lowering or (E, P).
-    X : evaluable.Leaf or None
-        Root coordinates [E, P, d], bound to the sample's coordinate table.
-    index : numpy.ndarray or None
-        Parent element index per batch element [E].
-    xi : evaluable.Array or None
-        Parent-element local coordinates [E, P, dp] as a function of X.
-    tangents : numpy.ndarray or None
-        d(root coords)/d(sample-local coords), [E, d, ds].
-    normal_root : numpy.ndarray or None
-        Outward normal in root coordinates, [E, d] (boundary samples).
+    Attributes: ``X`` (root-coordinate Leaf [E, P, d]), ``index`` (parent
+    element ids [E], numpy), ``xi`` (parent-local coordinate expression),
+    ``tangents`` ([E, d, ds] numpy), ``normal_root`` ([E, d] numpy or None),
+    ``origin_topo``.
     '''
 
-    def __init__(self, space=None, points_shape=(), X=None, index=None, xi=None, tangents=None, normal_root=None, opposite=None, part_ids=None, part_topos=None, origin_topo=None):
-        self.space = space
-        self.points_shape = tuple(points_shape)
+    def __init__(self, X=None, index=None, xi=None, tangents=None, normal_root=None, origin_topo=None):
         self.X = X
         self.index = index
         self.xi = xi
         self.tangents = tangents
         self.normal_root = normal_root
+        self.origin_topo = origin_topo
+
+
+class LowerArgs:
+    '''Lowering context: one Chart per space sharing a common points_shape
+    (the reference's multi-space LowerArgs, function.py:77, with batched
+    tables instead of per-element transform chains).'''
+
+    def __init__(self, space=None, points_shape=(), X=None, index=None, xi=None, tangents=None, normal_root=None, opposite=None, part_ids=None, part_topos=None, origin_topo=None, charts=None):
+        self.points_shape = tuple(points_shape)
+        if charts is not None:
+            self.charts = dict(charts)
+        elif space is not None:
+            self.charts = {space: Chart(X, index, xi, tangents, normal_root, origin_topo)}
+        else:
+            self.charts = {}
         self.opposite = opposite  # LowerArgs of the other side of an interface
         self.part_ids = part_ids  # int [E]: originating part in a union topology
         self.part_topos = part_topos  # topologies aligned with part_ids
-        self.origin_topo = origin_topo  # topology that `index` refers to
+
+    def chart(self, space):
+        try:
+            return self.charts[space]
+        except KeyError:
+            raise ValueError(f'space {space!r} is not part of this sample (has: {sorted(self.charts)})')
+
+    @property
+    def _single(self):
+        assert len(self.charts) == 1, 'operation requires a single-space sample'
+        return next(iter(self.charts.values()))
+
+    @property
+    def space(self):
+        return next(iter(self.charts), None)
+
+    @property
+    def X(self):
+        return self._single.X
+
+    @property
+    def index(self):
+        return self._single.index
+
+    @property
+    def xi(self):
+        return self._single.xi
+
+    @property
+    def tangents(self):
+        return self._single.tangents
+
+    @property
+    def normal_root(self):
+        return self._single.normal_root
+
+    @property
+    def origin_topo(self):
+        return self._single.origin_topo
 
     @property
     def nprefix(self):
@@ -142,6 +183,16 @@ class Array:
 
     def __getitem__(self, item):
         return getitem(self, item)
+
+    def __iter__(self):
+        if not self.ndim:
+            raise TypeError('iteration over a 0-d array')
+        return (getitem(self, i) for i in range(self.shape[0]))
+
+    def __len__(self):
+        if not self.ndim:
+            raise TypeError('len() of a 0-d array')
+        return self.shape[0]
 
     def sum(self, axis=None):
         return sum_(self, axis)
@@ -513,12 +564,25 @@ class _RootCoords(Array):
         super().__init__((ndims,), float, frozenset({space}), {})
 
     def lower(self, args):
-        assert args.space == self.space, f'cannot lower root coords of space {self.space!r} on sample of space {args.space!r}'
-        return args.X
+        return args.chart(self.space).X
+
+
+def _chart_list(args):
+    '''Charts in deterministic (space-name) order.'''
+    return [args.charts[k] for k in sorted(args.charts)]
+
+
+def _grad_all_charts(expr, args):
+    '''d(expr)/d(all root coordinates): per-chart seeded jvp, concatenated
+    along a new last axis (total root dimension).'''
+    parts = [ev.grad(expr, c.X) for c in _chart_list(args)]
+    return parts[0] if len(parts) == 1 else ev.Concatenate(parts, parts[0].ndim - 1)
 
 
 class _Gradient(Array):
-    '''grad(arg, geom): shape arg.shape + (len(geom),).'''
+    '''grad(arg, geom): shape arg.shape + (len(geom),).  The root chart is the
+    concatenation of all the sample's space charts (multi-space geometries as
+    in the reference's tensorial topologies).'''
 
     def __init__(self, arg, geom):
         assert geom.ndim == 1
@@ -528,10 +592,10 @@ class _Gradient(Array):
                          _merge_spaces((arg, geom)), _merge_args((arg, geom)))
 
     def lower(self, args):
-        assert args.X is not None, 'gradient requires a coordinate sample'
-        F = ev.grad(ev.astype(self.arg.lower(args), float), args.X)   # [E,P,*shape,d]
-        G = ev.grad(ev.astype(self.geom.lower(args), float), args.X)  # [E,P,g,d]
-        d = args.X.shape[-1]
+        assert args.charts, 'gradient requires a coordinate sample'
+        F = _grad_all_charts(ev.astype(self.arg.lower(args), float), args)   # [E,P,*shape,d]
+        G = _grad_all_charts(ev.astype(self.geom.lower(args), float), args)  # [E,P,g,d]
+        d = G.shape[-1]
         g = self.geom.shape[0]
         assert g == d, f'gradient requires a square geometry jacobian (geom dim {g}, root dim {d})'
         Ginv = ev.Inverse(G)  # (G^{-1})[j,k] = dX_j/dgeom_k
@@ -552,9 +616,10 @@ class _Normal(Array):
         super().__init__(geom.shape, float, geom.spaces, geom.arguments)
 
     def lower(self, args):
-        assert args.normal_root is not None, 'normal is only defined on boundary samples'
-        G = ev.grad(ev.astype(self.geom.lower(args), float), args.X)  # [E,P,g,d]
-        d = args.X.shape[-1]
+        charts = _chart_list(args)
+        assert any(c.normal_root is not None for c in charts), 'normal is only defined on boundary samples'
+        G = _grad_all_charts(ev.astype(self.geom.lower(args), float), args)  # [E,P,g,d]
+        d = G.shape[-1]
         g = self.geom.shape[0]
         assert g == d
         # normals transform as n ~ G^{-T} n_root, oriented by the parametric
@@ -562,7 +627,10 @@ class _Normal(Array):
         # orientation-reversing geometries, whereas the reference's transform-
         # chain orientation is parametric; function.py:530 normal).
         GinvT = ev.transpose(ev.Inverse(G), tuple(range(G.ndim - 2)) + (G.ndim - 1, G.ndim - 2))
-        nroot = ev.insertaxis(ev.constant(args.normal_root), 1, args.points_shape[1])  # [E,P,j]
+        nroot_np = numpy.concatenate(
+            [c.normal_root if c.normal_root is not None else numpy.zeros((args.points_shape[0], c.X.shape[-1]))
+             for c in charts], axis=1)
+        nroot = ev.insertaxis(ev.constant(nroot_np), 1, args.points_shape[1])  # [E,P,j]
         # v_i = sum_j G^{-T}[i,j] nroot[j]: broadcast nroot over the new i axis
         v = ev.sum_(ev.multiply(GinvT, ev.insertaxis(nroot, 2, d)), GinvT.ndim - 1)
         norm = ev.power(ev.sum_(ev.multiply(v, v), v.ndim - 1), ev.constant(0.5))
@@ -594,16 +662,26 @@ class _Jacobian(Array):
         super().__init__((), float, geom.spaces, geom.arguments)
 
     def lower(self, args):
-        assert args.tangents is not None, 'jacobian requires a coordinate sample'
-        ds = args.tangents.shape[-1]
+        charts = _chart_list(args)
+        # block-diagonal tangent matrix over the concatenated root chart
+        E = args.points_shape[0]
+        ds = sum(c.tangents.shape[-1] for c in charts)
+        dtot = sum(c.X.shape[-1] for c in charts)
         if self.ndims_expected is not None:
             assert ds == self.ndims_expected, f'jacobian dimension mismatch: sample dim {ds}, expected {self.ndims_expected}'
         if ds == 0:
             return _prefix_broadcast(ev.constant(1.0), args.points_shape)
-        G = ev.grad(ev.astype(self.geom.lower(args), float), args.X)  # [E,P,g,d]
-        tang = ev.insertaxis(ev.constant(args.tangents), 1, args.points_shape[1])  # [E,P,d,ds]
+        tang_np = numpy.zeros((E, dtot, ds))
+        r0 = c0 = 0
+        for c in charts:
+            dr, dc = c.tangents.shape[-2:]
+            tang_np[:, r0:r0 + dr, c0:c0 + dc] = c.tangents
+            r0 += dr
+            c0 += dc
+        G = _grad_all_charts(ev.astype(self.geom.lower(args), float), args)  # [E,P,g,d]
+        tang = ev.insertaxis(ev.constant(tang_np), 1, args.points_shape[1])  # [E,P,d,ds]
         g = self.geom.shape[0]
-        d = args.X.shape[-1]
+        d = dtot
         # T[i,s] = sum_j G[i,j] tang[j,s]
         Gx = ev.insertaxis(G, G.ndim, ds)                       # [E,P,g,d,ds]
         Tx = ev.insertaxis(tang, tang.ndim - 2, g)              # [E,P,g,d,ds]
@@ -643,13 +721,13 @@ class Basis(Array):
         return numpy.unique(dofs[0])
 
     def lower(self, args):
-        assert args.space == self.space
-        dofs, coeffs = self.get_tables(args.index)
+        chart = args.chart(self.space)
+        dofs, coeffs = self.get_tables(chart.index)
         E, P = args.points_shape
         L = dofs.shape[1]
         K = coeffs.shape[2:]  # per-dim power counts
         dp = len(K)
-        xi = args.xi  # [E,P,dp]
+        xi = chart.xi  # [E,P,dp]
         # vals[e,p,l] = sum_{k1..kd} coeffs[e,l,k1..kd] * prod_i xi_i^k_i
         expr = ev.insertaxis(ev.constant(coeffs), 1, P)  # [E,P,L,K...]
         for i in range(dp):
@@ -695,11 +773,11 @@ class StructuredBasis(Basis):
         return self._tensor_tables(self._offsets, self._coeffs, self._ndofs_per_dim, multi)
 
     def lower(self, args):
-        if self._topo is None or args.origin_topo is self._topo:
+        chart = args.chart(self.space)
+        if self._topo is None or chart.origin_topo is self._topo:
             return super().lower(args)
         # cross-topology: locate our elements from the root coordinate table
-        assert args.space == self.space
-        Xtab = numpy.asarray(args.X.value)  # [E, P, d]
+        Xtab = numpy.asarray(chart.X.value)  # [E, P, d]
         cent = Xtab.mean(axis=1) / self._root_h
         multi = numpy.minimum(numpy.maximum(numpy.floor(cent).astype(int), 0),
                               numpy.array(self._shape) - 1)  # [E, d]
@@ -710,7 +788,7 @@ class StructuredBasis(Basis):
         dp = len(K)
         # local coords in our elements: X / h - elem_multi
         origin = ev.insertaxis(ev.constant(multi.astype(float)), 1, P)  # [E,P,d]
-        xi = ev.add(ev.multiply(args.X, _prefix_broadcast(ev.constant(1.0 / self._root_h), (E, P, dp))), ev.negative(origin))
+        xi = ev.add(ev.multiply(chart.X, _prefix_broadcast(ev.constant(1.0 / self._root_h), (E, P, dp))), ev.negative(origin))
         expr = ev.insertaxis(ev.constant(coeffs), 1, P)
         for i in range(dp):
             xi_i = ev.take(xi, ev.constant(numpy.array(i)), 2)

@@ -19,7 +19,8 @@ class _RectilinearGeom(function.Array):
 
     def lower(self, args):
         from . import evaluable as ev
-        multi = numpy.stack(numpy.unravel_index(args.index, self.grid_shape), axis=1)  # [E, d]
+        chart = args.chart(self.space)
+        multi = numpy.stack(numpy.unravel_index(chart.index, self.grid_shape), axis=1)  # [E, d]
         c0 = numpy.empty(multi.shape, dtype=float)
         c1 = numpy.empty(multi.shape, dtype=float)
         for i, v in enumerate(self.verts):
@@ -29,7 +30,7 @@ class _RectilinearGeom(function.Array):
         E, P = args.points_shape
         c0x = ev.insertaxis(ev.constant(c0), 1, P)
         c1x = ev.insertaxis(ev.constant(c1), 1, P)
-        return ev.add(c0x, ev.multiply(c1x, args.X))
+        return ev.add(c0x, ev.multiply(c1x, chart.X))
 
 
 def rectilinear(richshape, periodic=(), space='X'):

@@ -18,53 +18,146 @@ from . import function
 _token = itertools.count()
 
 
-class Sample:
+class _ChartSpec:
+    '''Per-space tables of a sample (see function.Chart).'''
 
-    def __init__(self, space, coords, weights, index, p_linear, p_offset, tangents,
-                 normal_root=None, tri_local=None, hull_local=None, opposite=None, part_ids=None,
-                 part_topos=None, batch_key=None, origin_topo=None):
-        self.origin_topo = origin_topo  # topology whose elements `index` refers to
-        self.opposite = opposite    # Sample for the other side of an interface
-        self.part_ids = part_ids    # int [E]: originating part in a union topology
-        self.part_topos = part_topos  # list of topologies aligned with part_ids
-        self.batch_key = batch_key  # batching compatibility token (parent ref type)
+    __slots__ = 'space', 'coords', 'index', 'p_linear', 'p_offset', 'tangents', 'normal_root', 'origin_topo'
+
+    def __init__(self, space, coords, index, p_linear, p_offset, tangents, normal_root, origin_topo):
         self.space = space
         self.coords = numpy.asarray(coords, dtype=float)      # [E, P, d] root coords
-        E, P, d = self.coords.shape
-        self.weights = None if weights is None else numpy.asarray(weights, dtype=float)  # [E, P]
         self.index = numpy.asarray(index)                     # [E] parent element ids
         self.p_linear = numpy.asarray(p_linear, dtype=float)  # [E, dp, d]: xi = p_linear @ X + p_offset
         self.p_offset = numpy.asarray(p_offset, dtype=float)  # [E, dp]
         self.tangents = numpy.asarray(tangents, dtype=float)  # [E, d, ds]
-        self.normal_root = None if normal_root is None else numpy.asarray(normal_root, dtype=float)  # [E, d]
+        self.normal_root = None if normal_root is None else numpy.asarray(normal_root, dtype=float)
+        self.origin_topo = origin_topo
+
+
+class Sample:
+
+    def __init__(self, space, coords, weights, index, p_linear, p_offset, tangents,
+                 normal_root=None, tri_local=None, hull_local=None, opposite=None, part_ids=None,
+                 part_topos=None, batch_key=None, origin_topo=None, specs=None):
+        self.opposite = opposite    # Sample for the other side of an interface
+        self.part_ids = part_ids    # int [E]: originating part in a union topology
+        self.part_topos = part_topos  # list of topologies aligned with part_ids
+        self.batch_key = batch_key  # batching compatibility token (parent ref type)
+        if specs is not None:
+            self.specs = list(specs)
+            E, P, _ = self.specs[0].coords.shape
+        else:
+            self.specs = [_ChartSpec(space, coords, index, p_linear, p_offset, tangents, normal_root, origin_topo)]
+            E, P, _ = self.specs[0].coords.shape
+        self.weights = None if weights is None else numpy.asarray(weights, dtype=float)  # [E, P]
         self.tri_local = tri_local                            # [ntl, ds+1] within-element triangulation
         self.hull_local = hull_local
         self.nelems = E
         self.npoints_per_elem = P
         self.npoints = E * P
-        self.ndims = self.tangents.shape[-1]                  # sample (intrinsic) dimension
+        self.ndims = sum(s.tangents.shape[-1] for s in self.specs)  # intrinsic dimension
         self._token = next(_token)
         self._lower_args = None
 
+    # single-space accessors (compat)
+    @property
+    def space(self):
+        return self.specs[0].space
+
+    @property
+    def coords(self):
+        return self.specs[0].coords
+
+    @property
+    def index(self):
+        return self.specs[0].index
+
+    @property
+    def p_linear(self):
+        return self.specs[0].p_linear
+
+    @property
+    def p_offset(self):
+        return self.specs[0].p_offset
+
+    @property
+    def tangents(self):
+        return self.specs[0].tangents
+
+    @property
+    def normal_root(self):
+        return self.specs[0].normal_root
+
+    @property
+    def origin_topo(self):
+        return self.specs[0].origin_topo
+
     @property
     def spaces(self):
-        return frozenset({self.space})
+        return frozenset(s.space for s in self.specs)
 
     def lower_args(self):
         if self._lower_args is None:
-            E, P, d = self.coords.shape
-            dp = self.p_linear.shape[1]
-            X = ev.Leaf(('X', self._token), (E, P, d), float, value=self.coords)
-            pl = ev.insertaxis(ev.constant(self.p_linear), 1, P)   # [E,P,dp,d]
-            Xx = ev.insertaxis(X, 2, dp)                            # [E,P,dp,d]
-            xi = ev.sum_(ev.multiply(pl, Xx), 3)                    # [E,P,dp]
-            xi = ev.add(xi, ev.insertaxis(ev.constant(self.p_offset), 1, P))
+            charts = {}
+            E, P = self.nelems, self.npoints_per_elem
+            for i, spec in enumerate(self.specs):
+                d = spec.coords.shape[-1]
+                dp = spec.p_linear.shape[1]
+                X = ev.Leaf(('X', self._token, spec.space), (E, P, d), float, value=spec.coords)
+                pl = ev.insertaxis(ev.constant(spec.p_linear), 1, P)   # [E,P,dp,d]
+                Xx = ev.insertaxis(X, 2, dp)                            # [E,P,dp,d]
+                xi = ev.sum_(ev.multiply(pl, Xx), 3)                    # [E,P,dp]
+                xi = ev.add(xi, ev.insertaxis(ev.constant(spec.p_offset), 1, P))
+                charts[spec.space] = function.Chart(X, spec.index, xi, spec.tangents,
+                                                    spec.normal_root, spec.origin_topo)
             self._lower_args = function.LowerArgs(
-                space=self.space, points_shape=(E, P), X=X, index=self.index,
-                xi=xi, tangents=self.tangents, normal_root=self.normal_root,
+                points_shape=(E, P), charts=charts,
                 opposite=self.opposite.lower_args() if self.opposite is not None else None,
-                part_ids=self.part_ids, part_topos=self.part_topos, origin_topo=self.origin_topo)
+                part_ids=self.part_ids, part_topos=self.part_topos)
         return self._lower_args
+
+    def __mul__(self, other):
+        '''Tensor-product sample over disjoint spaces (reference: sample
+        tensorization via _Mul, sample.py:698).'''
+        assert isinstance(other, Sample)
+        assert not (self.spaces & other.spaces), 'tensor product requires disjoint spaces'
+        E1, P1 = self.nelems, self.npoints_per_elem
+        E2, P2 = other.nelems, other.npoints_per_elem
+
+        def expand1(a, along_points):
+            out = numpy.repeat(a, E2, axis=0)
+            if along_points:
+                out = numpy.repeat(out, P2, axis=1)
+            return out
+
+        def expand2(a, along_points):
+            out = numpy.tile(a, (E1,) + (1,) * (a.ndim - 1))
+            if along_points:
+                out = numpy.tile(out, (1, P1) + (1,) * (a.ndim - 2))
+            return out
+
+        specs = [
+            *[_ChartSpec(s.space, expand1(s.coords, True), expand1(s.index, False),
+                         expand1(s.p_linear, False), expand1(s.p_offset, False),
+                         expand1(s.tangents, False),
+                         None if s.normal_root is None else expand1(s.normal_root, False),
+                         s.origin_topo) for s in self.specs],
+            *[_ChartSpec(s.space, expand2(s.coords, True), expand2(s.index, False),
+                         expand2(s.p_linear, False), expand2(s.p_offset, False),
+                         expand2(s.tangents, False),
+                         None if s.normal_root is None else expand2(s.normal_root, False),
+                         s.origin_topo) for s in other.specs],
+        ]
+        if self.weights is not None and other.weights is not None:
+            weights = (numpy.repeat(self.weights, E2, axis=0)[:, :, None]
+                       * numpy.tile(other.weights, (E1, 1))[:, None, :]).reshape(E1 * E2, P1 * P2)
+        else:
+            weights = None
+        tri_local, hull_local = _product_tri(self.tri_local, P1, self.ndims,
+                                             other.tri_local, P2, other.ndims,
+                                             self.hull_local, other.hull_local)
+        return Sample(None, None, weights, None, None, None, None,
+                      tri_local=tri_local, hull_local=hull_local, specs=specs)
 
     # ------------------------------------------------------------ integration
 
@@ -135,6 +228,38 @@ class Sample:
             None if s0.normal_root is None else numpy.concatenate([s.normal_root for s in samples]),
             s0.tri_local, s0.hull_local, opposite, part_ids, part_topos, s0.batch_key,
             s0.origin_topo if all(s.origin_topo is s0.origin_topo for s in samples) else None)
+
+
+def _product_tri(tri1, P1, nd1, tri2, P2, nd2, hull1, hull2):
+    '''Local triangulation of a tensor-product point set (point index
+    p1 * P2 + p2).  Supported: anything x point, point x anything, and
+    segment x segment (quads split into triangles).'''
+    if tri1 is None or tri2 is None:
+        return None, None
+    if nd2 == 0:  # [*, k] x point
+        return tri1 * P2, None if hull1 is None else hull1 * P2
+    if nd1 == 0:
+        return tri2.copy(), hull2
+    if nd1 == 1 and nd2 == 1:
+        tris = []
+        for a, b in tri1:
+            for c, d in tri2:
+                v00 = a * P2 + c
+                v01 = a * P2 + d
+                v10 = b * P2 + c
+                v11 = b * P2 + d
+                tris.append([v00, v01, v10])
+                tris.append([v11, v10, v01])
+        hull = []
+        if hull1 is not None and hull2 is not None:
+            for (a,) in hull1:
+                for c, d in tri2:
+                    hull.append([a * P2 + c, a * P2 + d])
+            for a, b in tri1:
+                for (c,) in hull2:
+                    hull.append([a * P2 + c, b * P2 + c])
+        return numpy.asarray(tris), numpy.asarray(hull) if hull else None
+    return None, None
 
 
 class ChainedSample:

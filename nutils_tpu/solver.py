@@ -93,33 +93,67 @@ class _Loc:
 _loc_counter = [0]
 
 
+def _arg_indices(node, names):
+    '''Resolve a node that is a (possibly nested) constant gather of a
+    broadcast argument: returns (Argument, flat-index array broadcastable to
+    node.shape), or None.  Handles GatherAlong chains (tensor-product bases
+    contracted per factor) by composing the index tables host-side.'''
+    if isinstance(node, ev.GatherAlong):
+        if node.dofs.arguments or node.dofs.leafdeps:
+            return None
+        inner = _arg_indices(node.func, names)
+        if inner is None:
+            return None
+        arg, idx = inner
+        dofs_np = _eval_const(node.dofs).astype(numpy.int64)
+        # compose: out[..., l, ...] = idx[..., dofs[..., l, ...], ...]
+        # (take_along_axis broadcasts unit axes, keeping memory small)
+        return arg, numpy.take_along_axis(idx, dofs_np, node.axis)
+    core = _argcore(node)
+    if core is None:
+        return None
+    arg, axmap, table = core
+    if arg.name not in names:
+        return None
+    arg_axes = {core_ax: leaf_ax for leaf_ax, core_ax in enumerate(axmap) if core_ax is not None}
+    strides = numpy.cumprod([1] + list(arg.shape[::-1][:-1]))[::-1].astype(numpy.int64)
+    shape0 = [1] * len(node.shape)
+    ax0 = arg_axes.get(0)
+    assert ax0 is not None, 'argument axis lost in broadcast'
+    base = (table if table is not None else numpy.arange(arg.shape[0])).astype(numpy.int64) * strides[0]
+    shape0[ax0] = len(base)
+    idx = base.reshape(shape0)
+    for core_ax in range(1, len(arg.shape)):
+        leaf_ax = arg_axes.get(core_ax)
+        assert leaf_ax is not None, 'argument axis lost in broadcast'
+        n = arg.shape[core_ax]
+        shape = [1] * len(node.shape)
+        shape[leaf_ax] = n
+        idx = idx + numpy.arange(n, dtype=numpy.int64).reshape(shape) * strides[core_ax]
+    return arg, idx
+
+
 def _localize(expr, names):
     '''Replace localized gathers (and remaining direct appearances) of the
     named arguments by Leafs.  Returns (new_expr, {name: [_Loc]}).'''
     mapping = {}
     locs = {name: [] for name in names}
 
-    def isgather(node):
-        if not isinstance(node, ev.GatherAlong) or node.dofs.arguments or node.dofs.leafdeps:
-            return False
-        core = _argcore(node.func)
-        return core is not None and core[0].name in names
+    candidates = []
+    for node in ev.find(expr, lambda n: isinstance(n, ev.GatherAlong)):
+        res = _arg_indices(node, names)
+        if res is not None:
+            candidates.append((node, res))
+    # keep outermost candidates only (nested gathers are consumed by their parent)
+    nodes = [n for n, _ in candidates]
+    keep = []
+    for i, (node, res) in enumerate(candidates):
+        inner_of_other = any(other is not node and node in set(ev.find(other, lambda n: n is node))
+                             for other in nodes)
+        if not inner_of_other:
+            keep.append((node, res))
 
-    for node in ev.find(expr, isgather):
-        arg, axmap, table = _argcore(node.func)
-        dofs_np = _eval_const(node.dofs)
-        if table is not None:  # gather through a constant re-index (block bases)
-            dofs_np = table[dofs_np]
-        arg_axes = {core_ax: leaf_ax for leaf_ax, core_ax in enumerate(axmap) if core_ax is not None}
-        strides = numpy.cumprod([1] + list(arg.shape[::-1][:-1]))[::-1].astype(numpy.int64)
-        idx = dofs_np.astype(numpy.int64) * strides[0]
-        for core_ax in range(1, len(arg.shape)):
-            leaf_ax = arg_axes.get(core_ax)
-            assert leaf_ax is not None, 'argument axis lost in broadcast'
-            n = arg.shape[core_ax]
-            shape = [1] * len(node.shape)
-            shape[leaf_ax] = n
-            idx = idx + numpy.arange(n, dtype=numpy.int64).reshape(shape) * strides[core_ax]
+    for node, (arg, idx) in keep:
         _loc_counter[0] += 1
         leaf = ev.Leaf(('loc', _loc_counter[0]), node.shape, float)
         mapping[node] = leaf

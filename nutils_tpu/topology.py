@@ -77,6 +77,113 @@ class Topology:
     def __getitem__(self, item):
         raise KeyError(item)
 
+    def __mul__(self, other):
+        '''Tensor product over disjoint spaces (reference: topology.py:1239
+        _Mul): samples, bases and boundaries tensorize.'''
+        return _MulTopology(self, other)
+
+
+class _MulTopology(Topology):
+    '''Tensor product of two topologies with disjoint spaces.'''
+
+    def __init__(self, topo1, topo2):
+        assert topo1.space != topo2.space, 'tensor product requires disjoint spaces'
+        super().__init__(topo1.space, topo1.ndims + topo2.ndims)
+        self.topo1 = topo1
+        self.topo2 = topo2
+
+    def __len__(self):
+        return len(self.topo1) * len(self.topo2)
+
+    def sample(self, ischeme, degree=None):
+        return self.topo1.sample(ischeme, degree) * self.topo2.sample(ischeme, degree)
+
+    def _split_kwargs(self, kwargs):
+        kw1, kw2 = {}, {}
+        n1 = self.topo1.ndims
+        for attr in ('degree', 'continuity'):
+            val = kwargs.pop(attr, None)
+            if val is None:
+                continue
+            if isinstance(val, int):
+                kw1[attr] = kw2[attr] = val
+            else:
+                kw1[attr] = tuple(val[:n1])
+                kw2[attr] = tuple(val[n1:])
+        val = kwargs.pop('periodic', None)
+        if val is not None:
+            kw1['periodic'] = tuple(p for p in val if p < n1)
+            kw2['periodic'] = tuple(p - n1 for p in val if p >= n1)
+        for attr in ('knotvalues', 'knotmultiplicities', 'removedofs'):
+            val = kwargs.pop(attr, None)
+            if val is None:
+                continue
+            kw1[attr] = tuple(val[:n1])
+            kw2[attr] = tuple(val[n1:])
+        kw1.update(kwargs)
+        kw2.update(kwargs)
+        return kw1, kw2
+
+    def bases(self, btype='std', **kwargs):
+        kw1, kw2 = self._split_kwargs(dict(kwargs))
+        return [self.topo1.basis(btype, **kw1), self.topo2.basis(btype, **kw2)]
+
+    def basis(self, btype='std', degree=1, **kwargs):
+        raise NotImplementedError('use field() or bases() on tensor-product topologies')
+
+    def field(self, name, *, btype='std', shape=(), dtype=float, **kwargs):
+        return function.field(name, *self.bases(btype, **kwargs), shape=shape, dtype=dtype)
+
+    @functools.cached_property
+    def boundary(self):
+        parts = {}
+
+        def addpart(key, topo):
+            while key in parts:
+                key += "'"
+            parts[key] = topo
+
+        for topo, make in ((self.topo1, lambda p: _MulTopology(p, self.topo2)),
+                           (self.topo2, lambda p: _MulTopology(self.topo1, p))):
+            try:
+                items = list(topo.boundary.parts.items())
+            except (NotImplementedError, AttributeError):
+                items = [(f'__{topo.space}__', topo.boundary)]
+            except KeyError:
+                items = []
+            for k, p in items:
+                addpart(k, make(p))
+        return _MulBoundary(self.space, self.ndims - 1, parts)
+
+
+class _MulBoundary(Topology):
+    '''Boundary of a tensor-product topology: a union of lower-dimensional
+    products whose samples generally have different point structures, hence
+    always chained.'''
+
+    def __init__(self, space, ndims, parts):
+        super().__init__(space, ndims)
+        self.parts = dict(parts)
+
+    def __len__(self):
+        return sum(len(p) for p in self.parts.values())
+
+    def __getitem__(self, item):
+        if isinstance(item, str):
+            if ',' in item:
+                return _MulBoundary(self.space, self.ndims, {k: self.parts[k] for k in item.split(',')})
+            return self.parts[item]
+        raise KeyError(item)
+
+    def sample(self, ischeme, degree=None):
+        flat = []
+        for p in self.parts.values():
+            s = p.sample(ischeme, degree)
+            flat.extend(s.samples if isinstance(s, _sample.ChainedSample) else [s])
+        if len(flat) == 1:
+            return flat[0]
+        return _sample.ChainedSample(flat)
+
 
 class StructuredTopology(Topology):
     '''Tensor grid of hypercube elements, C-order numbering (first axis
