@@ -337,6 +337,175 @@ def bernstein_coeffs(ref, degree):
     raise NotImplementedError(type(ref))
 
 
+# ------------------------------------------------------------- refinement
+
+def children(ref):
+    """Per-child affine maps (linear [d, d], offset [d]) from child-local to
+    parent-local coordinates, following the reference's subdivision
+    conventions (reference: transform.py:309 SimplexChild, element.py:719
+    TensorReference.child_transforms: line children low/high, hypercube
+    children in C-order over axes, simplex children = corners + inverted
+    interior cells)."""
+    d = ref.ndims
+    if isinstance(ref, (LineReference, QuadReference, HexReference)):
+        out = []
+        for offs in _itertools.product([0.0, 0.5], repeat=d):
+            out.append((numpy.eye(d) * 0.5, numpy.array(offs)))
+        return out
+    if isinstance(ref, TriangleReference):
+        I = numpy.eye(2) * 0.5
+        return [
+            (I.copy(), numpy.array([0.0, 0.0])),
+            (I.copy(), numpy.array([0.5, 0.0])),
+            (I.copy(), numpy.array([0.0, 0.5])),
+            (numpy.array([[-0.5, 0.0], [0.5, 0.5]]), numpy.array([0.5, 0.0])),
+        ]
+    if isinstance(ref, TetReference):
+        I = numpy.eye(3) * 0.5
+        out = [(I.copy(), numpy.zeros(3))]
+        for i in range(3):
+            out.append((I.copy(), I[i].copy()))
+        out.append((numpy.array([[-.5, 0, -.5], [.5, .5, 0], [0, 0, .5]]), numpy.array([.5, 0, 0])))
+        out.append((numpy.array([[0, -.5, 0], [.5, 0, 0], [0, .5, .5]]), numpy.array([.5, 0, 0])))
+        out.append((numpy.array([[.5, 0, 0], [0, -.5, 0], [0, .5, .5]]), numpy.array([0, .5, 0])))
+        out.append((numpy.array([[-.5, 0, -.5], [-.5, -.5, 0], [.5, .5, .5]]), numpy.array([.5, .5, 0])))
+        return out
+    raise NotImplementedError(type(ref))
+
+
+def child_edge_map(ref):
+    """child_edge_map(ref)[ichild][iedge] = parent edge index the child's edge
+    lies on, or -1 if interior to the parent (the analogue of the reference's
+    Reference.connectivity boundary recovery, element.py:126)."""
+    if isinstance(ref, TriangleReference):
+        return [[-1, 1, 2], [0, -1, 2], [0, 1, -1], [-1, -1, -1]]
+    if isinstance(ref, (LineReference, QuadReference, HexReference)):
+        d = ref.ndims
+        # map (idim, side) -> parent edge index via edge normals
+        byside = {}
+        for k, (_lin, _off, nrm, _eref) in enumerate(ref.edges):
+            idim = int(numpy.argmax(numpy.abs(nrm)))
+            byside[idim, int(nrm[idim] > 0)] = k
+        out = []
+        for offs in _itertools.product([0, 1], repeat=d):
+            row = [-1] * len(ref.edges)
+            for k, (_lin, _off, nrm, _eref) in enumerate(ref.edges):
+                idim = int(numpy.argmax(numpy.abs(nrm)))
+                side = int(nrm[idim] > 0)
+                if offs[idim] == side:
+                    row[k] = byside[idim, side]
+            out.append(row)
+        return out
+    raise NotImplementedError(type(ref))
+
+
+def child_vert_keys(ref):
+    """Per-child local vertex identities in the parent's terms, for building
+    refined unstructured meshes: ('v', i) = parent vertex i, ('e', i, j) =
+    midpoint of parent vertices i < j, ('c',) = parent center."""
+    if isinstance(ref, TriangleReference):
+        v = lambda i: ('v', i)
+        e = lambda i, j: ('e', i, j)
+        return [
+            [v(0), e(0, 1), e(0, 2)],
+            [e(0, 1), v(1), e(1, 2)],
+            [e(0, 2), e(1, 2), v(2)],
+            [e(0, 1), e(0, 2), e(1, 2)],
+        ]
+    if isinstance(ref, QuadReference):
+        # parent vertex id at (a, b) in {0,1}^2 is 2*a + b (C-order)
+        def key(x, y):
+            fx, fy = x in (0.0, 1.0), y in (0.0, 1.0)
+            if fx and fy:
+                return ('v', int(2 * x + y))
+            if fx:  # vertical edge x fixed
+                return ('e', int(2 * x + 0), int(2 * x + 1))
+            if fy:
+                return ('e', int(0 + y), int(2 + y))
+            return ('c',)
+        out = []
+        for i0, i1 in _itertools.product([0, 1], repeat=2):
+            verts = []
+            for a, b in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                verts.append(key((i0 + a) / 2, (i1 + b) / 2))
+            out.append(verts)
+        return out
+    raise NotImplementedError(type(ref))
+
+
+# ------------------------------------------------------- polynomial algebra
+
+def _poly_mul(a, b, K):
+    """Multiply two tensor power-basis coefficient arrays (shape (Ka,)*d and
+    (Kb,)*d), truncating to (K,)*d; truncated coefficients must vanish."""
+    d = a.ndim
+    out = numpy.zeros((a.shape[0] + b.shape[0] - 1,) * d)
+    for ks in _itertools.product(*[range(n) for n in b.shape]):
+        c = b[ks]
+        if c == 0.0:
+            continue
+        sl = tuple(slice(k, k + a.shape[0]) for k in ks)
+        out[sl] += c * a
+    if out.shape[0] > K:
+        keep = tuple(slice(None, K) for _ in range(d))
+        rest = out.copy()
+        rest[keep] = 0.0
+        assert numpy.abs(rest).max() < 1e-9, 'affine substitution overflowed the coefficient box'
+        out = out[keep]
+    elif out.shape[0] < K:
+        pad = numpy.zeros((K,) * d)
+        pad[tuple(slice(None, out.shape[0]) for _ in range(d))] = out
+        out = pad
+    return out
+
+
+_compose_cache = {}
+
+
+def compose_affine_poly(coeffs, lin, off):
+    """Coefficients of p(lin @ y + off) given coefficients of p(x), both in
+    tensor power layout [..., K, ..d.., K] (the analogue of the reference's
+    transform_poly, transform.py:100)."""
+    coeffs = numpy.asarray(coeffs, dtype=float)
+    lin = numpy.asarray(lin, dtype=float)
+    off = numpy.asarray(off, dtype=float)
+    key = (coeffs.tobytes(), coeffs.shape, lin.tobytes(), off.tobytes())
+    hit = _compose_cache.get(key)
+    if hit is not None:
+        return hit
+    d = lin.shape[0]
+    K = coeffs.shape[-1]
+    lead = coeffs.shape[:-d]
+    flat = coeffs.reshape((-1,) + (K,) * d)
+    # powers[i][m] = (lin[i] . y + off[i])^m as (K,)*d coefficients
+    powers = []
+    for i in range(d):
+        q = numpy.zeros((K,) * d)
+        q[(0,) * d] = off[i]
+        for j in range(d):
+            if lin[i, j] != 0.0:
+                q[tuple(1 if jj == j else 0 for jj in range(d))] = lin[i, j]
+        pw = [numpy.zeros((K,) * d), q]
+        pw[0][(0,) * d] = 1.0
+        for m in range(2, K):
+            pw.append(_poly_mul(pw[-1], q, K))
+        powers.append(pw)
+    out = numpy.zeros_like(flat)
+    for ks in _itertools.product(*[range(K)] * d):
+        col = flat[(slice(None),) + ks]
+        if not col.any():
+            continue
+        term = powers[0][ks[0]]
+        for i in range(1, d):
+            term = _poly_mul(term, powers[i][ks[i]], K)
+        out += col.reshape((-1,) + (1,) * d) * term
+    out = out.reshape(lead + (K,) * d)
+    if len(_compose_cache) > 4096:
+        _compose_cache.clear()
+    _compose_cache[key] = out
+    return out
+
+
 def edge_dofs(ref, degree, iedge):
     """Local dofs of ``ref`` lying on edge ``iedge``, in canonical order
     (reference: element.py:463,739 get_edge_dofs)."""

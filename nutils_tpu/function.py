@@ -39,13 +39,15 @@ class Chart:
     ``origin_topo``.
     '''
 
-    def __init__(self, X=None, index=None, xi=None, tangents=None, normal_root=None, origin_topo=None):
+    def __init__(self, X=None, index=None, xi=None, tangents=None, normal_root=None, origin_topo=None, lineage=None):
         self.X = X
         self.index = index
         self.xi = xi
         self.tangents = tangents
         self.normal_root = normal_root
         self.origin_topo = origin_topo
+        self.lineage = lineage  # (family, levels [E], elems [E]) for samples of
+        # hierarchical refinement families (see hierarchical._Family)
 
 
 class LowerArgs:
@@ -707,6 +709,8 @@ class Basis(Array):
     (reference: function.py:2704-2860).
     '''
 
+    _origin = None  # home topology; set by the topology that built the basis
+
     def __init__(self, ndofs, nelems, space):
         self.ndofs = int(ndofs)
         self.nelems = int(nelems)
@@ -720,28 +724,83 @@ class Basis(Array):
         dofs, _ = self.get_tables(numpy.asarray([ielem]))
         return numpy.unique(dofs[0])
 
+    @functools.cached_property
+    def _support(self):
+        '''dof -> element index lists, inverted from the per-element tables.'''
+        sup = [[] for _ in range(self.ndofs)]
+        dofs, coeffs = self.get_tables(numpy.arange(self.nelems))
+        nz = numpy.abs(coeffs.reshape(coeffs.shape[:2] + (-1,))).max(-1) > 0
+        for ielem in range(self.nelems):
+            for d in numpy.unique(dofs[ielem][nz[ielem]]):
+                sup[d].append(ielem)
+        return [numpy.asarray(s, dtype=int) for s in sup]
+
+    def get_support(self, dof):
+        '''Element indices supporting the given dof(s); boolean masks and
+        index arrays take the union (reference: function.py:2754).'''
+        dof = numpy.asarray(dof)
+        if dof.dtype == bool:
+            dof = dof.nonzero()[0]
+        if dof.ndim == 0:
+            return self._support[int(dof)]
+        if len(dof) == 0:
+            return numpy.empty(0, dtype=int)
+        return numpy.unique(numpy.concatenate([self._support[int(d)] for d in dof]))
+
+    def _chart_tables(self, chart, E, P):
+        '''Resolve a chart to (dofs [E, L], coeffs [E, L, K...], xi expression
+        [E, P, d]).  Samples of other members of the same refinement family
+        resolve through the chart lineage (the analogue of the reference's
+        index_with_tail chain resolution, transformseq.py:15).'''
+        own = self._origin
+        hier = getattr(own, '_hier', None) if own is not None else None
+        if chart.origin_topo is own or hier is None or chart.lineage is None:
+            dofs, coeffs = self.get_tables(chart.index)
+            return dofs, coeffs, chart.xi
+        family, mylevel = hier
+        cfamily, levels, elems = chart.lineage
+        assert cfamily is family, 'sample belongs to a different refinement family'
+        anc = family.ancestors_at(levels, elems, mylevel)
+        dofs, coeffs = self.get_tables(anc)
+        lin, off = family.to_local(mylevel, anc)  # [E,d,d], [E,d]
+        xi = _affine_of_X(chart.X, lin, off, E, P)
+        return dofs, coeffs, xi
+
     def lower(self, args):
         chart = args.chart(self.space)
-        dofs, coeffs = self.get_tables(chart.index)
         E, P = args.points_shape
-        L = dofs.shape[1]
-        K = coeffs.shape[2:]  # per-dim power counts
-        dp = len(K)
-        xi = chart.xi  # [E,P,dp]
-        # vals[e,p,l] = sum_{k1..kd} coeffs[e,l,k1..kd] * prod_i xi_i^k_i
-        expr = ev.insertaxis(ev.constant(coeffs), 1, P)  # [E,P,L,K...]
-        for i in range(dp):
-            xi_i = ev.take(xi, ev.constant(numpy.array(i)), 2)  # [E,P]
-            mono = ev.Monomials(xi_i, K[i])  # [E,P,Ki]
-            m = ev.insertaxis(mono, 2, L)  # [E,P,L,Ki]
-            for j in range(i):
-                m = ev.insertaxis(m, 3, K[j])
-            for j in range(i + 1, dp):
-                m = ev.insertaxis(m, m.ndim, K[j])
-            expr = ev.multiply(expr, m)
-        vals = ev.sum_(expr, tuple(range(3, 3 + dp)))  # [E,P,L]
-        dofs_b = ev.constant(dofs[:, None, :])  # [E,1,L]
-        return ev.inflate(vals, dofs_b, self.ndofs, 2)
+        dofs, coeffs, xi = self._chart_tables(chart, E, P)
+        return _lower_poly_tables(dofs, coeffs, xi, P, self.ndofs)
+
+
+def _affine_of_X(X, lin, off, E, P):
+    '''xi[e,p,i] = lin[e,i,j] X[e,p,j] + off[e,i] as an expression.'''
+    d_out = lin.shape[1]
+    linx = ev.insertaxis(ev.constant(lin), 1, P)        # [E,P,d_out,d]
+    Xx = ev.insertaxis(X, 2, d_out)                     # [E,P,d_out,d]
+    xi = ev.sum_(ev.multiply(linx, Xx), 3)              # [E,P,d_out]
+    return ev.add(xi, ev.insertaxis(ev.constant(off), 1, P))
+
+
+def _lower_poly_tables(dofs, coeffs, xi, P, ndofs):
+    '''Batched polynomial basis evaluation from per-element tables:
+    vals[e,p,l] = sum_k coeffs[e,l,k...] prod_i xi_i^k_i, scattered to ndofs.'''
+    L = dofs.shape[1]
+    K = coeffs.shape[2:]  # per-dim power counts
+    dp = len(K)
+    expr = ev.insertaxis(ev.constant(coeffs), 1, P)  # [E,P,L,K...]
+    for i in range(dp):
+        xi_i = ev.take(xi, ev.constant(numpy.array(i)), 2)  # [E,P]
+        mono = ev.Monomials(xi_i, K[i])  # [E,P,Ki]
+        m = ev.insertaxis(mono, 2, L)  # [E,P,L,Ki]
+        for j in range(i):
+            m = ev.insertaxis(m, 3, K[j])
+        for j in range(i + 1, dp):
+            m = ev.insertaxis(m, m.ndim, K[j])
+        expr = ev.multiply(expr, m)
+    vals = ev.sum_(expr, tuple(range(3, 3 + dp)))  # [E,P,L]
+    dofs_b = ev.constant(dofs[:, None, :])  # [E,1,L]
+    return ev.inflate(vals, dofs_b, ndofs, 2)
 
 
 class StructuredBasis(Basis):
@@ -783,25 +842,11 @@ class StructuredBasis(Basis):
                               numpy.array(self._shape) - 1)  # [E, d]
         dofs, coeffs = self._tensor_tables(self._offsets, self._coeffs, self._ndofs_per_dim, multi)
         E, P = args.points_shape
-        L = dofs.shape[1]
-        K = coeffs.shape[2:]
-        dp = len(K)
+        dp = len(coeffs.shape[2:])
         # local coords in our elements: X / h - elem_multi
         origin = ev.insertaxis(ev.constant(multi.astype(float)), 1, P)  # [E,P,d]
         xi = ev.add(ev.multiply(chart.X, _prefix_broadcast(ev.constant(1.0 / self._root_h), (E, P, dp))), ev.negative(origin))
-        expr = ev.insertaxis(ev.constant(coeffs), 1, P)
-        for i in range(dp):
-            xi_i = ev.take(xi, ev.constant(numpy.array(i)), 2)
-            mono = ev.Monomials(xi_i, K[i])
-            m = ev.insertaxis(mono, 2, L)
-            for j in range(i):
-                m = ev.insertaxis(m, 3, K[j])
-            for j in range(i + 1, dp):
-                m = ev.insertaxis(m, m.ndim, K[j])
-            expr = ev.multiply(expr, m)
-        vals = ev.sum_(expr, tuple(range(3, 3 + dp)))
-        dofs_b = ev.constant(dofs[:, None, :])
-        return ev.inflate(vals, dofs_b, self.ndofs, 2)
+        return _lower_poly_tables(dofs, coeffs, xi, P, self.ndofs)
 
 
 class MaskedBasis(Basis):
@@ -811,6 +856,7 @@ class MaskedBasis(Basis):
 
     def __init__(self, parent, mask):
         self._parent = parent
+        self._origin = parent._origin
         mask = numpy.asarray(mask, dtype=bool)
         assert mask.shape == (parent.ndofs,)
         self._renumber = numpy.cumsum(mask) - 1
@@ -848,9 +894,30 @@ class PlainBasis(Basis):
     def get_tables(self, elem_indices):
         if not self._ragged:
             return self._dofs[elem_indices], self._elemcoeffs[elem_indices]
-        dofs = numpy.stack([self._dofs[i] for i in elem_indices])
-        coeffs = numpy.stack([self._elemcoeffs[i] for i in elem_indices])
+        lens = [len(self._dofs[i]) for i in elem_indices]
+        Lmax = max(lens, default=1)
+        if all(n == Lmax for n in lens):
+            dofs = numpy.stack([self._dofs[i] for i in elem_indices])
+            coeffs = numpy.stack([self._elemcoeffs[i] for i in elem_indices])
+            return dofs, coeffs
+        # mixed-size batch (e.g. triangles and squares): pad with zero
+        # coefficients on dof 0, which inflate sums to nothing
+        Kshape = self._elemcoeffs[elem_indices[0]].shape[1:]
+        dofs = numpy.zeros((len(elem_indices), Lmax), dtype=int)
+        coeffs = numpy.zeros((len(elem_indices), Lmax) + Kshape)
+        for k, i in enumerate(elem_indices):
+            n = lens[k]
+            dofs[k, :n] = self._dofs[i]
+            coeffs[k, :n] = self._elemcoeffs[i]
         return dofs, coeffs
+
+    @functools.cached_property
+    def _support(self):
+        sup = [[] for _ in range(self.ndofs)]
+        for ielem in range(self.nelems):
+            for d in numpy.unique(self._dofs[ielem]):
+                sup[d].append(ielem)
+        return [numpy.asarray(s, dtype=int) for s in sup]
 
 
 # ---------------------------------------------------------------- builders

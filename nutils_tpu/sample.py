@@ -21,9 +21,9 @@ _token = itertools.count()
 class _ChartSpec:
     '''Per-space tables of a sample (see function.Chart).'''
 
-    __slots__ = 'space', 'coords', 'index', 'p_linear', 'p_offset', 'tangents', 'normal_root', 'origin_topo'
+    __slots__ = 'space', 'coords', 'index', 'p_linear', 'p_offset', 'tangents', 'normal_root', 'origin_topo', 'lineage'
 
-    def __init__(self, space, coords, index, p_linear, p_offset, tangents, normal_root, origin_topo):
+    def __init__(self, space, coords, index, p_linear, p_offset, tangents, normal_root, origin_topo, lineage=None):
         self.space = space
         self.coords = numpy.asarray(coords, dtype=float)      # [E, P, d] root coords
         self.index = numpy.asarray(index)                     # [E] parent element ids
@@ -32,13 +32,14 @@ class _ChartSpec:
         self.tangents = numpy.asarray(tangents, dtype=float)  # [E, d, ds]
         self.normal_root = None if normal_root is None else numpy.asarray(normal_root, dtype=float)
         self.origin_topo = origin_topo
+        self.lineage = lineage  # (family, levels [E], elems [E]) or None
 
 
 class Sample:
 
     def __init__(self, space, coords, weights, index, p_linear, p_offset, tangents,
                  normal_root=None, tri_local=None, hull_local=None, opposite=None, part_ids=None,
-                 part_topos=None, batch_key=None, origin_topo=None, specs=None):
+                 part_topos=None, batch_key=None, origin_topo=None, specs=None, lineage=None):
         self.opposite = opposite    # Sample for the other side of an interface
         self.part_ids = part_ids    # int [E]: originating part in a union topology
         self.part_topos = part_topos  # list of topologies aligned with part_ids
@@ -47,7 +48,7 @@ class Sample:
             self.specs = list(specs)
             E, P, _ = self.specs[0].coords.shape
         else:
-            self.specs = [_ChartSpec(space, coords, index, p_linear, p_offset, tangents, normal_root, origin_topo)]
+            self.specs = [_ChartSpec(space, coords, index, p_linear, p_offset, tangents, normal_root, origin_topo, lineage)]
             E, P, _ = self.specs[0].coords.shape
         self.weights = None if weights is None else numpy.asarray(weights, dtype=float)  # [E, P]
         self.tri_local = tri_local                            # [ntl, ds+1] within-element triangulation
@@ -109,7 +110,7 @@ class Sample:
                 xi = ev.sum_(ev.multiply(pl, Xx), 3)                    # [E,P,dp]
                 xi = ev.add(xi, ev.insertaxis(ev.constant(spec.p_offset), 1, P))
                 charts[spec.space] = function.Chart(X, spec.index, xi, spec.tangents,
-                                                    spec.normal_root, spec.origin_topo)
+                                                    spec.normal_root, spec.origin_topo, spec.lineage)
             self._lower_args = function.LowerArgs(
                 points_shape=(E, P), charts=charts,
                 opposite=self.opposite.lower_args() if self.opposite is not None else None,
@@ -217,6 +218,12 @@ class Sample:
         opposite = None
         if all(s.opposite is not None for s in samples):
             opposite = Sample.concatenate([s.opposite for s in samples])
+        lineages = [s.specs[0].lineage for s in samples]
+        lineage = None
+        if lineages[0] is not None and all(lg is not None and lg[0] is lineages[0][0] for lg in lineages):
+            lineage = (lineages[0][0],
+                       numpy.concatenate([numpy.broadcast_to(lg[1], (s.nelems,)) for lg, s in zip(lineages, samples)]),
+                       numpy.concatenate([lg[2] for lg in lineages]))
         return Sample(
             s0.space,
             numpy.concatenate([s.coords for s in samples]),
@@ -227,7 +234,8 @@ class Sample:
             numpy.concatenate([s.tangents for s in samples]),
             None if s0.normal_root is None else numpy.concatenate([s.normal_root for s in samples]),
             s0.tri_local, s0.hull_local, opposite, part_ids, part_topos, s0.batch_key,
-            s0.origin_topo if all(s.origin_topo is s0.origin_topo for s in samples) else None)
+            s0.origin_topo if all(s.origin_topo is s0.origin_topo for s in samples) else None,
+            lineage=lineage)
 
 
 def _product_tri(tri1, P1, nd1, tri2, P2, nd2, hull1, hull2):

@@ -60,6 +60,40 @@ class Topology:
     def boundary(self):
         raise NotImplementedError
 
+    # ------------------------------------------------------ subsets, refinement
+
+    def select(self, indicator, ischeme='bezier2', *, arguments=None, **kwargs):
+        '''Selection of the elements on which ``indicator`` is positive at any
+        point of the sample (reference: topology.py:765).'''
+        import re
+        m = re.fullmatch(r'([a-zA-Z_]+?)(\d*)', ischeme)
+        scheme, sdeg = m.group(1), m.group(2)
+        degree = int(sdeg) if sdeg else None
+        smp = self.sample(scheme, degree)
+        vals = numpy.asarray(smp.eval(function.asarray(indicator), arguments or {}))
+        mask = numpy.zeros(len(self), dtype=bool)
+        parts = smp.samples if isinstance(smp, _sample.ChainedSample) else [smp]
+        pos = 0
+        for s in parts:
+            v = vals[pos:pos + s.npoints].reshape(s.nelems, s.npoints_per_elem)
+            mask[s.index[(v > 0).any(axis=1)]] = True
+            pos += s.npoints
+        return _Selection(self, numpy.nonzero(mask)[0])
+
+    def subset(self, selection, newboundary=None, strict=False):
+        '''Whole-element subset topology; newly exposed inter-element edges
+        form the boundary group ``newboundary`` (reference: topology.py:720;
+        the whole-element case of SubsetTopology, topology.py:2615).'''
+        from .hierarchical import HierarchicalTopology
+        ielems = selection.ielems if isinstance(selection, _Selection) else numpy.asarray(selection, dtype=int)
+        return HierarchicalTopology(self, [ielems], newboundary=newboundary)
+
+    def refined_by(self, refine):
+        '''Hierarchical topology with the given elements replaced by their
+        children (reference: topology.py:531).'''
+        from .hierarchical import HierarchicalTopology
+        return HierarchicalTopology(self, [numpy.arange(len(self))]).refined_by(refine)
+
     def withboundary(self, **bgroups):
         '''Attach named boundary groups; string values refer to existing
         groups (reference: topology.py:734).'''
@@ -81,6 +115,17 @@ class Topology:
         '''Tensor product over disjoint spaces (reference: topology.py:1239
         _Mul): samples, bases and boundaries tensorize.'''
         return _MulTopology(self, other)
+
+
+class _Selection:
+    '''Result of Topology.select: the element indices to keep.'''
+
+    def __init__(self, topo, ielems):
+        self.topo = topo
+        self.ielems = numpy.asarray(ielems, dtype=int)
+
+    def __len__(self):
+        return len(self.ielems)
 
 
 class _MulTopology(Topology):

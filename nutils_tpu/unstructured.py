@@ -141,7 +141,9 @@ class UnstructuredTopology(Topology):
         if degree == 1 and all(isinstance(r, (element.LineReference, element.TriangleReference, element.TetReference)) for r in self._refs):
             # pure simplex: vertex dofs directly (reference: topology.py:2495)
             coeffs = [element.bernstein_coeffs(ref, 1) for ref in self._refs]
-            return function.PlainBasis(self.space, list(self._elem_verts), coeffs, self.nverts, ragged=True)
+            basis = function.PlainBasis(self.space, list(self._elem_verts), coeffs, self.nverts, ragged=True)
+            basis._origin = self
+            return basis
         return self.basis_bernstein(degree)
 
     def basis_bernstein(self, degree):
@@ -161,7 +163,9 @@ class UnstructuredTopology(Topology):
                         yield from zip(di.tolist(), dj.tolist())
         dofmap, ndofs = merge_index_map(int(offsets[-1]), merge_sets())
         dofs = [dofmap[offsets[i]:offsets[i + 1]] for i in range(len(self._refs))]
-        return function.PlainBasis(self.space, dofs, coeffs, ndofs, ragged=True)
+        basis = function.PlainBasis(self.space, dofs, coeffs, ndofs, ragged=True)
+        basis._origin = self
+        return basis
 
     basis_lagrange = basis_bernstein  # lagrange merge structure is identical; coeffs differ (future)
 
@@ -170,7 +174,9 @@ class UnstructuredTopology(Topology):
         counts = [len(c) for c in coeffs]
         offsets = numpy.cumsum([0] + counts)
         dofs = [numpy.arange(offsets[i], offsets[i + 1]) for i in range(len(self._refs))]
-        return function.PlainBasis(self.space, dofs, coeffs, int(offsets[-1]), ragged=True)
+        basis = function.PlainBasis(self.space, dofs, coeffs, int(offsets[-1]), ragged=True)
+        basis._origin = self
+        return basis
 
     def basis_bubble(self):
         '''Linear simplex basis enriched with interior bubbles
@@ -192,7 +198,9 @@ class UnstructuredTopology(Topology):
             coeffs.append(c)
         ndofs = self.nverts + len(self)
         dofs = [numpy.concatenate([self._elem_verts[i], [self.nverts + i]]) for i in range(len(self))]
-        return function.PlainBasis(self.space, dofs, coeffs, ndofs, ragged=True)
+        basis = function.PlainBasis(self.space, dofs, coeffs, ndofs, ragged=True)
+        basis._origin = self
+        return basis
 
 
 class UnstructuredBoundary(Topology):
