@@ -7,9 +7,8 @@ import numpy
 # Lid-driven cavity: stationary Stokes and Navier-Stokes flow with Taylor-Hood
 # or Raviart-Thomas (compatible) discretizations and weak or strong tangential
 # boundary conditions via Nitsche's method (reference: examples/drivencavity.py;
-# regression values matched to the reference's published digits).  The
-# reference samples the cavity center lines through a trimmed topology; this
-# port uses point location instead (plots only).
+# regression values matched to the reference's published digits).  The cavity
+# center lines are sampled through trimmed topologies as in the reference.
 
 
 def main(nelems: int = 32,
@@ -44,6 +43,8 @@ def main(nelems: int = 32,
         raise Exception('compatible mode requires square elements and weak boundary conditions')
 
     domain, geom = mesh.unitsquare(nelems, etype)
+    domain.center_hor = domain.trim(geom[1] - .5, maxrefine=0).boundary['trimmed'].sample('bezier', 9)
+    domain.center_ver = domain.trim(geom[0] - .5, maxrefine=0).boundary['trimmed'].sample('bezier', 9)
 
     ns = Namespace()
     ns.δ = function.eye(2)
@@ -129,18 +130,17 @@ def postprocess(domain, ns, arguments):
         fig.colorbar(im, label='vorticity')
         ax.tricontour(*x.T, bezier.tri, ω, levels=numpy.arange(-5, 6), colors='k', linestyles='solid', linewidths=.5, zorder=9)
 
-    # center-line cross sections via point location
-    s = numpy.linspace(1e-10, 1 - 1e-10, 101)
-    hor = domain.locate(ns.x, numpy.stack([s, numpy.full_like(s, .5)], axis=1), tol=1e-12)
-    xh, vh = hor.eval(['x_0', 'u_1'] @ ns, arguments)
+    # center-line cross sections through the trimmed center-line samples
+    xh, vh = domain.center_hor.eval(['x_0', 'u_1'] @ ns, arguments)
     with export.mplfigure('cross-hor.png', dpi=150) as fig:
         ax = fig.add_subplot(111, xlim=(0, 1), title='horizontal cross section at y=0.5', xlabel='x-coordinate', ylabel='vertical velocity')
-        ax.plot(numpy.asarray(xh), numpy.asarray(vh))
-    ver = domain.locate(ns.x, numpy.stack([numpy.full_like(s, .5), s], axis=1), tol=1e-12)
-    uh, yh = ver.eval(['u_0', 'x_1'] @ ns, arguments)
+        order = numpy.argsort(numpy.asarray(xh))
+        ax.plot(numpy.asarray(xh)[order], numpy.asarray(vh)[order])
+    uh, yh = domain.center_ver.eval(['u_0', 'x_1'] @ ns, arguments)
     with export.mplfigure('cross-ver.png', dpi=150) as fig:
         ax = fig.add_subplot(111, ylim=(0, 1), title='vertical cross section at x=0.5', ylabel='y-coordinate', xlabel='horizontal velocity')
-        ax.plot(numpy.asarray(uh), numpy.asarray(yh))
+        order = numpy.argsort(numpy.asarray(yh))
+        ax.plot(numpy.asarray(uh)[order], numpy.asarray(yh)[order])
 
 
 class test(testing.TestCase):

@@ -15,7 +15,7 @@ def main(nelems: int = 20,
          poisson: float = .25,
          angle: float = 20.,
          restol: float = 1e-10,
-         trim: bool = False):
+         trim: bool = True):
 
     '''Deformed plate
 

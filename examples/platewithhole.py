@@ -6,9 +6,45 @@ from dataclasses import dataclass
 from typing import Union
 import numpy
 
-# Infinite plate with a circular hole under tension: NURBS-mapped exact
-# geometry (reference: examples/platewithhole.py; regression data copied
-# verbatim).  The FCM (trimmed) mode lands with finite-cell support.
+# Infinite plate with a circular hole under tension: either a NURBS-mapped
+# exact geometry or a Finite Cell Method discretization where the hole is
+# trimmed out of a regular mesh (reference: examples/platewithhole.py;
+# regression data copied verbatim).
+
+
+@dataclass
+class FCM:
+    '''Finite cell method
+
+    Generate a topology and geometry by meshing the unit square, followed by
+    removing the circular cut-out using the Finite Cell Method. Then restrict
+    a basis from the base topology to the trimmed topology for analysis.
+
+    Parameters
+    ----------
+    nelems
+        Number of elements along one dimension in the base mesh.
+    etype
+        Element type to use in the base mesh (square/triangle/mixed).
+    btype
+        Basis type, options depending on the selected element type.
+    degree
+        Polynomial degree of the basis functions.
+    maxrefine
+        Quad-tree refinement depth of the finite cell procedure.
+    '''
+
+    nelems: int = 9
+    etype: str = 'square'
+    btype: str = 'std'
+    degree: int = 2
+    maxrefine: int = 2
+
+    def generate(self, radius):
+        topo0, geom = mesh.unitsquare(self.nelems, self.etype)
+        topo = topo0.trim(numpy.linalg.norm(geom) - radius, maxrefine=self.maxrefine, name='hole')
+        basis = topo.basis(self.btype, degree=self.degree)
+        return topo.withboundary(sym='left,bottom', far='top,right'), geom, basis, self.degree
 
 
 @dataclass
@@ -50,7 +86,7 @@ class NURBS:
         return topo.withboundary(hole='left', sym='top,bottom', far='right'), geom, nurbsbasis, 5
 
 
-def main(mode: NURBS = NURBS(),
+def main(mode: Union[FCM, NURBS] = NURBS(),
          radius: float = .5,
          traction: float = .1,
          poisson: float = .3):
@@ -118,6 +154,41 @@ def main(mode: NURBS = NURBS(),
 
 
 class test(testing.TestCase):
+
+    def test_spline(self):
+        err, cons, args = main(mode=FCM(nelems=4, btype='spline'))
+        with self.subTest('l2-error'):
+            self.assertAlmostEqual(err[0], .00033, places=5)
+        with self.subTest('h1-error'):
+            self.assertAlmostEqual(err[1], .00674, places=5)
+        with self.subTest('constraints'):
+            self.assertAlmostEqual64(cons['u'], '''
+                eNpjaGBoYGBAxvrnGBow4X89g3NQFSjQwLAGq7i10Wus4k+NfM8fNWZgOGL89upc47WX0ozvXjAzPn1e
+                1TjnPACrACoJ''')
+        with self.subTest('left-hand side'):
+            self.assertAlmostEqual64(args['u'], '''
+                eNpbb3bMjIHhxzkGBhMgtgdi/XMqp8RPvjLxOPPCcNq5Fn3Pcxr6luf+6xmcm2LMwLDQePf5c0bTzx8x
+                5DnvaTjnnIFhzbmlQPH5xgvu6hvfvbjaSPRCsJHeeWuj1+c2AMU3Gi++Wmu885Kp8d4LP41WnH9q5Hv+
+                KFD8iPHbq3ON115KM757wcz49HlV45zzAL8gQC8=''')
+
+    def test_mixed(self):
+        err, cons, args = main(mode=FCM(nelems=4, etype='mixed'))
+        with self.subTest('l2-error'):
+            self.assertAlmostEqual(err[0], .00024, places=5)
+        with self.subTest('h1-error'):
+            self.assertAlmostEqual(err[1], .00740, places=5)
+        with self.subTest('constraints'):
+            self.assertAlmostEqual64(cons['u'], '''
+                eNpjaGDADhlwiOEU1z8HZusbgukkg5BzRJqKFRoa1oD1HzfceA5NH9FmgKC10SuwOdONpM7DxDYa77gM
+                MueoMQPDEePzV2Hic42XXmoynnQRxvc3dryQbnz3Aoj91Mj3vJnx6fOqxjnnAQzkV94=''')
+        with self.subTest('left-hand side'):
+            self.assertAlmostEqual64(args['u'], '''
+                eNoNzEEoQ3EcB/AXVymHtdqBkyLx3v/3LTQHtHJQKKHZ0YXMQS6sSM2BcrKMqbHTotUOw4GrthzWfr//
+                e6+nHJYUyUopKSnlHT717Vvfr0cpSWCWr/FVs1GuZdHKmb6QGMYRN9Qev1irXFUVTtAfG8agb5gtc5LX
+                zQj/WDm+s3b8bsBncosZZsNUvGEt8YI1w2lcSQRrMg9Pp/FmZ2EYOfTYmnIyR+PShLi+oA8pq5DsqxoH
+                qEvGaFdG1AErtclP6pnvVYnz/u4MVj2OZrfg53OceElE3Q482p9U0d0I2FGEnRK16SQdyjfFtEOuTFOv
+                DFGDi7QsxxSSIoIPGby7Jdy4l/5PxVeGeFu4dWLYtk+Rd5JI2SaKOoh2PYVRvYi6/qWCvNKE9KMqnViR
+                fyhZkYI=''')
 
     def test_nurbs0(self):
         err, cons, args = main(mode=NURBS(nrefine=0))

@@ -5,9 +5,9 @@ from nutils_tpu.utils import _log as log
 import numpy as np
 
 # Hyperelastic (Neo-Hookean) cylinder under torsion: tensor-product topology
-# of a periodic 2D surface grid and a 1D thickness extrusion in a separate
-# space (reference: examples/torsion.py; regression data copied verbatim).
-# The trimmed-hole variant lands with finite-cell support.
+# of a periodic 2D surface grid (optionally with a trimmed hole) and a 1D
+# thickness extrusion in a separate space (reference: examples/torsion.py;
+# regression data copied verbatim).
 
 
 def main(length: float = 2*np.pi,
@@ -17,7 +17,7 @@ def main(length: float = 2*np.pi,
          elemsize: float = .5,
          poisson: float = .4,
          restol: float = 1e-8,
-         trim: float = 0.,
+         trim: float = np.pi/2,
          stretch: float = 1.,
          degree: int = 2):
 
@@ -44,7 +44,7 @@ def main(length: float = 2*np.pi,
     restol
         Newton tolerance.
     trim
-        Radius of hole (pending finite-cell support).
+        Radius of hole.
     stretch
         Length stretch factor.
     degree
@@ -89,6 +89,21 @@ def main(length: float = 2*np.pi,
 
 
 class test(testing.TestCase):
+
+    def test_torque(self):
+        args = main(rotation=1., increment=1., elemsize=1., poisson=.25)
+        self.assertAlmostEqual64(args['u'], '''
+            eNoN0stLE3AcAHAC58Ieq9SDh8Z87ffcQrCQJBcVJFMKKUzaQSExeihKFzvEwsBU6GJlJCYpLCQKLXQY
+            VjazmHWI7ff4/rYx3Tx4CSotw2lQff6Gz3jJZKzAVMe4aYFWYDCszyY+xNZQ2FlhAvgxroBWsru0FjlI
+            CD9E/WQXfYPXSRbqJBuoEf8gfuwlXtqGM+YaycAQfCUdMK5P0pvwJ34ApbUHOlG7XlVjOEc3mE2cVt+h
+            evmcEvBNW9RTZCGc2rG1aIqewNvAyoppgnmYpBmWYufZBvPx+3iOVxJBfvMBMkALXXFyCUJ8Qjv1Oq/X
+            F5TDlauTyrBZydUvZpcBucpGhcV4cB4cK2womde30JAZ1JvIi/NJ49K9kiZy2wRMNznIz7AuGmRlrJeF
+            6TKt4VE27irHRfywe4ECf+e2cSZfuFIQF0fcZapYzLlXxCdxivWpGkmZX1apGJ0R2SYI+WTEcTXRRK4j
+            H+omWygEefB2cSwxr2+YZjSoD/GXsk9NMS39co4iNSMUOx1NgZO/j5SpJK+KrAi3rIuW40XxMbJAiTga
+            sfHP4rnsol75RfayCmVXNbzebGlOlyGTnKKv4S+2sjGUDWm1F0/vP6dceB+xqGKK5ayUdKe0Sx+zyVHx
+            AHvEhI6THaJeP6KpaK6+AlWikrh0jhggl9VSNE6SqlR6GFdWmWJP5Hbp489KKp1rqCIWRgHcBGHcSuoS
+            tc4CM+2UqAXuYoWHdVZpxKR1CPeYdm2jDZCjreiOzkAzztcdUEdeqf8TTI/eQCOwR/txUAdVG16LTxoH
+            8cBF009+quOwTv4BeBNCLA==''')
 
     def test_stretch(self):
         args = main(rotation=0., elemsize=2., poisson=.25, restol=1e-8, trim=0., stretch=1.1, degree=3)

@@ -871,6 +871,33 @@ class MaskedBasis(Basis):
         return dofs, coeffs
 
 
+class PrunedBasis(Basis):
+    '''Restriction of a basis to the dofs supported on a subset of elements
+    (reference: function.py:3103 PrunedBasis).  The element index space stays
+    that of the parent topology — only the dof axis is renumbered — so charts
+    of trimmed topologies (which carry base element ids) lower unchanged.'''
+
+    def __init__(self, parent, kept_elems):
+        self._parent = parent
+        self._origin = parent._origin
+        kept_elems = numpy.asarray(kept_elems, dtype=int)
+        pd, pc = parent.get_tables(kept_elems)
+        nz = numpy.abs(pc.reshape(pc.shape[:2] + (-1,))).max(-1) > 0
+        self._dofmap = numpy.unique(pd[nz])
+        self._renumber = numpy.full(parent.ndofs, -1, dtype=int)
+        self._renumber[self._dofmap] = numpy.arange(len(self._dofmap))
+        super().__init__(len(self._dofmap), parent.nelems, parent.space)
+
+    def get_tables(self, elem_indices):
+        pd, pc = self._parent.get_tables(elem_indices)
+        rd = self._renumber[pd]
+        bad = rd < 0
+        if bad.any():
+            rd = numpy.where(bad, 0, rd)
+            pc = numpy.where(bad.reshape(bad.shape + (1,) * (pc.ndim - 2)), 0.0, pc)
+        return rd, pc
+
+
 class PlainBasis(Basis):
     '''Basis from explicit per-element tables (unstructured topologies).
 
@@ -1373,6 +1400,53 @@ class _Replaced(Array):
         return ev.replace(inner, mapping)
 
 
+# --------------------------------------------------- quantity dispatch hook
+
+_DISPATCHEES = ()
+
+
+def _register_dispatchee(cls):
+    '''Register a wrapper type (e.g. SI.Quantity) whose
+    ``__nutils_dispatch__(func, args, kwargs)`` intercepts function-layer
+    operations (the analogue of the reference's __nutils_dispatch__ protocol,
+    function.py:96).'''
+    global _DISPATCHEES
+    _DISPATCHEES = _DISPATCHEES + (cls,)
+
+
+def _find_dispatchee(args):
+    for a in args:
+        if isinstance(a, _DISPATCHEES):
+            return type(a)
+        if isinstance(a, (list, tuple)):
+            for b in a:
+                if isinstance(b, _DISPATCHEES):
+                    return type(b)
+    return None
+
+
+def _dispatchable(f):
+    @functools.wraps(f)
+    def wrapper(*args, **kwargs):
+        cls = _find_dispatchee(args)
+        if cls is not None:
+            r = cls.__nutils_dispatch__(wrapper, args, kwargs)
+            if r is not NotImplemented:
+                return r
+        return f(*args, **kwargs)
+    wrapper.__wrapped__ = f
+    return wrapper
+
+
+for _n in ('asarray', 'add', 'subtract', 'multiply', 'divide', 'negative', 'power',
+           'sqrt', 'sum_', 'matmul', 'transpose', 'getitem', 'grad', 'div', 'curl',
+           'laplace', 'normal', 'jacobian', 'J', 'normalized', 'trace', 'opposite',
+           'mean', 'jump', 'eval', 'derivative', 'factor', 'arguments_for',
+           'replace_arguments', 'min_', 'max_', 'stack', 'concatenate', 'abs_',
+           'insertaxis'):
+    globals()[_n] = _dispatchable(globals()[_n])
+
+
 # numpy ufunc/function dispatch tables
 _UFUNC_MAP = {
     numpy.add: add, numpy.subtract: subtract, numpy.multiply: multiply,
@@ -1385,10 +1459,20 @@ _UFUNC_MAP = {
     numpy.arcsin: arcsin, numpy.arccos: arccos, numpy.arctan: arctan,
 }
 
+def norm(a, ord=None, axis=None):
+    assert ord is None, 'only the 2-norm is supported'
+    a = asarray(a)
+    if axis is None:
+        assert a.ndim == 1
+        axis = 0
+    return sqrt(sum_(a * a, axis))
+
+
 _FUNC_MAP = {
     numpy.sum: sum_, numpy.transpose: transpose, numpy.stack: stack,
     numpy.concatenate: concatenate, numpy.einsum: None,
     numpy.linalg.inv: inverse, numpy.linalg.det: determinant,
+    numpy.linalg.norm: norm,
     numpy.sqrt: sqrt, numpy.trace: trace,
 }
 _FUNC_MAP = {k: v for k, v in _FUNC_MAP.items() if v is not None}

@@ -120,6 +120,8 @@ class Sample:
     def __mul__(self, other):
         '''Tensor-product sample over disjoint spaces (reference: sample
         tensorization via _Mul, sample.py:698).'''
+        if isinstance(other, ChainedSample):
+            return ChainedSample([self * s for s in other.samples])
         assert isinstance(other, Sample)
         assert not (self.spaces & other.spaces), 'tensor product requires disjoint spaces'
         E1, P1 = self.nelems, self.npoints_per_elem
@@ -238,6 +240,20 @@ class Sample:
             lineage=lineage)
 
 
+def take_rows(s, rows, lineage=None):
+    '''Row (element) subset of a single-space sample, preserving tables.'''
+    sp = s.specs[0]
+    return Sample(sp.space, sp.coords[rows],
+                  None if s.weights is None else s.weights[rows],
+                  sp.index[rows], sp.p_linear[rows], sp.p_offset[rows], sp.tangents[rows],
+                  None if sp.normal_root is None else sp.normal_root[rows],
+                  s.tri_local, s.hull_local, batch_key=s.batch_key,
+                  origin_topo=sp.origin_topo,
+                  lineage=lineage if lineage is not None else (
+                      None if sp.lineage is None else
+                      (sp.lineage[0], numpy.broadcast_to(sp.lineage[1], (s.nelems,))[rows], sp.lineage[2][rows])))
+
+
 def _product_tri(tri1, P1, nd1, tri2, P2, nd2, hull1, hull2):
     '''Local triangulation of a tensor-product point set (point index
     p1 * P2 + p2).  Supported: anything x point, point x anything, and
@@ -287,6 +303,10 @@ class ChainedSample:
     @property
     def spaces(self):
         return frozenset({self.space})
+
+    def __mul__(self, other):
+        others = other.samples if isinstance(other, ChainedSample) else [other]
+        return ChainedSample([a * b for a in self.samples for b in others])
 
     def integral(self, func):
         out = None
@@ -372,3 +392,10 @@ class _AtSample(function.Array):
         expr = self.func.lower(sargs)  # [E,P,*shape]
         expr = ev.ravel(expr, 0)
         return function._prefix_broadcast(expr, args.points_shape)
+
+
+# unit-carrying integrands dispatch through the function layer
+Sample.integral = function._dispatchable(Sample.integral)
+Sample.bind = function._dispatchable(Sample.bind)
+ChainedSample.integral = function._dispatchable(ChainedSample.integral)
+ChainedSample.bind = function._dispatchable(ChainedSample.bind)
