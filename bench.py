@@ -1,4 +1,4 @@
-'''Benchmark: laplace-style residual+jacobian assembly at ~1M dof.
+'''Benchmark: laplace-style residual+jacobian assembly at 1.05M dof.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -59,7 +59,7 @@ def _run(nelems, dtype):
 
 
 def main():
-    nelems = int(os.environ.get('BENCH_NELEMS', '512'))
+    nelems = int(os.environ.get('BENCH_NELEMS', '1024'))
 
     if '--cpu-baseline' in sys.argv:
         t, ndofs = _run(nelems, numpy.float64)

@@ -1428,7 +1428,11 @@ def _promote_big_constants(flat):
         if node in seen:
             return
         seen.add(node)
-        if isinstance(node, Constant) and node.size > CONST_LEAF_THRESHOLD:
+        if isinstance(node, Constant) and (node.size > CONST_LEAF_THRESHOLD
+                                           or (node.ndim >= 1 and node.shape[0] >= 1024)):
+            # the second clause promotes every possibly element-batched table so
+            # the chunked-assembly scan (solver._build_scan_plan) can slice the
+            # element axis uniformly
             if node not in mapping:
                 mapping[node] = Leaf(('const', next(_const_leaf_counter)), node.shape, node.dtype,
                                      value=node.value)

@@ -41,6 +41,18 @@ class SparsePattern:
         rows = numpy.asarray(rows)
         cols = numpy.asarray(cols)
         self.shape = shape
+        native = None
+        if len(rows) > 2 ** 16:
+            from . import native as _native
+            native = _native.build_pattern(rows, cols, shape)
+        if native is not None:
+            indptr, indices, slot, urows, nnz = native
+            self.nnz = nnz
+            self.indices = indices.astype(config.int_dtype())
+            self.indptr = indptr
+            self.slot = slot
+            self.urows = urows
+            return
         order = numpy.lexsort((cols, rows))
         rs, cs = rows[order], cols[order]
         if len(rs):

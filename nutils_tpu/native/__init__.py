@@ -1,0 +1,73 @@
+'''Native (C++) runtime components, built on demand and loaded via ctypes.
+
+The compute path is jax/XLA; these are the host-runtime pieces that the
+reference implements in its compiled backends: currently the sparse-pattern
+builder (sort/dedup/CSR of assembly index streams).  Falls back silently to
+the numpy implementations if no C++ toolchain is available.
+'''
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy
+
+_dir = os.path.dirname(__file__)
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    src = os.path.join(_dir, 'pattern.cpp')
+    out = os.path.join(_dir, 'libpattern.so')
+    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        subprocess.run(['g++', '-O3', '-shared', '-fPIC', '-o', out, src, '-lpthread'],
+                       check=True, capture_output=True)
+    return out
+
+
+def get():
+    '''The loaded native library, or None if unavailable.'''
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            lib = ctypes.CDLL(_build())
+            i64 = ctypes.POINTER(ctypes.c_int64)
+            lib.pattern_argsort.argtypes = [i64, i64, ctypes.c_int64, ctypes.c_int64, i64]
+            lib.pattern_argsort.restype = None
+            lib.pattern_dedup.argtypes = [i64, i64, ctypes.c_int64, i64, i64, i64, i64]
+            lib.pattern_dedup.restype = ctypes.c_int64
+            lib.pattern_indptr.argtypes = [i64, ctypes.c_int64, ctypes.c_int64, i64]
+            lib.pattern_indptr.restype = None
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def _p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def build_pattern(rows, cols, shape):
+    '''(indptr, indices, slot, urows, nnz) via the native builder, or None.'''
+    lib = get()
+    if lib is None:
+        return None
+    rows = numpy.ascontiguousarray(rows, dtype=numpy.int64)
+    cols = numpy.ascontiguousarray(cols, dtype=numpy.int64)
+    n = rows.size
+    order = numpy.empty(n, dtype=numpy.int64)
+    lib.pattern_argsort(_p(rows), _p(cols), n, int(shape[1]), _p(order))
+    slot = numpy.empty(n, dtype=numpy.int64)
+    urows = numpy.empty(n, dtype=numpy.int64)
+    ucols = numpy.empty(n, dtype=numpy.int64)
+    nnz = lib.pattern_dedup(_p(rows), _p(cols), n, _p(order), _p(slot), _p(urows), _p(ucols))
+    indptr = numpy.empty(shape[0] + 1, dtype=numpy.int64)
+    lib.pattern_indptr(_p(urows), nnz, int(shape[0]), _p(indptr))
+    return indptr, ucols[:nnz], slot, urows[:nnz], int(nnz)

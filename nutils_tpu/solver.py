@@ -198,6 +198,13 @@ def _eval_const(node):
 def _additive_terms(expr):
     if isinstance(expr, ev.Add):
         return _additive_terms(expr.children[0]) + _additive_terms(expr.children[1])
+    if isinstance(expr, ev.Multiply):
+        # distribute constant scalar factors (e.g. a global tolerance scaling)
+        # over sums so per-term sparsity analysis sees the individual integrals
+        a, b = expr.children
+        for x, y in ((a, b), (b, a)):
+            if isinstance(x, ev.Add) and not y.arguments and not y.leafdeps:
+                return [t for u in _additive_terms(x) for t in _additive_terms(ev.multiply(u, y))]
     return [expr]
 
 
@@ -227,6 +234,33 @@ def _scalarize(res_array, testname):
             e = function.negative(e)
         out = e if out is None else function.add(out, e)
     return out if out is not None else function.asarray(0.0)
+
+
+def _chunk_rewrite(expr, mapping, E, ce):
+    '''ev.replace plus rewriting of element-axis broadcasts: InsertAxis nodes
+    of length E (constants broadcast over the element batch) become length-ce
+    inserts so the rebuilt expression is uniformly chunk-sized.'''
+    memo = {}
+
+    def rec(node):
+        if node in mapping:
+            return mapping[node]
+        hit = memo.get(node)
+        if hit is not None:
+            return hit
+        if not node.children:
+            out = node
+        else:
+            newc = tuple(rec(c) for c in node.children)
+            if isinstance(node, ev.InsertAxis) and node.length == E:
+                out = ev.insertaxis(newc[0], node.axis, ce)
+            elif all(a is b for a, b in zip(newc, node.children)):
+                out = node
+            else:
+                out = ev._rebuild(node, newc)
+        memo[node] = out
+        return out
+    return rec(expr)
 
 
 class _Chunk:
@@ -302,6 +336,8 @@ class System:
 
         names = frozenset(tests) | frozenset(self.trials)
         E_loc, locs = _localize(E_ir, names)
+        E_loc = ev._promote_big_constants([E_loc])[0]
+        self._expr = E_loc
         self._comp = ev.compile(E_loc)
         self._locs = locs
         self._trial_locs = {u: locs[u] for u in self.trials}
@@ -427,7 +463,7 @@ class System:
                         cols_k = numpy.broadcast_to(cols_b, vshape)[sel]
                         rows_all.append((rows_k + row_off).ravel())
                         cols_all.append((cols_k + col_off).ravel())
-                        chunk_meta.append((bi, ci, u, li, reduce_axes))
+                        chunk_meta.append((bi, ci, u, li, reduce_axes, rows_k.size))
         rows_cat = numpy.concatenate(rows_all) if rows_all else numpy.zeros(0, dtype=numpy.int64)
         cols_cat = numpy.concatenate(cols_all) if cols_all else numpy.zeros(0, dtype=numpy.int64)
         pattern = matrix.SparsePattern(rows_cat, cols_cat, (self._ntest, self._ntrial))
@@ -436,9 +472,10 @@ class System:
     def _jacobian_trace(self, args, tables):
         import jax
         import jax.numpy as jnp
+        from .utils import config
         chunk_meta, pattern = self._jac_layout
         vals = []
-        for bi, ci, u, li, reduce_axes in chunk_meta:
+        for bi, ci, u, li, reduce_axes, _size in chunk_meta:
             c = self._blocks[bi][ci]
             loc = self._trial_locs[u][li]
             x0 = loc.leaf_value(args)
@@ -446,7 +483,20 @@ class System:
             def one(seed, _c=c, _loc=loc, _x0=x0):
                 import jax as _jax
                 return _jax.jvp(lambda x: _c.fn(args, {_loc.leaf.key: x}, tables), (_x0,), (seed,))[1]
-            V = jax.vmap(one)(loc.seeds())   # [S, *cshape]
+            seeds = loc.seeds()
+            block = config.seed_block.value
+            if block and seeds.shape[0] > block:
+                # bound HBM: vmap over seed blocks, loop blocks sequentially
+                from jax import lax
+                S = seeds.shape[0]
+                nb = -(-S // block)
+                pad = nb * block - S
+                seeds_b = jnp.concatenate([seeds, jnp.zeros((pad,) + seeds.shape[1:], seeds.dtype)]) \
+                    .reshape((nb, block) + seeds.shape[1:]) if pad else seeds.reshape((nb, block) + seeds.shape[1:])
+                V = lax.map(jax.vmap(one), seeds_b)          # [nb, block, *cshape]
+                V = V.reshape((nb * block,) + V.shape[2:])[:S]
+            else:
+                V = jax.vmap(one)(seeds)     # [S, *cshape]
             V = jnp.moveaxis(V, 0, -1)       # [*cshape, S]
             if reduce_axes:
                 V = V.sum(axis=reduce_axes)
@@ -454,19 +504,298 @@ class System:
         flat = jnp.concatenate(vals) if len(vals) > 1 else vals[0]
         return pattern.scatter(flat)
 
+    # ------------------------------------------- element-chunked assembly
+
+    def _scan_plan(self):
+        '''Element-chunked assembly plan for huge element batches, or None.
+
+        When the dominant sample's element count exceeds config.assembly_chunk,
+        the localized functional is split into the additive terms living on
+        that batch (rebuilt with chunk-sized leaves and evaluated under
+        lax.scan, so quadrature intermediates of only one chunk are live at a
+        time) plus the remaining small terms (evaluated once).'''
+        if 'scanplan' not in self._cache:
+            from .utils import config
+            try:
+                self._cache['scanplan'] = self._build_scan_plan(int(config.assembly_chunk.value))
+            except Exception as e:  # pragma: no cover - conservative fallback
+                log.info(f'chunked assembly disabled: {e!r}')
+                self._cache['scanplan'] = None
+        return self._cache['scanplan']
+
+    def _build_scan_plan(self, chunk):
+        if chunk <= 0:
+            return None
+        leaf_nodes = [n for n in ev.find(self._expr, lambda n: isinstance(n, ev.Leaf))]
+        sizes = [n.shape[0] for n in leaf_nodes if n.value is not None and len(n.shape)]
+        if not sizes:
+            return None
+        E = max(sizes)
+        if E <= chunk:
+            return None
+        ce = next(d for d in range(chunk, 0, -1) if E % d == 0)
+        nc = E // ce
+        if nc == 1:
+            return None
+        locleafs = {loc.leaf: loc for ll in self._locs.values() for loc in ll}
+        chunk_nodes = set()
+        for n in leaf_nodes:
+            if len(n.shape) and n.shape[0] == E:
+                if n.value is None and n not in locleafs:
+                    raise ValueError(f'unrecognized element-batched leaf {n.key!r}')
+                chunk_nodes.add(n)
+        terms = _additive_terms(self._expr)
+        big_terms = [t for t in terms if set(t.leafdeps) & chunk_nodes]
+        if not big_terms:
+            return None
+        small_terms = [t for t in terms if not (set(t.leafdeps) & chunk_nodes)]
+        Ebig = big_terms[0]
+        for t in big_terms[1:]:
+            Ebig = ev.add(Ebig, t)
+        Esmall = None
+        for t in small_terms:
+            Esmall = t if Esmall is None else ev.add(Esmall, t)
+        mapping = {}
+        ckey = {}
+        for n in chunk_nodes:
+            nk = ('ck',) + (n.key if isinstance(n.key, tuple) else (n.key,))
+            mapping[n] = ev.Leaf(nk, (ce,) + tuple(n.shape[1:]), n.dtype)
+            ckey[n.key] = nk
+        comp_big = ev.compile(_chunk_rewrite(Ebig, mapping, E, ce))
+        comp_small = ev.compile(Esmall) if Esmall is not None else None
+        # classify localizations
+        chunk_lockeys = {n.key for n in chunk_nodes if n in locleafs}
+        chunk_tabkeys = {n.key for n in chunk_nodes if n.value is not None}
+        return dict(E=E, ce=ce, nc=nc, comp_big=comp_big, comp_small=comp_small,
+                    ckey=ckey, chunk_lockeys=chunk_lockeys, chunk_tabkeys=chunk_tabkeys)
+
+    def _scan_xs(self, plan):
+        '''Static per-chunk scan inputs: chunked tables, localization index
+        windows, residual row maps and jacobian slot maps (device arrays).'''
+        import jax
+        import jax.numpy as jnp
+        cached = self._cache.get('scanxs')
+        if cached is not None:
+            return cached
+        E, ce, nc = plan['E'], plan['ce'], plan['nc']
+        chunk_meta, pattern = self._jac_layout
+        xs = {}
+        fixed = {}
+        for key, val in self._tables().items():
+            if key in plan['chunk_tabkeys']:
+                xs['t', plan['ckey'][key]] = jnp.reshape(val, (nc, ce) + val.shape[1:])
+            else:
+                fixed[key] = val
+        idx_dtype = numpy.int32 if self._ntrial < 2**31 and E * 64 < 2**31 else numpy.int64
+        locinfo = {}
+        for name, ll in self._locs.items():
+            for li, loc in enumerate(ll):
+                if loc.leaf.key not in plan['chunk_lockeys']:
+                    continue
+                ai = loc.argidx
+                if ai.shape[0] == E:
+                    xs['i', plan['ckey'][loc.leaf.key]] = jax.device_put(
+                        ai.reshape((nc, ce) + ai.shape[1:]).astype(idx_dtype))
+                    locinfo[loc.leaf.key] = ('x', name, (ce,) + tuple(loc.leaf.shape[1:]))
+                else:
+                    fixed['i', plan['ckey'][loc.leaf.key]] = jax.device_put(ai.astype(idx_dtype))
+                    locinfo[loc.leaf.key] = ('f', name, (ce,) + tuple(loc.leaf.shape[1:]))
+        # residual rows per big test loc
+        rowmaps = {}
+        for bi, t in enumerate(self.tests):
+            off = self._test_slices[bi].start
+            for ci, loc in enumerate(self._locs[t]):
+                if loc.leaf.key not in plan['chunk_lockeys']:
+                    continue
+                rows = numpy.broadcast_to(loc.argidx, loc.leaf.shape) + off
+                xs['r', bi, ci] = jax.device_put(rows.reshape((nc, ce) + rows.shape[1:]).astype(idx_dtype))
+                rowmaps[bi, ci] = True
+        # jacobian slot segments per big meta entry
+        offs = numpy.cumsum([0] + [m[-1] for m in chunk_meta])
+        bigmeta = []
+        for mi, (bi, ci, u, li, reduce_axes, size) in enumerate(chunk_meta):
+            loc_t = self._locs[self.tests[bi]][ci]
+            if loc_t.leaf.key not in plan['chunk_lockeys']:
+                continue
+            assert size % E == 0, 'jacobian entry is not element-major'
+            slots = pattern.slot[offs[mi]:offs[mi + 1]].reshape(E, size // E)
+            xs['s', mi] = jax.device_put(slots.reshape(nc, ce, size // E).astype(idx_dtype))
+            bigmeta.append((mi, bi, ci, u, li, reduce_axes))
+        smallmeta = [(mi,) + m[:-1] for mi, m in enumerate(chunk_meta)
+                     if self._locs[self.tests[m[0]]][m[1]].leaf.key not in plan['chunk_lockeys']]
+        cached = dict(xs=xs, fixed=fixed, locinfo=locinfo, rowmaps=rowmaps,
+                      bigmeta=bigmeta, smallmeta=smallmeta, offs=offs)
+        self._cache['scanxs'] = cached
+        return cached
+
+    def _scan_assemble(self, args, xs, fixed, want_jac, want_res, want_val=False):
+        '''Residual / jacobian-values / value via lax.scan over element chunks
+        of the dominant sample, plus the unchunked small-term remainder.
+        ``xs``/``fixed`` are the precomputed per-chunk and whole tables passed
+        through the jit boundary (see _scan_xs).'''
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+        from .utils import config
+        plan = self._scan_plan()
+        sx = dict(self._cache['scanxs'], xs=xs, fixed=fixed)
+        chunk_meta, pattern = self._jac_layout
+        comp_big, comp_small = plan['comp_big'], plan['comp_small']
+        fdt = config.float_dtype()
+        flats = {name: jnp.asarray(args[name], dtype=fdt).reshape(-1) for name in self.argshapes}
+
+        def loc_value(key, xslice, fixedmap):
+            kind, name, shape = sx['locinfo'][key]
+            idx = xslice[('i', plan['ckey'][key])] if kind == 'x' else fixedmap[('i', plan['ckey'][key])]
+            return jnp.broadcast_to(flats[name][idx], shape)
+
+        def big_leaves(xsl):
+            leaves = {}
+            for key, val in sx['fixed'].items():
+                if isinstance(key, tuple) and key and key[0] == 'i':
+                    continue
+                leaves[key] = val
+            for k in xsl:
+                if k[0] == 't':
+                    leaves[k[1]] = xsl[k]
+            for key in plan['chunk_lockeys']:
+                leaves[plan['ckey'][key]] = loc_value(key, xsl, sx['fixed'])
+            for name, ll in self._locs.items():
+                for loc in ll:
+                    if loc.leaf.key not in plan['chunk_lockeys']:
+                        leaves[loc.leaf.key] = loc.leaf_value(args)
+            return leaves
+
+        def body(carry, xsl):
+            data, r, val = carry
+            leaves = big_leaves(xsl)
+
+            def scalar_at(key, x):
+                lv = dict(leaves)
+                lv[key] = x
+                return comp_big.trace(args, lv)
+            if want_val:
+                val = val + comp_big.trace(args, leaves)
+            if want_res:
+                for bi, t in enumerate(self.tests):
+                    for ci, loc in enumerate(self._locs[t]):
+                        if (bi, ci) not in sx['rowmaps']:
+                            continue
+                        key = plan['ckey'][loc.leaf.key]
+                        g = jax.grad(lambda x: scalar_at(key, x))(leaves[key])
+                        r = r.at[xsl[('r', bi, ci)].ravel()].add(g.ravel())
+            if want_jac:
+                for mi, bi, ci, u, li, reduce_axes in sx['bigmeta']:
+                    loc_t = self._locs[self.tests[bi]][ci]
+                    loc_u = self._trial_locs[u][li]
+                    tkey = plan['ckey'][loc_t.leaf.key]
+                    ukey = plan['ckey'][loc_u.leaf.key] if loc_u.leaf.key in plan['chunk_lockeys'] else None
+                    if ukey is None:
+                        x0 = loc_u.leaf_value(args)
+                        base_key = loc_u.leaf.key
+                    else:
+                        x0 = leaves[ukey]
+                        base_key = ukey
+
+                    def one(seed):
+                        def inner(x):
+                            lv = dict(leaves)
+                            lv[base_key] = x
+                            return jax.grad(lambda y: (lambda l2: comp_big.trace(args, l2))(
+                                {**lv, tkey: y}))(lv[tkey])
+                        return jax.jvp(inner, (x0,), (seed,))[1]
+                    seeds = loc_u.seeds()
+                    if ukey is not None:
+                        seeds = jnp.broadcast_to(
+                            seeds[(slice(None), slice(0, 1)) + (slice(None),) * (seeds.ndim - 2)],
+                            (seeds.shape[0], plan['ce']) + seeds.shape[2:])
+                    V = jax.vmap(one)(seeds)          # [S, ce, ...]
+                    V = jnp.moveaxis(V, 0, -1)        # [ce, ..., S]
+                    red = tuple(ax for ax in reduce_axes)
+                    if red:
+                        V = V.sum(axis=red)
+                    data = data.at[xsl[('s', mi)].ravel()].add(V.reshape(-1))
+            return (data, r, val), None
+
+        data0 = jnp.zeros(pattern.nnz if want_jac else 0, dtype=fdt)
+        r0 = jnp.zeros(self._ntest if want_res else 0, dtype=fdt)
+        v0 = jnp.zeros((), dtype=fdt)
+        (data, r, val), _ = lax.scan(body, (data0, r0, v0), sx['xs'])
+
+        # ---- small-term remainder, evaluated once at full size
+        if comp_small is not None:
+            sleaves = {}
+            for key, v in sx['fixed'].items():
+                if not (isinstance(key, tuple) and key and key[0] == 'i'):
+                    sleaves[key] = v
+            for name, ll in self._locs.items():
+                for loc in ll:
+                    if loc.leaf.key not in plan['chunk_lockeys']:
+                        sleaves[loc.leaf.key] = loc.leaf_value(args)
+
+            def sscalar_at(key, x):
+                lv = dict(sleaves)
+                lv[key] = x
+                return comp_small.trace(args, lv)
+            if want_val:
+                val = val + comp_small.trace(args, sleaves)
+            if want_res:
+                for bi, t in enumerate(self.tests):
+                    off = self._test_slices[bi].start
+                    for ci, loc in enumerate(self._locs[t]):
+                        if (bi, ci) in sx['rowmaps']:
+                            continue
+                        g = jax.grad(lambda x: sscalar_at(loc.leaf.key, x))(sleaves[loc.leaf.key])
+                        rows = jnp.broadcast_to(jnp.asarray(loc.argidx + off), loc.leaf.shape)
+                        r = r.at[rows.ravel()].add(g.ravel())
+            if want_jac:
+                offs = sx['offs']
+                for mi, bi, ci, u, li, reduce_axes in sx['smallmeta']:
+                    loc_t = self._locs[self.tests[bi]][ci]
+                    loc_u = self._trial_locs[u][li]
+                    x0 = sleaves.get(loc_u.leaf.key, None)
+                    if x0 is None:
+                        x0 = loc_u.leaf_value(args)
+
+                    def one(seed):
+                        def inner(x):
+                            lv = dict(sleaves)
+                            lv[loc_u.leaf.key] = x
+                            return jax.grad(lambda y: comp_small.trace(args, {**lv, loc_t.leaf.key: y}))(lv[loc_t.leaf.key])
+                        return jax.jvp(inner, (x0,), (seed,))[1]
+                    V = jax.vmap(one)(loc_u.seeds())
+                    V = jnp.moveaxis(V, 0, -1)
+                    if reduce_axes:
+                        V = V.sum(axis=tuple(reduce_axes))
+                    slots = jnp.asarray(pattern.slot[offs[mi]:offs[mi + 1]])
+                    data = data.at[slots].add(V.reshape(-1))
+        return data, r, val
+
     # -------------------------------------------------------- public assembly
 
     def _compiled(self, which):
         import jax
         fn = self._cache.get(which)
         if fn is None:
-            trace = {'residual': self._residual_trace,
-                     'jacobian': self._jacobian_trace,
-                     'value': self._value_trace,
-                     'jacres': lambda args, tables: (self._jacobian_trace(args, tables),
-                                                     self._residual_trace(args, tables))}[which]
-            jitted = jax.jit(trace)
-            fn = lambda args: jitted(args, self._tables())
+            plan = self._scan_plan()
+            if plan is not None:
+                sx = self._scan_xs(plan)
+                trace = {
+                    'residual': lambda args, xs, fx: self._scan_assemble(args, xs, fx, False, True)[1],
+                    'jacobian': lambda args, xs, fx: self._scan_assemble(args, xs, fx, True, False)[0],
+                    'value': lambda args, xs, fx: self._scan_assemble(args, xs, fx, False, False, want_val=True)[2],
+                    'jacres': lambda args, xs, fx: self._scan_assemble(args, xs, fx, True, True)[:2],
+                }[which]
+                jitted = jax.jit(trace)
+                fn = lambda args: jitted(args, sx['xs'], sx['fixed'])
+            else:
+                trace = {'residual': self._residual_trace,
+                         'jacobian': self._jacobian_trace,
+                         'value': self._value_trace,
+                         'jacres': lambda args, tables: (self._jacobian_trace(args, tables),
+                                                         self._residual_trace(args, tables))}[which]
+                jitted = jax.jit(trace)
+                fn = lambda args: jitted(args, self._tables())
             self._cache[which] = fn
         return fn
 
@@ -584,6 +913,8 @@ class System:
         if isinstance(m, tuple):
             arguments, resnorm = m
             log.info(f'residual norm: {resnorm:.1e}')
+            if not numpy.isfinite(resnorm):
+                raise SolverError('residual is not finite')
             if resnorm > tol > 0:
                 raise SolverError(f'failed to reach tolerance {tol:.0e} (residual {resnorm:.1e})')
             return arguments
@@ -591,6 +922,8 @@ class System:
             raise ValueError('nonlinear solve requires a positive tolerance')
         arguments, resnorm = next(m)
         log.info(f'iter 0: residual norm {resnorm:.1e}')
+        if not numpy.isfinite(resnorm):
+            raise SolverError('residual is not finite')
         iiter = 0
         while iiter < miniter or resnorm > tol:
             if maxiter is not None and iiter >= maxiter:

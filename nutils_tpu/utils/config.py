@@ -44,6 +44,10 @@ matrix = _Setting('matrix', 'auto')
 # Upper bound on elements per device batch during assembly; larger samples are
 # processed in chunks to bound HBM footprint of quadrature intermediates.
 assembly_chunk = _Setting('assembly_chunk', 2**18, int)
+# Jacobian seed passes per device step: seeds are processed in blocks of this
+# size (sequentially via lax.map) so the per-seed quadrature intermediates of
+# huge element batches do not live simultaneously; 0 vmaps all seeds at once.
+seed_block = _Setting('seed_block', 0, int)
 
 
 def float_dtype():
