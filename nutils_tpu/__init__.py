@@ -39,8 +39,30 @@ _jax.config.update('jax_enable_x64', True)
 # Persistent XLA compilation cache: FEM workflows compile many small kernels
 # (one per integral/sample); caching amortizes them across runs (the analogue
 # of the reference's compiled-evaluable caching, evaluable.py:6790).
+#
+# The cache directory is keyed by a fingerprint of the host CPU features:
+# XLA:CPU cache entries are ahead-of-time compiled MACHINE CODE, and sessions
+# can migrate between hosts with different vector ISAs — reloading a foreign
+# artifact then computes garbage silently (the cpu_aot_loader "machine type
+# mismatch" warning).  A per-ISA directory makes that impossible.
 import os as _os
-_cache_dir = _os.environ.get('NUTILS_TPU_JAX_CACHE', _os.path.expanduser('~/.cache/nutils_tpu/jax'))
+import hashlib as _hashlib
+
+
+def _host_fingerprint():
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    flags = ' '.join(sorted(line.split(':', 1)[1].split()))
+                    return _hashlib.sha1(flags.encode()).hexdigest()[:12]
+    except OSError:
+        pass
+    import platform as _platform
+    return _hashlib.sha1(_platform.processor().encode()).hexdigest()[:12]
+
+
+_cache_dir = _os.environ.get('NUTILS_TPU_JAX_CACHE', _os.path.expanduser('~/.cache/nutils_tpu/jax-' + _host_fingerprint()))
 if _cache_dir and _cache_dir != '0':
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update('jax_compilation_cache_dir', _cache_dir)

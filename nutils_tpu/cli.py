@@ -13,6 +13,29 @@ def _parse(value, annotation):
         return annotation(value)
     if annotation is bool:
         return value.lower() in ('1', 'true', 'yes', 'on')
+    try:
+        from . import SI
+        if isinstance(annotation, SI.Dimension):
+            return annotation(value)
+    except ImportError:  # pragma: no cover
+        pass
+    # dataclass (possibly Union) annotations accept 'Name' or 'Name{k=v,...}'
+    # sub-parameter syntax (reference: cli dataclass support)
+    import re
+    import typing
+    options = typing.get_args(annotation) or (annotation,)
+    m = re.fullmatch(r'(\w+)(?:\{(.*)\})?', value.strip())
+    if m:
+        for cls in options:
+            if isinstance(cls, type) and cls.__name__ == m.group(1):
+                kwargs = {}
+                if m.group(2):
+                    hints = typing.get_type_hints(cls)
+                    for item in m.group(2).split(','):
+                        k, v = item.split('=', 1)
+                        k = k.strip()
+                        kwargs[k] = _parse(v.strip().strip("'\""), hints.get(k, str))
+                return cls(**kwargs)
     return value
 
 

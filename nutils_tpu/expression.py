@@ -376,7 +376,13 @@ class Namespace:
         name, underscore, indices = attr.partition('_')
         if isinstance(value, (int, float, complex, numpy.ndarray)):
             value = function.asarray(value)
-        if isinstance(value, function.Array):
+        if isinstance(value, function._DISPATCHEES):
+            # unit-carrying wrappers (SI.Quantity) are stored as-is; the
+            # fragment operations dispatch through the function layer
+            if underscore:
+                raise AttributeError('cannot assign an array to an attribute with an underscore')
+            object.__setattr__(self, name, value)
+        elif isinstance(value, function.Array):
             if underscore:
                 raise AttributeError('cannot assign an array to an attribute with an underscore')
             object.__setattr__(self, name, value)

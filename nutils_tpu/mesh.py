@@ -63,6 +63,26 @@ def unitsquare(nelems, etype='square'):
         topo, geom = rectilinear([nelems, nelems])
         return topo, geom / nelems
 
+    if etype == 'multipatch':
+        # patch-vertex layout (reference: mesh.py:761):
+        # 2─────3
+        # │╲   ╱│
+        # │ 6─7 │
+        # │ 4─5 │
+        # │╱   ╲│
+        # 0─────1
+        from .multipatch import multipatch
+        topo, geom = multipatch(
+            patches=[[0, 4, 1, 5], [2, 6, 3, 7], [0, 4, 2, 6], [1, 5, 3, 7], [4, 6, 5, 7]],
+            patchverts=[[0, 0], [3, 0], [0, 3], [3, 3], [1, 1], [2, 1], [1, 2], [2, 2]],
+            nelems=nelems)
+        topo = topo.withboundary(
+            bottom=topo['patch0'].boundary['bottom'],
+            top=topo['patch1'].boundary['bottom'],
+            left=topo['patch2'].boundary['bottom'],
+            right=topo['patch3'].boundary['bottom'])
+        return topo, geom / 3
+
     if etype not in ('triangle', 'mixed'):
         raise ValueError(f'invalid element type {etype!r}')
 
@@ -135,3 +155,46 @@ def _sample_elem_perm(smp, topo):
         buckets.setdefault(key, []).append(k)
     order = [k for rows in buckets.values() for k in rows]
     return numpy.asarray(order)
+
+
+def unitcircle(nelems, variant):
+    '''Unit circle centered at the origin (reference: mesh.py:784): either a
+    structured square grid smoothly blown up to the circle, or a five-patch
+    multipatch mesh.'''
+    import nutils_tpu.function as fn
+    if variant == 'rectilinear':
+        topo, geom = unitsquare(nelems, 'square')
+        a0, a1 = (geom - 0.5) * (numpy.pi / 2)
+        r2 = numpy.sqrt(2)
+        return topo, function.stack([r2 * fn.sin(a0) * fn.cos(a1),
+                                     r2 * fn.sin(a1) * fn.cos(a0)])
+    if variant == 'multipatch':
+        from .solver import System
+        topo, geom = unitsquare(nelems, 'multipatch')
+
+        B, T, L, R, C = topo.basis('patch')
+        x, y = geom * 2 - 1
+
+        xlin = x / numpy.maximum(abs(y), 1/3)  # -1 / 1
+        ylin = y / numpy.maximum(abs(x), 1/3)  # -1 / 1
+        xcup = numpy.maximum(1.5 * abs(x) - .5, 0)  # 1 \ 0 / 1
+        ycup = numpy.maximum(1.5 * abs(y) - .5, 0)  # 1 \ 0 / 1
+
+        b = numpy.sqrt(1/3)  # scales inner square
+        xx = (b + (1-b) * xcup)**2
+        yy = (b + (1-b) * ycup)**2
+
+        c = .5 * (numpy.sqrt(2) - 1)  # scales outer radius
+        X = (R-L) * (xx + c * xcup**2 * (1 - ylin**2)) + (T+C+B) * xlin * yy
+        Y = (T-B) * (yy + c * ycup**2 * (1 - xlin**2)) + (L+C+R) * ylin * xx
+        W = 1 + c * (L+R) * xcup**2 * (1 + ylin**2) + c * (T+B) * ycup**2 * (1 + xlin**2)
+
+        # project numerator and denominator onto a quadratic spline basis for
+        # efficient evaluation and correct patch-interface gradients
+        basis = topo.basis('spline', degree=2)
+        cx, cy = cxy = function.field('cxy', basis, shape=(2,))
+        cw = function.field('cw', basis)
+        sqr = topo.integral((X - cx)**2 + (Y - cy)**2 + (W - cw)**2, degree=4)
+        args = System(sqr, trial='cxy,cw').solve()
+        return topo, function.replace_arguments(cxy / cw, args)
+    raise ValueError(f'unsupported unitcircle variant {variant!r}')

@@ -94,6 +94,12 @@ class Topology:
         from .hierarchical import HierarchicalTopology
         return HierarchicalTopology(self, [numpy.arange(len(self))]).refined_by(refine)
 
+    def trim(self, levelset, maxrefine, ndivisions=8, name='trimmed', *, arguments=None):
+        '''Trim along a levelset, keeping the positive side (reference:
+        topology.py:1603).'''
+        from . import trim as _trim
+        return _trim.trim(self, levelset, maxrefine, ndivisions, name, arguments=arguments)
+
     def withboundary(self, **bgroups):
         '''Attach named boundary groups; string values refer to existing
         groups (reference: topology.py:734).'''
@@ -558,22 +564,32 @@ class _WithGroupsTopology(Topology):
 
     @functools.cached_property
     def boundary(self):
-        parts = {}
+        '''The full boundary (each face once); named groups resolve through
+        aliases so whole-boundary integrals do not double count faces that
+        also appear in a group (reference: boundary groups are subsets of the
+        boundary, topology.py:734).'''
         try:
-            parts.update(self.parent.boundary.parts)
+            parts = dict(self.parent.boundary.parts)
         except (NotImplementedError, AttributeError):
-            pass
-        parts.update(self._bgroups)
-        return UnionTopology(self.space, self.ndims - 1, parts)
+            parts = {}
+        if parts:
+            return UnionTopology(self.space, self.ndims - 1, parts, aliases=self._bgroups)
+        return UnionTopology(self.space, self.ndims - 1, self._bgroups)
 
 
 class UnionTopology(Topology):
     '''Disjoint union of same-dimensional topologies with named groups
     (structured boundaries, withboundary groups).'''
 
-    def __init__(self, space, ndims, parts):
+    def __init__(self, space, ndims, parts, aliases=None):
         super().__init__(space, ndims)
         self.parts = dict(parts)
+        self.aliases = dict(aliases or {})  # named views, not part of the union
+
+    def _lookup(self, name):
+        if name in self.aliases:
+            return self.aliases[name]
+        return self.parts[name]
 
     def __len__(self):
         return sum(len(p) for p in self.parts.values())
@@ -581,8 +597,8 @@ class UnionTopology(Topology):
     def __getitem__(self, item):
         if isinstance(item, str):
             if ',' in item:
-                return UnionTopology(self.space, self.ndims, {k: self.parts[k] for k in item.split(',')})
-            return self.parts[item]
+                return UnionTopology(self.space, self.ndims, {k: self._lookup(k) for k in item.split(',')})
+            return self._lookup(item)
         raise KeyError(item)
 
     def sample(self, ischeme, degree=None):

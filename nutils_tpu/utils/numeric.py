@@ -84,3 +84,22 @@ def invmap(indices, length, missing=-1):
     out = numpy.full(length, missing, dtype=int)
     out[indices] = numpy.arange(len(indices))
     return out
+
+
+def simplex_grid(shape, spacing):
+    '''Equilateral-simplex point cloud filling the orthotope [0, shape] with
+    nearest-neighbour distance ``spacing`` (reference: numeric.py:167): a
+    rectangular grid with row spacings sqrt((1+i/2)/(1+i)), odd stripes
+    staggered by half a step, recentered in the box.'''
+    shape = numpy.asarray(shape, dtype=float)
+    nd = len(shape)
+    hs = [numpy.sqrt((1 + i / 2) / (1 + i)) * spacing for i in range(nd)]
+    axes = [numpy.arange(0, shape[i], hs[i]) for i in range(nd)]
+    grids = numpy.meshgrid(*axes, indexing='ij')
+    for i in range(nd - 1):
+        sl = (slice(None),) * (i + 1) + (slice(1, None, 2),)
+        grids[i][sl] += hs[i] * (i + 1) / (i + 2)
+    pts = numpy.stack([g.ravel() for g in grids], axis=1)
+    pts = pts[(pts < shape).all(axis=1)]
+    pts += (shape - pts.max(axis=0)) / 2
+    return pts
