@@ -198,3 +198,145 @@ def unitcircle(nelems, variant):
         args = System(sqr, trial='cxy,cw').solve()
         return topo, function.replace_arguments(cxy / cw, args)
     raise ValueError(f'unsupported unitcircle variant {variant!r}')
+
+
+def parsegmsh(text):
+    '''Parse Gmsh ``.msh`` data (ASCII, format 2.2 or 4.1) into the keyword
+    arguments of :func:`simplex` — no external mesh library required
+    (reference: mesh.py:300 parsegmsh, via meshio).  Supports linear lines,
+    triangles and tetrahedra with physical groups.'''
+    blocks = {}
+    cur = None
+    for line in text.splitlines():
+        s = line.strip()
+        if s.startswith('$End'):
+            cur = None
+        elif s.startswith('$'):
+            cur = s[1:]
+            blocks[cur] = []
+        elif cur is not None:
+            blocks[cur].append(s)
+
+    version = float(blocks['MeshFormat'][0].split()[0])
+    phys = {}  # (dim, tag) -> name
+    if 'PhysicalNames' in blocks:
+        for row in blocks['PhysicalNames'][1:]:
+            parts = row.split(None, 2)
+            phys[int(parts[0]), int(parts[1])] = parts[2].strip().strip('"')
+
+    nodes = {}
+    elems = []  # (dim, physname, [node ids])
+    if version < 4:
+        for row in blocks['Nodes'][1:]:
+            parts = row.split()
+            nodes[int(parts[0])] = [float(x) for x in parts[1:4]]
+        typeinfo = {1: (1, 2), 2: (2, 3), 4: (3, 4), 15: (0, 1)}
+        for row in blocks['Elements'][1:]:
+            parts = [int(x) for x in row.split()]
+            etype, ntags = parts[1], parts[2]
+            if etype not in typeinfo:
+                raise ValueError(f'unsupported gmsh element type {etype}')
+            dim, nn = typeinfo[etype]
+            ptag = parts[3] if ntags else 0
+            elems.append((dim, phys.get((dim, ptag)), parts[3 + ntags:3 + ntags + nn]))
+    else:
+        # msh 4.1: entity blocks
+        rows = blocks['Nodes']
+        nblocks = int(rows[0].split()[0])
+        i = 1
+        for _ in range(nblocks):
+            _edim, _etag, _param, n = (int(x) for x in rows[i].split())
+            ids = [int(rows[i + 1 + k]) for k in range(n)]
+            for k in range(n):
+                nodes[ids[k]] = [float(x) for x in rows[i + 1 + n + k].split()[:3]]
+            i += 1 + 2 * n
+        # entity -> physical map
+        ent_phys = {}
+        if 'Entities' in blocks:
+            rows_e = blocks['Entities']
+            counts = [int(x) for x in rows_e[0].split()]
+            i = 1
+            for dim, cnt in enumerate(counts):
+                for _ in range(cnt):
+                    parts = rows_e[i].split()
+                    tag = int(parts[0])
+                    nbox = 3 if dim == 0 else 6
+                    nphys = int(parts[1 + nbox])
+                    if nphys:
+                        ent_phys[dim, tag] = int(parts[2 + nbox])
+                    i += 1
+        rows = blocks['Elements']
+        nblocks = int(rows[0].split()[0])
+        typeinfo = {1: (1, 2), 2: (2, 3), 4: (3, 4), 15: (0, 1)}
+        i = 1
+        for _ in range(nblocks):
+            edim, etag, etype, n = (int(x) for x in rows[i].split())
+            dim, nn = typeinfo[etype]
+            name = phys.get((dim, ent_phys.get((edim, etag))))
+            for k in range(n):
+                parts = [int(x) for x in rows[i + 1 + k].split()]
+                elems.append((dim, name, parts[1:1 + nn]))
+            i += 1 + n
+
+    ndims = max(d for d, _n, _v in elems)
+    # renumber nodes by first appearance in volume elements, then others
+    coords_list = []
+    renumber = {}
+
+    def nid(g):
+        if g not in renumber:
+            renumber[g] = len(renumber)
+            coords_list.append(nodes[g][:ndims])
+        return renumber[g]
+
+    vol = [(name, [nid(g) for g in verts]) for d, name, verts in elems if d == ndims]
+    simplices = numpy.sort([v for _n, v in vol], axis=1)
+    tags = {}
+    for ielem, (name, _v) in enumerate(vol):
+        if name:
+            tags.setdefault(name, []).append(ielem)
+    bedges = {}  # name -> list of sorted vertex tuples
+    for d, name, verts in elems:
+        if d == ndims - 1 and name:
+            bedges.setdefault(name, []).append(tuple(sorted(nid(g) for g in verts if g in renumber)))
+    return dict(nodes=simplices, coords=numpy.asarray(coords_list),
+                tags={k: numpy.asarray(v) for k, v in tags.items()}, btags=bedges)
+
+
+def gmsh(fname, *, space='X'):
+    '''Import a Gmsh ``.msh`` file (ASCII v2.2 or v4.1) as an unstructured
+    simplex topology with physical boundary/volume groups and a linear
+    geometry (reference: mesh.py:461).'''
+    from . import element
+    from .unstructured import UnstructuredTopology
+    if hasattr(fname, 'read'):
+        text = fname.read()
+        if isinstance(text, bytes):
+            text = text.decode()
+    else:
+        with open(fname) as f:
+            text = f.read()
+    data = parsegmsh(text)
+    simplices = data['nodes']
+    coords = data['coords']
+    ndims = coords.shape[1]
+    ref = element.simplex(ndims)
+    topo = UnstructuredTopology(space, [ref] * len(simplices), list(simplices), len(coords))
+    geom = function.matmul(topo.basis('std', degree=1), function.asarray(coords))
+    # resolve named boundary groups by vertex matching
+    btopo = topo.boundary
+    key2row = {}
+    for row, (ielem, iedge) in enumerate(btopo._edges):
+        verts = topo._elem_verts[ielem]
+        ev = topo._refs[ielem].edge_vertex_ids[iedge]
+        key2row[tuple(sorted(int(verts[k]) for k in ev))] = row
+    groups = {}
+    for name, edges in data['btags'].items():
+        rows = [key2row[e] for e in edges if e in key2row]
+        if rows:
+            groups[name] = btopo[numpy.asarray(rows)]
+    if groups:
+        topo = topo.withboundary(**groups)
+    if data['tags']:
+        topo._vgroups = data['tags']
+    return topo, geom

@@ -186,10 +186,15 @@ class Sample:
         return out[0] if single else out
 
     def asfunction(self, values):
-        raise NotImplementedError
+        '''Piecewise function taking the given per-point values on this
+        sample and undefined elsewhere (reference: sample.py asfunction).'''
+        return _SampleValues(self, numpy.asarray(values, dtype=float))
 
     def basis(self):
-        raise NotImplementedError
+        '''Basis with one dof per sample point, equal to one at that point
+        (reference: sample.py basis); evaluable on this sample only.'''
+        eye = numpy.eye(self.npoints_per_elem)
+        return _SampleValues(self, numpy.tile(eye, (self.nelems, 1)), npoints_axis=True)
 
     # ------------------------------------------------------------ structure
 
@@ -347,6 +352,36 @@ class ChainedSample:
             parts.append(s.hull + offset)
             offset += s.npoints
         return numpy.concatenate([p for p in parts if len(p)])
+
+
+class _SampleValues(function.Array):
+    '''Values bound to the points of a specific sample, identified at lowering
+    time by the sample's coordinate-leaf token.'''
+
+    def __init__(self, sample, values, npoints_axis=False):
+        self.sample = sample
+        E, P = sample.nelems, sample.npoints_per_elem
+        if npoints_axis:  # sample.basis(): per-point indicator, dof axis last
+            self.values = values.reshape(E, P, P)
+            shape = (sample.npoints,)
+        else:
+            self.values = values.reshape((E, P) + values.shape[1:])
+            shape = values.shape[1:]
+        self._npoints_axis = npoints_axis
+        super().__init__(shape, float, frozenset({sample.space}), {})
+
+    def lower(self, args):
+        chart = args.chart(next(iter(self.spaces)))
+        key = getattr(chart.X, 'key', None)
+        assert key is not None and key[:2] == ('X', self.sample._token), \
+            'sample-bound values can only be evaluated on their own sample'
+        if not self._npoints_axis:
+            return ev.constant(self.values)
+        # scatter the per-point indicators into the global point numbering
+        E, P = self.sample.nelems, self.sample.npoints_per_elem
+        dofs = (numpy.arange(E)[:, None, None] * P + numpy.arange(P)[None, None, :])
+        vals = ev.constant(numpy.broadcast_to(numpy.eye(P), (E, P, P)).copy())
+        return ev.inflate(vals, ev.constant(dofs), E * P, 2)
 
 
 class _Integral(function.Array):

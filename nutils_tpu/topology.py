@@ -110,6 +110,13 @@ class Topology:
             resolved[name] = val
         return _WithGroupsTopology(self, resolved)
 
+    def withsubdomain(self, **vgroups):
+        '''Attach named volume groups, accessible via ``topo[name]``
+        (reference: topology.py:731 withsubdomain).'''
+        out = _WithGroupsTopology(self, {})
+        out._vgroups = dict(vgroups)
+        return out
+
     @property
     def interfaces(self):
         raise NotImplementedError
@@ -549,6 +556,12 @@ class _WithGroupsTopology(Topology):
         super().__init__(parent.space, parent.ndims)
         self.parent = parent
         self._bgroups = bgroups
+        self._vgroups = {}
+
+    def __getitem__(self, item):
+        if isinstance(item, str) and item in self._vgroups:
+            return self._vgroups[item]
+        return self.parent[item]
 
     def __len__(self):
         return len(self.parent)

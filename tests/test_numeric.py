@@ -92,3 +92,15 @@ def test_spline_continuity():
                 full_l[(off[e] + numpy.arange(p + 1)) % nd] += left
                 full_r[(off[e + 1] + numpy.arange(p + 1)) % nd] += right
                 numpy.testing.assert_allclose(full_l, full_r, atol=1e-10)
+
+
+def test_simplex_grid():
+    from nutils_tpu.utils import numeric
+    import numpy
+    pts = numeric.simplex_grid([1, 1], 0.2)
+    assert pts.ndim == 2 and pts.shape[1] == 2
+    assert (pts >= 0).all() and (pts <= 1).all()
+    # nearest-neighbour spacing close to requested
+    d = numpy.sqrt(((pts[:, None] - pts[None, :]) ** 2).sum(-1))
+    numpy.fill_diagonal(d, numpy.inf)
+    assert abs(d.min() - 0.2) < 0.05

@@ -95,3 +95,65 @@ def test_bezier_tri_hull(square):
     assert bez.hull.shape == (16 * 8, 2)
     x = numpy.asarray(bez.eval(geom))
     assert x.shape == (16 * 9, 2)
+
+
+def test_gmsh_import(tmp_path):
+    from nutils_tpu import mesh, function
+    import numpy
+    msh = '''$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$PhysicalNames
+3
+1 1 "bottom"
+1 2 "top"
+2 3 "interior"
+$EndPhysicalNames
+$Nodes
+4
+1 0 0 0
+2 1 0 0
+3 0 1 0
+4 1 1 0
+$EndNodes
+$Elements
+4
+1 1 2 1 10 1 2
+2 1 2 2 11 3 4
+3 2 2 3 12 1 2 3
+4 2 2 3 12 2 3 4
+$EndElements
+'''
+    p = tmp_path / 'square.msh'
+    p.write_text(msh)
+    topo, geom = mesh.gmsh(str(p))
+    assert len(topo) == 2
+    area = float(numpy.asarray(topo.integral(function.J(geom), degree=2).eval()))
+    assert abs(area - 1) < 1e-12
+    blen = float(numpy.asarray(topo.boundary['bottom'].sample('gauss', 2).integral(function.J(geom)).eval()))
+    assert abs(blen - 1) < 1e-12
+
+
+def test_sample_asfunction_basis():
+    from nutils_tpu import mesh, function
+    import numpy
+    topo, geom = mesh.rectilinear([2, 2])
+    s = topo.sample('gauss', 1)
+    v = numpy.arange(s.npoints, dtype=float)
+    assert numpy.abs(numpy.asarray(s.eval(s.asfunction(v))) - v).max() < 1e-14
+    b = s.basis()
+    assert numpy.abs(numpy.asarray(s.eval(function.matmul(b, function.asarray(v)))) - v).max() < 1e-14
+
+
+def test_cache_function(tmp_path):
+    from nutils_tpu import cache
+    calls = []
+
+    @cache.function
+    def f(x):
+        calls.append(x)
+        return x * 2
+    with cache.enable(str(tmp_path)):
+        assert f(3) == 6 and f(3) == 6
+    assert len(calls) == 1
+    assert f(3) == 6 and len(calls) == 2  # disabled outside the context
