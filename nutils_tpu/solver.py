@@ -354,14 +354,26 @@ class System:
                 deps = frozenset().union(*(tk for tk in term_lockeys if loc.leaf.key in tk)) if term_lockeys else frozenset()
                 trial_keys = deps & {l.leaf.key for u in self.trials for l in self._trial_locs[u]}
 
-                def fn(args, overrides, tables, _loc=loc):
+                # compile only the terms this test localization appears in:
+                # the gradient is identical (other terms are constant in the
+                # leaf), the traced graph is much smaller, and — crucially —
+                # unrelated integrals never share an XLA fusion with this
+                # gradient (wide fusions across unrelated element batches have
+                # been observed to miscompute on some CPU backends)
+                dep_terms = [tm for tm, tk in zip(terms, term_lockeys) if loc.leaf.key in tk]
+                expr_dep = dep_terms[0] if dep_terms else E_loc
+                for tm in dep_terms[1:]:
+                    expr_dep = ev.add(expr_dep, tm)
+                comp_dep = ev.compile(expr_dep)
+
+                def fn(args, overrides, tables, _loc=loc, _comp=comp_dep):
                     import jax
                     leaves = self._bound_leaves(args, overrides, tables)
 
                     def scalar(x):
                         lv = dict(leaves)
                         lv[_loc.leaf.key] = x
-                        return self._comp.trace(args, lv)
+                        return _comp.trace(args, lv)
                     return jax.grad(scalar)(leaves[_loc.leaf.key])
                 chunks.append(_Chunk(loc.argidx, fn, trial_keys, loc.leaf.shape))
             self._blocks.append(chunks)
@@ -773,11 +785,81 @@ class System:
 
     # -------------------------------------------------------- public assembly
 
+    def _compiled_split(self, which):
+        '''Per-chunk jitted assembly with host-side accumulation.  Used on the
+        CPU backend: compiling every residual/jacobian chunk into one fused
+        XLA program has been observed to MISCOMPUTE (NaN) on some hosts —
+        jit(f) != f(deoptimized) — when unrelated element batches share a
+        fusion.  Per-chunk programs sidestep the bad fusions; on TPU the
+        single fused program is kept (config.fuse_assembly overrides).'''
+        import jax
+        import numpy as np
+        from .utils import config
+        fdt = config.float_dtype()
+
+        res_fns = []  # (jitted, rows, slice)
+        for chunks, sl in zip(self._blocks, self._test_slices):
+            for c in chunks:
+                jf = jax.jit(lambda args, tables, _c=c: _c.fn(args, {}, tables))
+                res_fns.append((jf, np.broadcast_to(c.rows, c.shape).ravel() + sl.start, c.shape))
+
+        chunk_meta, pattern = self._jac_layout
+        offs = np.cumsum([0] + [m[-1] for m in chunk_meta])
+
+        jac_fns = []  # (jitted, slot segment)
+        for mi, (bi, ci, u, li, reduce_axes, _size) in enumerate(chunk_meta):
+            c = self._blocks[bi][ci]
+            loc = self._trial_locs[u][li]
+
+            def jfn(args, tables, _c=c, _loc=loc, _red=tuple(reduce_axes)):
+                import jax as _jax
+                import jax.numpy as jnp
+                x0 = _loc.leaf_value(args)
+
+                def one(seed):
+                    return _jax.jvp(lambda x: _c.fn(args, {_loc.leaf.key: x}, tables), (x0,), (seed,))[1]
+                V = _jax.vmap(one)(_loc.seeds())
+                V = jnp.moveaxis(V, 0, -1)
+                if _red:
+                    V = V.sum(axis=_red)
+                return V.ravel()
+            jac_fns.append((jax.jit(jfn), pattern.slot[offs[mi]:offs[mi + 1]]))
+
+        def residual(clean):
+            tables = self._tables()
+            r = np.zeros(self._ntest, dtype=fdt)
+            for jf, rows, _shape in res_fns:
+                np.add.at(r, rows, np.asarray(jf(clean, tables), dtype=fdt).ravel())
+            return r
+
+        def jacobian(clean):
+            tables = self._tables()
+            data = np.zeros(pattern.nnz, dtype=fdt)
+            for jf, slots in jac_fns:
+                np.add.at(data, slots, np.asarray(jf(clean, tables), dtype=fdt))
+            return data
+
+        value = None
+        if which in ('value',):
+            import jax as _jax
+            jv = _jax.jit(self._value_trace)
+            value = lambda clean: jv(clean, self._tables())
+
+        return {'residual': residual,
+                'jacobian': jacobian,
+                'value': value,
+                'jacres': lambda clean: (jacobian(clean), residual(clean))}[which]
+
     def _compiled(self, which):
         import jax
         fn = self._cache.get(which)
         if fn is None:
+            from .utils import config
             plan = self._scan_plan()
+            if plan is None and not config.fuse_assembly.value and jax.default_backend() == 'cpu':
+                fn = self._compiled_split(which)
+                self._cache[which] = fn
+                return fn
             if plan is not None:
                 sx = self._scan_xs(plan)
                 trace = {

@@ -48,6 +48,11 @@ assembly_chunk = _Setting('assembly_chunk', 2**18, int)
 # size (sequentially via lax.map) so the per-seed quadrature intermediates of
 # huge element batches do not live simultaneously; 0 vmaps all seeds at once.
 seed_block = _Setting('seed_block', 0, int)
+# Fuse all assembly chunks into one XLA program (the default).  Setting this
+# to 0 on the CPU backend compiles each chunk separately with host-side
+# accumulation — a diagnostic mode for environments whose remote XLA compile
+# service returns executables compiled against a mismatched target.
+fuse_assembly = _Setting('fuse_assembly', 1, int)
 
 
 def float_dtype():
