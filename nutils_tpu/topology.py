@@ -440,9 +440,30 @@ class StructuredTopology(Topology):
         fit_err = numpy.abs(A @ sol - gvals.reshape(-1, d)).max()
         if tol is None:
             tol = 1e-12
-        if fit_err > max(tol, 1e-10):
-            raise NotImplementedError('locate on non-affine geometry pending (Newton fallback)')
         xi = (coords - off) @ numpy.linalg.inv(lin) / self.root_h  # element units
+        if fit_err > max(tol, 1e-10):
+            # curved geometry: per-point Newton on the affine initial guess,
+            # re-evaluating geometry and root-gradient at the moving points
+            # (reference: topology.py:777 generic _locate)
+            xi = numpy.clip(xi, 0, numpy.array(self.shape, dtype=float))
+            rootgrad = function.grad(geom, function._RootCoords(self.space, d))
+            converged = False
+            for _ in range(maxiter or 30):
+                smp = self._point_sample(xi)
+                vals, grads = smp.eval([geom, rootgrad], arguments or {})
+                r = coords - numpy.asarray(vals)
+                if numpy.abs(r).max() < max(tol, 1e-12):
+                    converged = True
+                    break
+                delta = numpy.linalg.solve(numpy.asarray(grads), r[..., None])[..., 0]
+                xi = xi + delta / self.root_h
+                xi = numpy.clip(xi, -2 * eps - 1e-9, numpy.array(self.shape, dtype=float) + 2 * eps + 1e-9)
+            resid = numpy.abs(r).max(axis=1)
+            ok = resid < (maxdist if maxdist is not None else max(tol, 1e-9) * 1e3) \
+                if skip_missing else resid < numpy.inf
+            if not skip_missing and not converged:
+                raise ValueError(f'failed to locate points (max residual {resid.max():.1e})')
+            xi = xi[ok]
         ielem = numpy.minimum(numpy.maximum(numpy.floor(xi).astype(int), 0), numpy.array(self.shape) - 1)
         inside = (xi > -eps - 1e-10).all(1) & (xi < numpy.array(self.shape) + eps + 1e-10).all(1)
         if not inside.all():
@@ -450,9 +471,15 @@ class StructuredTopology(Topology):
                 raise ValueError(f'failed to locate {int((~inside).sum())}/{len(coords)} points')
             xi = xi[inside]
             ielem = ielem[inside]
+        return self._point_sample(xi)
+
+    def _point_sample(self, xi):
+        '''One-point-per-row sample at element-unit root coordinates [N, d].'''
+        d = self.ndims
+        h = self.root_h
+        ielem = numpy.minimum(numpy.maximum(numpy.floor(xi).astype(int), 0), numpy.array(self.shape) - 1)
         ielems = numpy.ravel_multi_index(ielem.T, self.shape)
         E = len(xi)
-        h = self.root_h
         origins = self._origins[ielems]
         sample_coords = xi[:, None, :] * h  # [E, 1, d] root coords
         p_linear = numpy.broadcast_to(numpy.eye(d) / h, (E, d, d))

@@ -157,3 +157,16 @@ def test_cache_function(tmp_path):
         assert f(3) == 6 and f(3) == 6
     assert len(calls) == 1
     assert f(3) == 6 and len(calls) == 2  # disabled outside the context
+
+
+def test_locate_newton_curved():
+    from nutils_tpu import mesh
+    import numpy
+    topo, geom = mesh.unitcircle(4, 'rectilinear')
+    pts = numpy.array([[0.0, 0.0], [0.3, 0.2], [-0.5, 0.5], [0.9, 0.0]])
+    smp = topo.locate(geom, pts, tol=1e-12)
+    got = numpy.asarray(smp.eval(geom))
+    assert numpy.abs(got - pts).max() < 1e-10
+    smp2 = topo.locate(geom, numpy.array([[0.0, 0.0], [2.0, 2.0]]), tol=1e-10,
+                       skip_missing=True, maxdist=0.1)
+    assert smp2.nelems == 1
