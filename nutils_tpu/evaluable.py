@@ -693,6 +693,20 @@ class Grad(Array):
         super().__init__((func, wrt), (), func.shape + (d,), float)
 
 
+class ArgGrad(Array):
+    '''Directional derivative of ``func`` with respect to the named Argument
+    in the direction of ``direction`` (the function-level linearize,
+    reference: function.py:1924): evaluated as one jax.jvp pass over the
+    argument binding.'''
+
+    def __init__(self, func, name, direction):
+        assert func.dtype == float
+        self.func = func
+        self.name = name
+        self.direction = direction
+        super().__init__((func, direction), (), func.shape, float)
+
+
 class Monomials(Array):
     '''Power features [1, x, x^2, ..., x^(K-1)] appended as a new last axis.
 
@@ -1146,6 +1160,11 @@ def _poly_degree(node, names):
         return numpy.inf
     if isinstance(node, Grad):
         return _poly_degree(node.func, names)
+    if isinstance(node, ArgGrad):
+        d = _poly_degree(node.func, names)
+        if node.name in names and d > 0:
+            d = d - 1
+        return d + _poly_degree(node.direction, names)
     return numpy.inf
 
 
@@ -1222,6 +1241,8 @@ def _rebuild(node, children):
         return Eigh(children[0], node.what)
     if cls is Grad:
         return grad(children[0], children[1])
+    if cls is ArgGrad:
+        return ArgGrad(children[0], node.name, children[1])
     if cls is Monomials:
         return Monomials(children[0], node.count)
     if cls is Legendre:
@@ -1317,6 +1338,15 @@ class _Evaluator:
             return jnp.asarray(val, dtype=_concrete_dtype(node.dtype))
         if isinstance(node, Grad):
             return self._eval_grad(node, frame, overridden)
+        if isinstance(node, ArgGrad):
+            import jax
+            dirval = self._eval(node.direction, frame, overridden)
+            x0 = jnp.asarray(self.arguments[node.name], dtype=_concrete_dtype(float))
+
+            def fun(x):
+                sub = _Evaluator({**self.arguments, node.name: x}, self.leaves)
+                return sub.run(node.func)
+            return jax.jvp(fun, (x0,), (jnp.asarray(dirval, dtype=x0.dtype),))[1]
         if isinstance(node, Sum):
             return self._eval_sum(node, frame, overridden)
         childvals = [self._eval(c, frame, overridden) for c in node.children]

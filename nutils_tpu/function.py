@@ -1134,6 +1134,85 @@ def curl(arg, geom):
     return stack(comps, axis=-1)
 
 
+def surfgrad(arg, geom):
+    '''Surface (tangential) gradient: the gradient projected onto the plane
+    orthogonal to the boundary normal (reference: function.py:2253).'''
+    g = grad(arg, geom)                      # [..., d]
+    n = normal(geom)                         # [d]
+    gn = sum_(multiply(g, n), g.ndim - 1)    # [...]
+    return subtract(g, multiply(insertaxis(gn, gn.ndim, n.shape[0]), n))
+
+
+def curvature(geom, ndims=-1):
+    '''Additive curvature of the geometry: the surface divergence of the
+    normal (reference: function.py:2272).'''
+    return trace(surfgrad(normal(geom), geom))
+
+
+def kronecker(arg, axis, length, pos):
+    '''Position ``pos`` of a new length-``length`` axis carries ``arg``, the
+    rest zeros (reference: function.py kronecker).'''
+    arg = asarray(arg)
+    parts = [arg if i == pos else zeros(arg.shape, arg.dtype) for i in range(length)]
+    return stack(parts, axis=axis)
+
+
+def _unwrap_linearized(res, trials):
+    '''If res is a sum of _Linearized terms of one functional covering all
+    trials, return that functional (System then uses the symmetric path).'''
+    terms = []
+
+    def walk(a):
+        if isinstance(a, _Add):
+            walk(a.operands[0])
+            walk(a.operands[1])
+        else:
+            terms.append(a)
+    try:
+        walk(asarray(res))
+    except Exception:
+        return None
+    if not terms or not all(isinstance(t, _Linearized) for t in terms):
+        return None
+    base = terms[0].func
+    if not all(t.func is base for t in terms):
+        return None
+    if set(t.uname for t in terms) != set(trials):
+        return None
+    return base
+
+
+def linearize(functional, targets):
+    '''Directional derivative of ``functional`` toward new (test) arguments:
+    'u:v' introduces v dual to u (reference: function.py:1924); evaluated as
+    one jvp pass over the argument binding (evaluable.ArgGrad).'''
+    functional = asarray(functional)
+    if isinstance(targets, str):
+        targets = dict(t.split(':') for t in targets.split(','))
+    out = None
+    for u, v in targets.items():
+        shape = arguments_for(functional)[u].shape
+        term = _Linearized(functional, u, v, shape)
+        out = term if out is None else add(out, term)
+    return out
+
+
+class _Linearized(Array):
+    def __init__(self, func, uname, vname, ushape):
+        self.func = func
+        self.uname = uname
+        self.vname = vname
+        self.ushape = tuple(ushape)
+        args = dict(func.arguments)
+        args[self.vname] = (self.ushape, float)
+        super().__init__(func.shape, float, func.spaces, args)
+
+    def lower(self, args):
+        inner = ev.astype(self.func.lower(args), float)
+        direction = ev.Argument(self.vname, self.ushape)
+        return ev.ArgGrad(inner, self.uname, direction)
+
+
 def laplace(arg, geom):
     return trace(grad(grad(arg, geom), geom))
 

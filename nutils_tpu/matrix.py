@@ -77,6 +77,34 @@ class SparsePattern:
         return jnp.zeros(self.nnz, dtype=values.dtype).at[self.slot].add(values)
 
 
+def assemble_csr(data, indices, indptr, shape):
+    '''CSR constructor with validation (reference: matrix/__init__.py:30).'''
+    return Matrix(indptr, indices, numpy.asarray(data), shape)
+
+
+def assemble_coo(data, rows, cols, shape):
+    '''COO constructor, deduplicating into CSR (reference:
+    matrix/__init__.py:73).'''
+    pattern = SparsePattern(numpy.asarray(rows), numpy.asarray(cols), shape)
+    out = numpy.zeros(pattern.nnz)
+    numpy.add.at(out, pattern.slot, numpy.asarray(data, dtype=float))
+    return Matrix.from_pattern(pattern, out)
+
+
+def empty(shape):
+    return Matrix(numpy.zeros(shape[0] + 1, dtype=int), numpy.zeros(0, dtype=int), numpy.zeros(0), shape)
+
+
+def diag(d):
+    d = numpy.asarray(d, dtype=float)
+    n = len(d)
+    return Matrix(numpy.arange(n + 1), numpy.arange(n), d, (n, n))
+
+
+def eye(n):
+    return diag(numpy.ones(n))
+
+
 class Matrix:
     '''Square or rectangular CSR matrix with constraint-aware solve
     (reference: matrix/_base.py:33).'''
@@ -100,6 +128,9 @@ class Matrix:
             return numpy.asarray(self.data), self.indices, self.indptr
         if form == 'dense':
             return self._scipy().toarray()
+        if form == 'coo':
+            m = self._scipy().tocoo()
+            return numpy.asarray(m.data), (m.row, m.col)
         raise ValueError(form)
 
     def __matmul__(self, vec):

@@ -51,6 +51,19 @@ def line(nodes, periodic=False, space='X'):
     return topo, geom[0]
 
 
+def newrectilinear(nodes, periodic=(), spaces=None):
+    '''Tensor product of one-dimensional rectilinear meshes over distinct
+    spaces (reference: mesh.py:78).'''
+    if spaces is None:
+        spaces = [chr(ord('X') + i) for i in range(len(nodes))]
+    topo = geom = None
+    for i, (n, space) in enumerate(zip(nodes, spaces)):
+        ti, gi = rectilinear([n], periodic=(0,) if i in periodic else (), space=space)
+        topo = ti if topo is None else topo * ti
+        geom = gi if geom is None else function.concatenate([geom, gi])
+    return topo, geom
+
+
 def unitsquare(nelems, etype='square'):
     '''Unit square [0,1]^2 as structured squares, unstructured triangles, or a
     mixed triangle/square mesh (reference: mesh.py:686; the triangle/mixed

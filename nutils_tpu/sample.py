@@ -213,6 +213,19 @@ class Sample:
         offsets = numpy.arange(self.nelems)[:, None, None] * P
         return (self.hull_local[None, :, :] + offsets).reshape(-1, self.hull_local.shape[1])
 
+    def subset(self, mask):
+        '''Row subset of this sample by point mask or element indices
+        (reference: sample.py:306).'''
+        mask = numpy.asarray(mask)
+        if mask.dtype == bool and mask.size == self.npoints:
+            keep = mask.reshape(self.nelems, self.npoints_per_elem).any(axis=1)
+            rows = numpy.nonzero(keep)[0]
+        elif mask.dtype == bool:
+            rows = numpy.nonzero(mask)[0]
+        else:
+            rows = mask.astype(int)
+        return take_rows(self, rows)
+
     @staticmethod
     def concatenate(samples):
         '''Concatenate samples with identical point structure (same space,
@@ -382,6 +395,25 @@ class _SampleValues(function.Array):
         dofs = (numpy.arange(E)[:, None, None] * P + numpy.arange(P)[None, None, :])
         vals = ev.constant(numpy.broadcast_to(numpy.eye(P), (E, P, P)).copy())
         return ev.inflate(vals, ev.constant(dofs), E * P, 2)
+
+
+class _ElemIntegral(function.Array):
+    '''Per-element integrals: [nelems, *shape] (reference:
+    topology.py:406 integrate_elementwise).'''
+
+    def __init__(self, integrand, sample):
+        self.integrand = integrand
+        self.sample = sample
+        super().__init__((sample.nelems,) + integrand.shape, float, frozenset(), integrand.arguments)
+
+    def lower(self, args):
+        sargs = self.sample.lower_args()
+        expr = ev.astype(self.integrand.lower(sargs), float)  # [E,P,*shape]
+        w = ev.constant(self.sample.weights)
+        for i in range(self.integrand.ndim):
+            w = ev.insertaxis(w, 2 + i, self.integrand.shape[i])
+        out = ev.sum_(ev.multiply(expr, w), (1,))
+        return function._prefix_broadcast(out, args.points_shape)
 
 
 class _Integral(function.Array):

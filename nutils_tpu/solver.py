@@ -281,6 +281,13 @@ class System:
     def __init__(self, residual, /, trial, test=None):
         self.trials = tuple(trial.split(',') if isinstance(trial, str) else trial)
 
+        # a sum of function.linearize terms over one functional is the energy
+        # formulation in disguise: unwrap so assembly uses localized AD
+        if test is None and not isinstance(residual, (tuple, list)):
+            lin = function._unwrap_linearized(residual, self.trials)
+            if lin is not None:
+                residual = lin
+
         if isinstance(residual, (tuple, list)):
             if test is not None:
                 raise ValueError('test arguments are not allowed with residual vectors')

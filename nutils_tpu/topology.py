@@ -34,6 +34,18 @@ class Topology:
     def integrate(self, funcs, *, degree=None, arguments=None, **kw):
         return self.sample('gauss', degree).integrate(funcs, arguments, **kw)
 
+    def integrate_elementwise(self, func, *, degree, arguments=None, asfunction=False):
+        '''Element-wise integrals as a [nelems, ...] array (reference:
+        topology.py:406).'''
+        smp = self.sample('gauss', degree)
+        parts = smp.samples if isinstance(smp, _sample.ChainedSample) else [smp]
+        vals = function.eval([_sample._ElemIntegral(function.asarray(func), s) for s in parts],
+                             arguments or {})
+        out = numpy.concatenate([numpy.asarray(v) for v in vals])
+        if asfunction:
+            raise NotImplementedError('asfunction=True pending')
+        return out
+
     # ---------------------------------------------------------- fields
 
     def basis(self, btype='std', degree=1, **kwargs):
