@@ -473,6 +473,13 @@ def compose_affine_poly(coeffs, lin, off):
     hit = _compose_cache.get(key)
     if hit is not None:
         return hit
+    from . import native
+    nat = native.poly_compose_affine(coeffs, lin, off)
+    if nat is not None:
+        if len(_compose_cache) > 4096:
+            _compose_cache.clear()
+        _compose_cache[key] = nat
+        return nat
     d = lin.shape[0]
     K = coeffs.shape[-1]
     lead = coeffs.shape[:-d]

@@ -1537,3 +1537,69 @@ def eval_once(funcs, arguments=None, leaves=None):
     import jax
     out = Compiled(funcs)(arguments or {}, leaves or {})
     return jax.tree.map(lambda x: numpy.asarray(x), out)
+
+
+# ------------------------------------------------------------ visualization
+
+def asciitree(root, richoutput=True):
+    '''ASCII rendering of the expression DAG; nodes reachable through more
+    than one path are printed once and referenced as %N afterwards
+    (reference: _graph.py generate_asciitree).'''
+    seen = {}
+    counter = itertools.count()
+    lines = []
+
+    def label(node):
+        name = type(node).__name__
+        if isinstance(node, Constant):
+            name += f'<{node.value.shape}>' if node.ndim else f'({node.value})'
+        elif isinstance(node, Argument):
+            name += f'({node.name})'
+        elif isinstance(node, Leaf):
+            name += f'({node.key})'
+        elif isinstance(node, Pointwise):
+            name += f'[{node.op}]'
+        if node.ndim:
+            name += ':' + 'x'.join(map(str, node.shape))
+        return name
+
+    vert, junc, last = ('│ ', '├ ', '└ ') if richoutput else ('| ', '+ ', '* ')
+
+    def rec(node, prefix, childprefix):
+        if node in seen:
+            lines.append(prefix + f'%{seen[node]}')
+            return
+        idx = next(counter)
+        seen[node] = idx
+        lines.append(prefix + f'%{idx} = ' + label(node))
+        children = list(node.children)
+        for i, c in enumerate(children):
+            is_last = i == len(children) - 1
+            rec(c, childprefix + (last if is_last else junc),
+                childprefix + ('  ' if is_last else vert))
+    rec(root, '', '')
+    return '\n'.join(lines)
+
+
+def export_graphviz(root):
+    '''Graphviz DOT source of the expression DAG (reference: _graph.py
+    export_graphviz).'''
+    seen = {}
+    lines = ['digraph {', 'node [shape=box];']
+
+    def rec(node):
+        if node in seen:
+            return seen[node]
+        nid = f'n{len(seen)}'
+        seen[node] = nid
+        name = type(node).__name__
+        if node.ndim:
+            name += ':' + 'x'.join(map(str, node.shape))
+        lines.append(f'{nid} [label="{name}"];')
+        for c in node.children:
+            cid = rec(c)
+            lines.append(f'{nid} -> {cid};')
+        return nid
+    rec(root)
+    lines.append('}')
+    return '\n'.join(lines)

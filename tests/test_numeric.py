@@ -104,3 +104,23 @@ def test_simplex_grid():
     d = numpy.sqrt(((pts[:, None] - pts[None, :]) ** 2).sum(-1))
     numpy.fill_diagonal(d, numpy.inf)
     assert abs(d.min() - 0.2) < 0.05
+
+
+def test_native_poly_kernels():
+    import numpy
+    from nutils_tpu import native
+    if native._get_poly() is None:
+        return  # toolchain absent: python fallback covers functionality
+    rng = numpy.random.default_rng(0)
+    for d, K in [(1, 3), (2, 3), (2, 4)]:
+        a = rng.normal(size=(K,) * d)
+        b = rng.normal(size=(K,) * d)
+        out = native.poly_mul(a, b)
+        # brute-force reference
+        ref = numpy.zeros((2 * K - 1,) * d)
+        for ia in numpy.ndindex(*a.shape):
+            for ib in numpy.ndindex(*b.shape):
+                ref[tuple(x + y for x, y in zip(ia, ib))] += a[ia] * b[ib]
+        assert numpy.abs(out - ref).max() < 1e-12
+        cd = native.poly_change_degree(a, K + 2)
+        assert cd.shape == (K + 2,) * d and numpy.abs(cd[(slice(0, K),) * d] - a).max() == 0
