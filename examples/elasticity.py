@@ -85,6 +85,13 @@ def main(nelems: int = 24,
 
 class test(testing.TestCase):
 
+    # Extra absolute slack for solution/traction comparisons: x-components on
+    # the symmetry axis are exact zeros in the recorded reference data but
+    # carry ~1e-14 assembly/LU rounding noise here (XLA scatter-add order
+    # differs from the reference's sequential numpy accumulation).  The slack
+    # is immaterial for nonzero entries (rtol 2e-3 dominates).
+    noise = 3e-14
+
     def test_simple(self):
         cons, args = main(nelems=4, etype='square', degree=1, poisson=.25)
         with self.subTest('constraints'):
@@ -93,10 +100,10 @@ class test(testing.TestCase):
         with self.subTest('displacement'):
             self.assertAlmostEqual64(args['u'], '''
                 eNqT1yk8K6o35ay2PsO5ev3v5xiA4ItW1NlnOrVnX+l+PrtZV+Y8AxiEnGVgqATir0AsARbjuRp1Vupy
-                7VmxS5/P+l6CqHt4ufDs64tTzl69wHCu8QLEPADBQyml''')
+                7VmxS5/P+l6CqHt4ufDs64tTzl69wHCu8QLEPADBQyml''', noise=self.noise)
         with self.subTest('traction'):
             self.assertAlmostEqual64(args['t'], '''
-                eNpjYEAF7Kd2mqMJMXAZiGKIMTCEYIh9O4+p7qfpTnMA/hUHAg==''')
+                eNpjYEAF7Kd2mqMJMXAZiGKIMTCEYIh9O4+p7qfpTnMA/hUHAg==''', noise=self.noise)
 
     def test_mixed(self):
         cons, args = main(nelems=4, etype='mixed', degree=1, poisson=.25)
@@ -106,10 +113,10 @@ class test(testing.TestCase):
         with self.subTest('solution'):
             self.assertAlmostEqual64(args['u'], '''
                 eNoz1c0466vXfrZeJ+ystm7TWVl9lnPPdd+erdf/fG66rvR5Bijg0Ko4e0or+uwjjT9nHTVEweKOt2PO
-                rrrcdjbj0uezTpdkwGK2l6afnXW14SznRZ5z+y5wgcUAJX0p8A==''')
+                rrrcdjbj0uezTpdkwGK2l6afnXW14SznRZ5z+y5wgcUAJX0p8A==''', noise=self.noise)
         with self.subTest('traction'):
             self.assertAlmostEqual64(args['t'], '''
-                eNpjYMAPXE7tNZ98ls8cXTzFOAVDbMfpz2boYqfMLpkDAGMuCY8=''')
+                eNpjYMAPXE7tNZ98ls8cXTzFOAVDbMfpz2boYqfMLpkDAGMuCY8=''', noise=self.noise)
 
     def test_quadratic(self):
         cons, args = main(nelems=4, etype='square', degree=2, poisson=.25)
@@ -122,10 +129,10 @@ class test(testing.TestCase):
                 /FQRXyBuirSim+yFr7jwcTn3MNPHkPr4ZU28WD0Ydorf2BV+bs/4o/0sSDzbpocT6qHB6ti0OniyIvxZ
                 BT620uKL3YVz59tw0c67+KBV1FgbYzbFulXkI5YRJbazcLKGgyPTQTUfwKYtXNEJ3miZl2hW3Ob3Fw4h
                 Dgg5iAliWjE/850TshJn2Vs40dDBw8DBZT+A1C1c6Am2dJl3dVac9pM7q0MXx30XG7qKhmojp6b4lEVu
-                qIzoqiTP68DDvfZQU3W8yw4OZYQlWeA5mRZrKvlLD3yY2seyamJX9jAKU/wsrPDrcMbdMOnnH2mlmk4=''')
+                qIzoqiTP68DDvfZQU3W8yw4OZYQlWeA5mRZrKvlLD3yY2seyamJX9jAKU/wsrPDrcMbdMOnnH2mlmk4=''', noise=self.noise)
         with self.subTest('traction'):
             self.assertAlmostEqual64(args['t'], '''
-                eNpjYMAPOk+qWxBQwvDW5L8pITUSZ9LMCamZaCBGUA0DQwBBNfnnCZvzwpiwe4RPE/ZXuZm6BQAVHQ1+''')
+                eNpjYMAPOk+qWxBQwvDW5L8pITUSZ9LMCamZaCBGUA0DQwBBNfnnCZvzwpiwe4RPE/ZXuZm6BQAVHQ1+''', noise=self.noise)
 
     def test_poisson(self):
         cons, args = main(nelems=4, etype='square', degree=1, poisson=.4)
@@ -133,15 +140,12 @@ class test(testing.TestCase):
             self.assertAlmostEqual64(cons['u'], '''
                 eNpjaGBAhSBAZTEAEKAUAQ==''')
         with self.subTest('solution'):
-            # extra absolute slack: the x-displacements on the symmetry axis
-            # are exact zeros in the recorded data but carry ~3e-15 assembly/LU
-            # rounding noise here (different summation order than the reference)
             self.assertAlmostEqual64(args['u'], '''
                 eNqTNig6vcVwwekjRuJn5Iy1zzIAwQs999MdBmWn+w0Zz7QYpoPFGBisTzMw5AMx6xkGhniwmMRF99MV
-                58tOF55jPFNzDqLu6fmi0z7nFpy2OSt+5tEZiHkAKRAl5A==''', noise=1e-14)
+                58tOF55jPFNzDqLu6fmi0z7nFpy2OSt+5tEZiHkAKRAl5A==''', noise=self.noise)
         with self.subTest('traction'):
             self.assertAlmostEqual64(args['t'], '''
-                eNpjYEAF/Sc+maMJMdw0emzGgAFiMdSpn8VUV2j+yRwAoCAJFw==''')
+                eNpjYEAF/Sc+maMJMdw0emzGgAFiMdSpn8VUV2j+yRwAoCAJFw==''', noise=self.noise)
 
 
 if __name__ == '__main__':

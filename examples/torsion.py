@@ -90,6 +90,11 @@ def main(length: float = 2*np.pi,
 
 class test(testing.TestCase):
 
+    # extra absolute slack: dofs that are exact zeros in the recorded
+    # reference data carry ~2e-15 assembly/solver rounding noise here (XLA
+    # scatter-add order differs from the reference's sequential accumulation)
+    noise = 3e-14
+
     def test_torque(self):
         args = main(rotation=1., increment=1., elemsize=1., poisson=.25)
         self.assertAlmostEqual64(args['u'], '''
@@ -103,7 +108,7 @@ class test(testing.TestCase):
             sfHP4rnsol75RfayCmVXNbzebGlOlyGTnKKv4S+2sjGUDWm1F0/vP6dceB+xqGKK5ayUdKe0Sx+zyVHx
             AHvEhI6THaJeP6KpaK6+AlWikrh0jhggl9VSNE6SqlR6GFdWmWJP5Hbp489KKp1rqCIWRgHcBGHcSuoS
             tc4CM+2UqAXuYoWHdVZpxKR1CPeYdm2jDZCjreiOzkAzztcdUEdeqf8TTI/eQCOwR/txUAdVG16LTxoH
-            8cBF009+quOwTv4BeBNCLA==''')
+            8cBF009+quOwTv4BeBNCLA==''', noise=self.noise)
 
     def test_stretch(self):
         args = main(rotation=0., elemsize=2., poisson=.25, restol=1e-8, trim=0., stretch=1.1, degree=3)
@@ -111,7 +116,7 @@ class test(testing.TestCase):
             eNodjy2OwlAURu8GipmgJ6gRff25jCGT1LOFBtd0AxVTMyEhIRgEVbgG2y3gCQmGdx+9ONSIUeOmG5j3
             YT7x5eQkp3MqP+71RvLimtuX3clJR3YinSP6TP1Pc278XvmkRB/TzkXpk2fwGwb/xxNpo7G8ucFc7EO2
             Zm33crjP7cL/RO88GKIVb/2e+XAnomkb/abgZwx+yeCPvJCyhydQeGqFpwjhKXt4AoWnVniKEJ6yhydQ
-            eGqFpwjhyRN0fcfoqmJ0ZQZdeYIu//uuKkZXZtCVJ+jyP4NHV2bQ9Q9mTH+1''')
+            eGqFpwjhyRN0fcfoqmJ0ZQZdeYIu//uuKkZXZtCVJ+jyP4NHV2bQ9Q9mTH+1''', noise=self.noise)
 
 
 if __name__ == '__main__':

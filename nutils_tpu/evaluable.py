@@ -707,6 +707,22 @@ class ArgGrad(Array):
         super().__init__((func, direction), (), func.shape, float)
 
 
+class LeafGrad(Array):
+    '''Directional derivative of ``func`` with respect to the Leaf with the
+    given key, in the direction of ``seed`` (shape = leaf shape).  This is the
+    localized form of :class:`ArgGrad`: the solver rewrites each ArgGrad over
+    a localized argument into a sum of LeafGrads whose seeds are the argument
+    direction routed through the same gather tables as the leaf itself, so
+    that linearize directions stay element-batched.'''
+
+    def __init__(self, func, key, seed):
+        assert func.dtype == float
+        self.func = func
+        self.key = key
+        self.seed = seed
+        super().__init__((func, seed), (key,), func.shape, float)
+
+
 class Monomials(Array):
     '''Power features [1, x, x^2, ..., x^(K-1)] appended as a new last axis.
 
@@ -1165,6 +1181,8 @@ def _poly_degree(node, names):
         if node.name in names and d > 0:
             d = d - 1
         return d + _poly_degree(node.direction, names)
+    if isinstance(node, LeafGrad):
+        return _poly_degree(node.func, names) + _poly_degree(node.seed, names)
     return numpy.inf
 
 
@@ -1243,6 +1261,8 @@ def _rebuild(node, children):
         return grad(children[0], children[1])
     if cls is ArgGrad:
         return ArgGrad(children[0], node.name, children[1])
+    if cls is LeafGrad:
+        return LeafGrad(children[0], node.key, children[1])
     if cls is Monomials:
         return Monomials(children[0], node.count)
     if cls is Legendre:
@@ -1347,6 +1367,15 @@ class _Evaluator:
                 sub = _Evaluator({**self.arguments, node.name: x}, self.leaves)
                 return sub.run(node.func)
             return jax.jvp(fun, (x0,), (jnp.asarray(dirval, dtype=x0.dtype),))[1]
+        if isinstance(node, LeafGrad):
+            import jax
+            seedval = self._eval(node.seed, frame, overridden)
+            x0 = jnp.asarray(self.leaves[node.key], dtype=_concrete_dtype(float))
+
+            def fun(x):
+                sub = _Evaluator(self.arguments, {**self.leaves, node.key: x})
+                return sub.run(node.func)
+            return jax.jvp(fun, (x0,), (jnp.asarray(seedval, dtype=x0.dtype),))[1]
         if isinstance(node, Sum):
             return self._eval_sum(node, frame, overridden)
         childvals = [self._eval(c, frame, overridden) for c in node.children]

@@ -368,9 +368,9 @@ class Namespace:
         self.log10 = function.log10
         self.sqrt = function.sqrt
         self.sign = function.sign
-        self.conj = lambda x: x
-        self.real = lambda x: x
-        self.imag = lambda x: function.asarray(x) * 0
+        self.conj = function.conjugate
+        self.real = function.real
+        self.imag = function.imag
 
     def __setattr__(self, attr, value):
         name, underscore, indices = attr.partition('_')

@@ -241,6 +241,16 @@ class Array:
     def conjugate(self):
         return self
 
+    conj = conjugate
+
+    @property
+    def real(self):
+        return self
+
+    @property
+    def imag(self):
+        return zeros(self.shape)
+
     def __repr__(self):
         return f'Array<{"x".join(map(str, self.shape))}>'
 
@@ -280,7 +290,10 @@ def asarray(value):
         return value
     if isinstance(value, (list, tuple)) and any(isinstance(v, Array) for v in _flatten(value)):
         return stack([asarray(v) for v in value], axis=0)
-    return _Constant(numpy.asarray(value))
+    value = numpy.asarray(value)
+    if value.dtype.kind == 'c':
+        return _Complex(_Constant(numpy.array(value.real)), _Constant(numpy.array(value.imag)))
+    return _Constant(value)
 
 
 def _flatten(x):
@@ -302,8 +315,76 @@ class _Constant(Array):
         return _prefix_broadcast(ev.constant(self.value), args.points_shape)
 
 
+class _Complex(Array):
+    '''Complex array as a (real, imag) pair of real Arrays.
+
+    The TPU has no complex element types, and split arithmetic is the natural
+    TPU design anyway: a complex argument of logical shape S is backed by a
+    real argument of shape S + (2,), every complex operation expands into real
+    arithmetic on the parts at the function layer, and the solver assembles
+    the equivalent real system — Re(res) stationary in the packed test dofs is
+    exactly res == 0 for the complex residual.  Mirrors the reference's
+    complex dtype support (reference: function.py:257, examples/coil.py).'''
+
+    def __init__(self, real, imag):
+        real = asarray(real)
+        imag = asarray(imag)
+        if real.dtype != float:
+            real = _cast(real, float)
+        if imag.dtype != float:
+            imag = _cast(imag, float)
+        assert real.shape == imag.shape, (real.shape, imag.shape)
+        self._re = real
+        self._im = imag
+        super().__init__(real.shape, complex, _merge_spaces((real, imag)), _merge_args((real, imag)))
+
+    @property
+    def real(self):
+        return self._re
+
+    @property
+    def imag(self):
+        return self._im
+
+    def conjugate(self):
+        return _Complex(self._re, negative(self._im))
+
+    conj = conjugate
+
+    def lower(self, args):
+        raise TypeError('complex arrays cannot be lowered directly; lower .real and .imag separately')
+
+
+def iscomplex(a):
+    return isinstance(a, Array) and a.dtype == complex
+
+
+def _as_complex(a):
+    a = asarray(a)
+    if isinstance(a, _Complex):
+        return a
+    return _Complex(a if a.dtype == float else _cast(a, float), zeros(a.shape))
+
+
+def _map_parts(f, *arrays):
+    '''Apply a real-array building function to the real and imag parts of
+    (possibly complex) operands, recombining into a complex array.'''
+    cs = [_as_complex(a) for a in arrays]
+    return _Complex(f(*[c.real for c in cs]), f(*[c.imag for c in cs]))
+
+
 class Argument(Array):
-    '''Named argument; the solver's trial/test vectors and parameters.'''
+    '''Named argument; the solver's trial/test vectors and parameters.
+
+    A complex argument of logical shape S is backed by a real argument of
+    shape S + (2,); its arguments-dict spec records the backing shape with
+    dtype complex so solver/eval layers pack and unpack transparently.'''
+
+    def __new__(cls, name, shape, dtype=float):
+        if dtype is complex:
+            backing = _RealBacking(name, tuple(int(n) for n in shape) + (2,))
+            return _Complex(getitem(backing, (Ellipsis, 0)), getitem(backing, (Ellipsis, 1)))
+        return super().__new__(cls)
 
     def __init__(self, name, shape, dtype=float):
         self.name = name
@@ -311,6 +392,25 @@ class Argument(Array):
 
     def lower(self, args):
         return _prefix_broadcast(ev.Argument(self.name, self.shape, self.dtype), args.points_shape)
+
+
+class _RealBacking(Array):
+    '''The real storage of a complex argument: shape S + (2,), declared with
+    dtype complex in the arguments dict (spec shape = backing shape).'''
+
+    def __init__(self, name, shape):
+        self.name = name
+        super().__init__(shape, float, frozenset(), {name: (tuple(int(n) for n in shape), complex)})
+
+    def lower(self, args):
+        return _prefix_broadcast(ev.Argument(self.name, self.shape, float), args.points_shape)
+
+
+def _arg_from_spec(name, spec):
+    shape, dtype = spec
+    if dtype is complex:
+        return Argument(name, tuple(shape)[:-1], complex)
+    return Argument(name, shape, dtype)
 
 
 def _broadcast_shapes(*shapes):
@@ -430,6 +530,11 @@ class _Neg(_Broadcast):
 
 class _Sum(Array):
 
+    def __new__(cls, arg, axes):
+        if iscomplex(arg):
+            return _map_parts(lambda x: _Sum(x, axes), arg)
+        return super().__new__(cls)
+
     def __init__(self, arg, axes):
         self.arg = arg
         self.axes = tuple(sorted(ax % arg.ndim for ax in axes))
@@ -443,6 +548,11 @@ class _Sum(Array):
 
 class _Transpose(Array):
 
+    def __new__(cls, arg, axes):
+        if iscomplex(arg):
+            return _map_parts(lambda x: _Transpose(x, axes), arg)
+        return super().__new__(cls)
+
     def __init__(self, arg, axes):
         self.arg = arg
         self.axes = tuple(ax % arg.ndim for ax in axes)
@@ -455,6 +565,11 @@ class _Transpose(Array):
 
 
 class _InsertAxis(Array):
+
+    def __new__(cls, arg, axis, length):
+        if iscomplex(arg):
+            return _map_parts(lambda x: _InsertAxis(x, axis, length), arg)
+        return super().__new__(cls)
 
     def __init__(self, arg, axis, length):
         self.arg = arg
@@ -470,6 +585,11 @@ class _InsertAxis(Array):
 class _Take(Array):
     '''Gather along axis at constant indices.'''
 
+    def __new__(cls, arg, indices, axis):
+        if iscomplex(arg):
+            return _map_parts(lambda x: _Take(x, indices, axis), arg)
+        return super().__new__(cls)
+
     def __init__(self, arg, indices, axis):
         self.arg = arg
         self.indices = numpy.asarray(indices)
@@ -483,6 +603,12 @@ class _Take(Array):
 
 
 class _Concatenate(Array):
+
+    def __new__(cls, arrays, axis):
+        arrays = tuple(arrays)
+        if any(iscomplex(a) for a in arrays):
+            return _map_parts(lambda *xs: _Concatenate(xs, axis), *arrays)
+        return super().__new__(cls)
 
     def __init__(self, arrays, axis):
         arrays = tuple(arrays)
@@ -585,6 +711,11 @@ class _Gradient(Array):
     '''grad(arg, geom): shape arg.shape + (len(geom),).  The root chart is the
     concatenation of all the sample's space charts (multi-space geometries as
     in the reference's tensorial topologies).'''
+
+    def __new__(cls, arg, geom):
+        if iscomplex(arg):
+            return _map_parts(lambda x: _Gradient(x, geom), arg)
+        return super().__new__(cls)
 
     def __init__(self, arg, geom):
         assert geom.ndim == 1
@@ -950,6 +1081,9 @@ class PlainBasis(Basis):
 # ---------------------------------------------------------------- builders
 
 def add(a, b):
+    a, b = asarray(a), asarray(b)
+    if iscomplex(a) or iscomplex(b):
+        return _map_parts(add, a, b)
     a, b, _ = _coerce_pair(a, b)
     return _Add(a, b)
 
@@ -959,25 +1093,65 @@ def subtract(a, b):
 
 
 def multiply(a, b):
+    a, b = asarray(a), asarray(b)
+    if iscomplex(a) or iscomplex(b):
+        ca, cb = _as_complex(a), _as_complex(b)
+        return _Complex(subtract(multiply(ca.real, cb.real), multiply(ca.imag, cb.imag)),
+                        add(multiply(ca.real, cb.imag), multiply(ca.imag, cb.real)))
     a, b, _ = _coerce_pair(a, b)
     return _Multiply(a, b)
 
 
 def divide(a, b):
-    return multiply(asarray(a), power(b, -1))
+    a, b = asarray(a), asarray(b)
+    if iscomplex(b):
+        cb = _as_complex(b)
+        den = add(multiply(cb.real, cb.real), multiply(cb.imag, cb.imag))
+        return multiply(a, _Complex(divide(cb.real, den), negative(divide(cb.imag, den))))
+    return multiply(a, power(b, -1))
 
 
 def negative(a):
-    return _Neg(asarray(a))
+    a = asarray(a)
+    if iscomplex(a):
+        return _map_parts(negative, a)
+    return _Neg(a)
 
 
 def power(a, b):
     a, b = asarray(a), asarray(b)
+    if iscomplex(b):
+        raise NotImplementedError('complex exponents are not supported')
+    if iscomplex(a):
+        if isinstance(b, _Constant) and b.ndim == 0 and float(b.value) == int(b.value):
+            n = int(b.value)
+            if n < 0:
+                return divide(asarray(1.), power(a, -n))
+            out = _Complex(ones(a.shape), zeros(a.shape))
+            for _ in range(n):
+                out = multiply(out, a)
+            return out
+        raise NotImplementedError('complex base requires a constant integer exponent')
     return _Power(_cast(a, float), _cast(b, float))
 
 
 def sqrt(a):
     return power(a, .5)
+
+
+def real(a):
+    return asarray(a).real
+
+
+def imag(a):
+    return asarray(a).imag
+
+
+def conjugate(a):
+    return asarray(a).conjugate()
+
+
+conj = conjugate
 
 
 def sum_(a, axis=None):
@@ -1065,6 +1239,11 @@ def getitem(a, item):
 
 
 class _TakeScalar(Array):
+
+    def __new__(cls, arg, index, axis):
+        if iscomplex(arg):
+            return _map_parts(lambda x: _TakeScalar(x, index, axis), arg)
+        return super().__new__(cls)
 
     def __init__(self, arg, index, axis):
         self.arg = arg
@@ -1157,6 +1336,35 @@ def kronecker(arg, axis, length, pos):
     return stack(parts, axis=axis)
 
 
+def scatter(arr, length, indices):
+    '''Distribute the last axis of ``arr`` over a new axis of the given length
+    at the (unique) indices (reference: function.py:1799).'''
+    arr = asarray(arr)
+    indices = numpy.asarray(indices)
+    assert indices.ndim == 1 and arr.shape[-1] == len(indices)
+    parts = []
+    for i in range(int(length)):
+        hits = numpy.nonzero(indices == i)[0]
+        parts.append(getitem(arr, (Ellipsis, int(hits[0]))) if len(hits) else zeros(arr.shape[:-1]))
+    return stack(parts, axis=-1)
+
+
+def trignormal(angle):
+    '''Unit vector [cos, sin] (reference: function.py:2579).'''
+    angle = asarray(angle)
+    return stack([cos(angle), sin(angle)], axis=-1)
+
+
+def trigtangent(angle):
+    '''Unit vector [-sin, cos] (reference: function.py:2583).'''
+    angle = asarray(angle)
+    return stack([negative(sin(angle)), cos(angle)], axis=-1)
+
+
+def rotmat(angle):
+    return stack([trignormal(angle), trigtangent(angle)], axis=0)
+
+
 def _unwrap_linearized(res, trials):
     '''If res is a sum of _Linearized terms of one functional covering all
     trials, return that functional (System then uses the symmetric path).'''
@@ -1172,7 +1380,7 @@ def _unwrap_linearized(res, trials):
         walk(asarray(res))
     except Exception:
         return None
-    if not terms or not all(isinstance(t, _Linearized) for t in terms):
+    if not terms or not all(isinstance(t, _Linearized) and isinstance(t.direction, Argument) for t in terms):
         return None
     base = terms[0].func
     if not all(t.func is base for t in terms):
@@ -1184,32 +1392,42 @@ def _unwrap_linearized(res, trials):
 
 def linearize(functional, targets):
     '''Directional derivative of ``functional`` toward new (test) arguments:
-    'u:v' introduces v dual to u (reference: function.py:1924); evaluated as
-    one jvp pass over the argument binding (evaluable.ArgGrad).'''
+    'u:v' (or a dict {name: direction}) introduces v dual to u (reference:
+    function.py:1924); evaluated as one jvp pass over the argument binding
+    (evaluable.ArgGrad).  A direction may be a plain test-argument name or an
+    Array of the argument's shape (e.g. a masked test argument).'''
     functional = asarray(functional)
     if isinstance(targets, str):
         targets = dict(t.split(':') for t in targets.split(','))
     out = None
     for u, v in targets.items():
         shape = arguments_for(functional)[u].shape
-        term = _Linearized(functional, u, v, shape)
+        direction = Argument(v, shape) if isinstance(v, str) else asarray(v)
+        assert direction.shape == tuple(shape), 'direction shape must match the argument'
+        term = _Linearized(functional, u, direction, shape)
         out = term if out is None else add(out, term)
     return out
 
 
 class _Linearized(Array):
-    def __init__(self, func, uname, vname, ushape):
+    def __init__(self, func, uname, direction, ushape):
         self.func = func
         self.uname = uname
-        self.vname = vname
+        self.direction = direction
         self.ushape = tuple(ushape)
         args = dict(func.arguments)
-        args[self.vname] = (self.ushape, float)
+        for name, spec in direction.arguments.items():
+            prev = args.setdefault(name, spec)
+            assert prev == spec
         super().__init__(func.shape, float, func.spaces, args)
+
+    @property
+    def vname(self):
+        return self.direction.name if isinstance(self.direction, Argument) else None
 
     def lower(self, args):
         inner = ev.astype(self.func.lower(args), float)
-        direction = ev.Argument(self.vname, self.ushape)
+        direction = ev.astype(self.direction.lower(EMPTY_LOWER_ARGS), float)
         return ev.ArgGrad(inner, self.uname, direction)
 
 
@@ -1319,7 +1537,27 @@ ln = _unary('log')
 log = ln
 log2 = _unary('log2')
 log10 = _unary('log10')
-abs_ = _unary('abs')
+_abs_real = _unary('abs')
+
+
+def abs_(a):
+    a = asarray(a)
+    if iscomplex(a):
+        return sqrt(add(multiply(a.real, a.real), multiply(a.imag, a.imag)))
+    return _abs_real(a)
+
+
+_exp_real = exp
+
+
+def exp(a):
+    a = asarray(a)
+    if iscomplex(a):
+        m = _exp_real(a.real)
+        return _Complex(multiply(m, cos(a.imag)), multiply(m, sin(a.imag)))
+    return _exp_real(a)
+
+
 sign = _unary('sign')
 
 
@@ -1398,18 +1636,44 @@ class _Opposite(Array):
 # ---------------------------------------------------------------- evaluation
 
 def eval(funcs, arguments=None, /, **kwargs):
-    '''Evaluate space-free function array(s) with given argument values.'''
+    '''Evaluate space-free function array(s) with given argument values.
+    Complex arrays evaluate per part and recombine to complex numpy.'''
     import jax
     arguments = dict(arguments or {}, **kwargs)
     single = isinstance(funcs, Array)
-    flist = [funcs] if single else list(funcs)
-    exprs = [f.lower(EMPTY_LOWER_ARGS) for f in flist]
-    out = ev.eval_once(exprs, arguments=_clean_args(arguments))
+    flist = [asarray(f) for f in ([funcs] if single else list(funcs))]
+    parts = []
+    for f in flist:
+        if iscomplex(f):
+            c = _as_complex(f)
+            parts.append((c.real, c.imag))
+        else:
+            parts.append((f, None))
+    exprs = [p.lower(EMPTY_LOWER_ARGS) for pair in parts for p in pair if p is not None]
+    vals = list(ev.eval_once(exprs, arguments=_clean_args(arguments)))
+    out = []
+    for f, (re, im) in zip(flist, parts):
+        if im is None:
+            out.append(vals.pop(0))
+        else:
+            out.append(vals.pop(0) + 1j * vals.pop(0))
     return out[0] if single else out
 
 
 def _clean_args(arguments):
-    return {k: numpy.asarray(v) for k, v in arguments.items() if not isinstance(v, str)}
+    '''Normalize argument values: complex user values are packed into the real
+    backing layout (trailing axis [re, im]); all evaluable Arguments are real.
+    NaN markers propagate to both parts so constraint masks stay atomic.'''
+    out = {}
+    for k, v in arguments.items():
+        if isinstance(v, str):
+            continue
+        v = numpy.asarray(v)
+        if v.dtype.kind == 'c':
+            im = numpy.where(numpy.isnan(v.real), numpy.nan, v.imag)
+            v = numpy.stack([v.real, im], axis=-1)
+        out[k] = v
+    return out
 
 
 def derivative(func, var):
@@ -1430,9 +1694,8 @@ def arguments_for(*funcs):
     (reference: function.arguments_for).'''
     out = {}
     for f in funcs:
-        for name, (shape, dtype) in asarray(f).arguments.items():
-            prev = out.setdefault(name, Argument(name, shape, dtype))
-            assert prev.shape == shape
+        for name, spec in asarray(f).arguments.items():
+            out.setdefault(name, _arg_from_spec(name, spec))
     return out
 
 
@@ -1448,9 +1711,20 @@ def replace_arguments(func, arguments):
             old = old.strip()
             spec = func.arguments.get(old)
             assert spec is not None, f'argument {old!r} not present'
-            repl[old] = Argument(new.strip(), spec[0], spec[1])
+            repl[old] = _arg_from_spec(new.strip(), spec)
         arguments = repl
-    return _Replaced(func, {k: asarray(v) if not isinstance(v, Array) else v for k, v in arguments.items()})
+    repl = {}
+    for k, v in arguments.items():
+        v = asarray(v) if not isinstance(v, Array) else v
+        if iscomplex(v):
+            # complex replacement values substitute the real backing argument
+            c = _as_complex(v)
+            v = stack([c.real, c.imag], axis=c.ndim)
+        repl[k] = v
+    if iscomplex(func):
+        c = _as_complex(func)
+        return _Complex(replace_arguments(c.real, repl), replace_arguments(c.imag, repl))
+    return _Replaced(func, repl)
 
 
 class _Replaced(Array):
@@ -1474,7 +1748,8 @@ class _Replaced(Array):
             spec = self.arg.arguments.get(name)
             if spec is None:
                 continue
-            argnode = ev.Argument(name, spec[0], spec[1])
+            # complex-argument specs record the real backing shape (..., 2)
+            argnode = ev.Argument(name, spec[0], float if spec[1] is complex else spec[1])
             mapping[argnode] = rep.lower(LowerArgs())  # replacement must be space-free
         return ev.replace(inner, mapping)
 

@@ -136,6 +136,34 @@ class Matrix:
     def __matmul__(self, vec):
         return self._scipy() @ numpy.asarray(vec)
 
+    @classmethod
+    def _from_scipy(cls, m):
+        m = m.tocsr()
+        return cls(m.indptr, m.indices, m.data, m.shape)
+
+    def __add__(self, other):
+        if not isinstance(other, Matrix):
+            return NotImplemented
+        return self._from_scipy(self._scipy() + other._scipy())
+
+    def __sub__(self, other):
+        if not isinstance(other, Matrix):
+            return NotImplemented
+        return self._from_scipy(self._scipy() - other._scipy())
+
+    def __mul__(self, scale):
+        if not numpy.isscalar(scale):
+            return NotImplemented
+        return Matrix(self.indptr, self.indices, numpy.asarray(self.data) * scale, self.shape)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, scale):
+        return self * (1. / scale)
+
+    def __neg__(self):
+        return self * -1.
+
     @property
     def T(self):
         import scipy.sparse

@@ -166,7 +166,10 @@ class Sample:
 
     def integral(self, func):
         assert self.weights is not None, 'sample has no weights; use eval'
-        return _Integral(function.asarray(func), self)
+        func = function.asarray(func)
+        if function.iscomplex(func):
+            return function._Complex(self.integral(func.real), self.integral(func.imag))
+        return _Integral(func, self)
 
     def integrate(self, funcs, arguments=None, /, **kwargs):
         single = not isinstance(funcs, (list, tuple))
@@ -177,7 +180,10 @@ class Sample:
     # ------------------------------------------------------------ evaluation
 
     def bind(self, func):
-        return _AtSample(function.asarray(func), self)
+        func = function.asarray(func)
+        if function.iscomplex(func):
+            return function._Complex(self.bind(func.real), self.bind(func.imag))
+        return _AtSample(func, self)
 
     def eval(self, funcs, arguments=None, /, **kwargs):
         single = not isinstance(funcs, (list, tuple))

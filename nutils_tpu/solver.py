@@ -39,7 +39,98 @@ class SolverError(Exception):
     pass
 
 
+# ------------------------------------------------------------ line search
+
+class NormBased:
+    '''Line-search strategy minimizing a cubic model of the squared residual
+    norm (reference: solver.py:57).
+
+    Given the residual and directional derivative at relaxation 0 and at the
+    candidate point, fit |res(x + r dx)|^2 ~ A + B r + C r^2 + D r^3 and pick
+    the relaxation scale at which the model is minimal.  Returns ``(scale,
+    accept)``: the multiplicative update for the relaxation value, and whether
+    the candidate point is acceptable.
+    '''
+
+    def __init__(self, minscale=.01, acceptscale=2/3., maxscale=2.):
+        assert 0 < minscale < acceptscale < 1 < maxscale
+        self.minscale = minscale
+        self.acceptscale = acceptscale
+        self.maxscale = maxscale
+
+    def __call__(self, res0, dres0, res1, dres1):
+        import math
+        if not numpy.isfinite(res1).all():
+            return self.minscale, False
+        # squared-norm samples and slopes at r=0 and r=1
+        p0 = float(res0 @ res0)
+        q0 = 2 * float(res0 @ dres0)
+        p1 = float(res1 @ res1)
+        q1 = 2 * float(res1 @ dres1)
+        if q0 >= 0:
+            raise SolverError('search vector does not reduce the residual')
+        # cubic fit P(r) = p0 + q0 r + c r^2 + d r^3 through both samples
+        c = math.fsum([-3 * p0, 3 * p1, -2 * q0, -q1])
+        d = math.fsum([2 * p0, -2 * p1, q0, q1])
+        # stationary points of P solve q0 + 2 c r + 3 d r^2 = 0; use the
+        # numerically stable (Citardauq) root since q0 < 0
+        disc = c**2 - 3 * q0 * d
+        scale = -q0 / (c + math.sqrt(disc)) if disc > 0 and (c > 0 or d > 0) else math.inf
+        if scale >= 1 and p1 > p0:
+            return self.minscale, False
+        return min(max(scale, self.minscale), self.maxscale), scale >= self.acceptscale and p1 < p0
+
+
+class MedianBased:
+    '''Line-search strategy placing the chosen quantile of per-entry optimal
+    relaxations beyond the current one (reference: solver.py:118).  Invariant
+    to per-equation scaling of the residual, unlike :class:`NormBased`.'''
+
+    def __init__(self, minscale=.01, acceptscale=2/3., maxscale=2., quantile=.5):
+        assert 0 < minscale < acceptscale < 1 < maxscale
+        assert 0 < quantile < 1
+        self.minscale = minscale
+        self.acceptscale = acceptscale
+        self.maxscale = maxscale
+        self.quantile = quantile
+
+    def __call__(self, res0, dres0, res1, dres1):
+        if not numpy.isfinite(res1).all():
+            return self.minscale, False
+        # per-entry cubic models of the squared residual components
+        dp = res1**2 - res0**2
+        q0 = 2 * res0 * dres0
+        q1 = 2 * res1 * dres1
+        decreasing = q0 <= 0  # entries whose model decreases at r=0
+        n = round(len(res0) * self.quantile) - int((~decreasing).sum())
+        if n < 0:
+            raise SolverError(f'search vector fails to reduce more than the {self.quantile}-quantile of the residual')
+        c = 3 * dp - 2 * q0 - q1
+        d = -2 * dp + q0 + q1
+        disc = c**2 - 3 * q0 * d
+        ok = decreasing & (disc > 0)
+        numer = -q0[ok]
+        denom = c[ok] + numpy.sqrt(disc[ok])
+        pos = denom > 0
+        if n < int(pos.sum()):
+            scales = numpy.sort(numer[pos] / denom[pos])
+            scale = float(scales[n])
+        else:
+            scale = numpy.inf
+        return min(max(scale, self.minscale), self.maxscale), scale >= self.acceptscale
+
+
 # ------------------------------------------------------------ localization
+
+def _pack_complex(v):
+    '''Pack a complex ndarray into the real backing layout (..., 2); NaN in
+    the real part (free-dof marker) propagates to the imag part.'''
+    v = numpy.asarray(v)
+    if v.dtype.kind == 'c':
+        im = numpy.where(numpy.isnan(v.real), numpy.nan, v.imag)
+        return numpy.stack([v.real, im], axis=-1)
+    return v
+
 
 class _Loc:
     '''One localized appearance of an argument in an expression.
@@ -133,33 +224,82 @@ def _arg_indices(node, names):
     return arg, idx
 
 
+def _seed_from(orig, name, direction):
+    '''Route ``direction`` (an evaluable of the argument's shape) through the
+    same index-structural gather chain as the original argument appearance
+    ``orig``.  Elementwise factors of the direction are split first so that a
+    plain-argument factor stays localizable (gather(a*b) = gather(a)*gather(b)
+    holds because the chain is a pure index selection).'''
+    if isinstance(direction, ev.Multiply):
+        a, b = direction.children
+        return ev.multiply(_seed_from(orig, name, a), _seed_from(orig, name, b))
+    argnodes = ev.find(orig, lambda n: isinstance(n, ev.Argument) and n.name == name)
+    assert len(argnodes) == 1, 'gather chain must contain the argument exactly once'
+    return ev.replace(orig, {argnodes[0]: direction})
+
+
 def _localize(expr, names):
     '''Replace localized gathers (and remaining direct appearances) of the
-    named arguments by Leafs.  Returns (new_expr, {name: [_Loc]}).'''
-    mapping = {}
+    named arguments by Leafs.  ArgGrad nodes over the named arguments
+    (function.linearize directions) are expanded into LeafGrads whose seeds
+    ride the same gather tables, so directional derivatives stay
+    element-batched.  Returns (new_expr, {name: [_Loc]}).'''
     locs = {name: [] for name in names}
+    leafinfo = {}  # leaf key -> (argument name, original gather node or None)
 
-    candidates = []
-    for node in ev.find(expr, lambda n: isinstance(n, ev.GatherAlong)):
-        res = _arg_indices(node, names)
-        if res is not None:
-            candidates.append((node, res))
-    # keep outermost candidates only (nested gathers are consumed by their parent)
-    nodes = [n for n, _ in candidates]
-    keep = []
-    for i, (node, res) in enumerate(candidates):
-        inner_of_other = any(other is not node and node in set(ev.find(other, lambda n: n is node))
-                             for other in nodes)
-        if not inner_of_other:
-            keep.append((node, res))
+    def collect_and_replace(e):
+        candidates = []
+        for node in ev.find(e, lambda n: isinstance(n, ev.GatherAlong)):
+            res = _arg_indices(node, names)
+            if res is not None:
+                candidates.append((node, res))
+        # keep outermost candidates only (nested gathers are consumed by their parent)
+        nodes = [n for n, _ in candidates]
+        repl = {}
+        for node, (arg, idx) in candidates:
+            inner_of_other = any(other is not node and node in set(ev.find(other, lambda n: n is node))
+                                 for other in nodes)
+            if inner_of_other:
+                continue
+            _loc_counter[0] += 1
+            leaf = ev.Leaf(('loc', _loc_counter[0]), node.shape, float)
+            repl[node] = leaf
+            locs[arg.name].append(_Loc(arg.name, arg.shape, leaf, idx))
+            leafinfo[leaf.key] = (arg.name, node)
+        return ev.replace(e, repl) if repl else e
 
-    for node, (arg, idx) in keep:
-        _loc_counter[0] += 1
-        leaf = ev.Leaf(('loc', _loc_counter[0]), node.shape, float)
-        mapping[node] = leaf
-        locs[arg.name].append(_Loc(arg.name, arg.shape, leaf, idx))
+    new_expr = collect_and_replace(expr)
 
-    new_expr = ev.replace(expr, mapping)
+    for _ in range(4):  # nested linearizations expand one level per round
+        ags = ev.find(new_expr, lambda n: isinstance(n, ev.ArgGrad) and n.name in names)
+        if not ags:
+            break
+        repl = {}
+        for ag in ags:
+            func = ag.func
+            # dense (unlocalized) appearances of the differentiated argument:
+            # localize here so the directional derivative flows through a leaf
+            for argnode in [a for a in func.arguments if a.name == ag.name]:
+                _loc_counter[0] += 1
+                leaf = ev.Leaf(('loc', _loc_counter[0]), argnode.shape, float)
+                func = ev.replace(func, {argnode: leaf})
+                idx = numpy.arange(int(numpy.prod(argnode.shape, dtype=numpy.int64)), dtype=numpy.int64).reshape(argnode.shape)
+                locs[ag.name].append(_Loc(ag.name, argnode.shape, leaf, idx, dense=True))
+                leafinfo[leaf.key] = (ag.name, None)
+            out = None
+            for leaf in sorted(func.leafdeps, key=lambda l: l.key):
+                info = leafinfo.get(leaf.key)
+                if info is None or info[0] != ag.name:
+                    continue
+                orig = info[1]
+                seed = ag.direction if orig is None else _seed_from(orig, ag.name, ag.direction)
+                term = ev.LeafGrad(func, leaf.key, seed)
+                out = term if out is None else ev.add(out, term)
+            if out is None:  # argument absent from func: derivative is zero
+                out = ev.Zeros(ag.shape, float)
+            repl[ag] = out
+        new_expr = ev.replace(new_expr, repl)
+        new_expr = collect_and_replace(new_expr)  # localize the seed gathers
 
     for name in names:  # remaining direct (dense) appearances
         for argnode in [a for a in new_expr.arguments if a.name == name]:
@@ -281,6 +421,17 @@ class System:
     def __init__(self, residual, /, trial, test=None):
         self.trials = tuple(trial.split(',') if isinstance(trial, str) else trial)
 
+        # a complex residual R is equivalent to the real functional Re(R):
+        # stationarity in the packed (re, im) test dofs is exactly R == 0
+        # componentwise (reference: complex dtype support, examples/coil.py);
+        # complex trial arguments are backed by real (..., 2) arrays
+        if isinstance(residual, (tuple, list)):
+            residual = [function.asarray(r).real if function.iscomplex(function.asarray(r)) else r for r in residual]
+        else:
+            res_a = function.asarray(residual)
+            if function.iscomplex(res_a):
+                residual = res_a.real
+
         # a sum of function.linearize terms over one functional is the energy
         # formulation in disguise: unwrap so assembly uses localized AD
         if test is None and not isinstance(residual, (tuple, list)):
@@ -316,6 +467,7 @@ class System:
 
         argspecs = dict(value.arguments)
         self.argshapes = {n: spec[0] for n, spec in argspecs.items()}
+        self.argdtypes = {n: spec[1] for n, spec in argspecs.items()}
         for t in self.trials:
             assert t in self.argshapes, f'trial argument {t!r} does not appear in the residual'
         for t in tests:
@@ -424,7 +576,7 @@ class System:
                 out[name] = numpy.ones(shape)
             else:
                 assert v is not None, f'missing argument {name!r}'
-                out[name] = numpy.asarray(v, dtype=float)
+                out[name] = numpy.asarray(_pack_complex(v), dtype=float)
         # pass through any extra arguments the expressions may close over
         for name, v in arguments.items():
             if name not in out and not isinstance(v, str):
@@ -449,6 +601,41 @@ class System:
 
     def _value_trace(self, args, tables):
         return self._comp.trace(args, self._bound_leaves(args, {}, tables))
+
+    def _compiled_value(self):
+        '''Per-additive-term jitted value with host-side summation and a
+        one-time jit-vs-eager consistency check.  Fused whole-functional XLA
+        programs have been observed to MISCOMPUTE (NaN) on this toolchain when
+        unrelated element batches share a fusion (see _compiled_split and
+        ENVIRONMENT_NOTES.md); the value is only needed outside the hot
+        assembly loop (Minimize line searches), so on the first call the
+        jitted result is validated against the eager evaluation and the jitted
+        path is disabled if they disagree.'''
+        import jax
+        terms = _additive_terms(self._expr)
+        comps = [ev.compile(t) for t in terms]
+        jitted = [jax.jit(lambda args, tables, _c=c: _c.trace(args, self._bound_leaves(args, {}, tables)))
+                  for c in comps]
+        state = {'use_jit': None}
+
+        def eager(args, tables):
+            return sum(float(c.trace(args, self._bound_leaves(args, {}, tables))) for c in comps)
+
+        def fn(args):
+            tables = self._tables()
+            if state['use_jit'] is None:
+                jv = sum(float(j(args, tables)) for j in jitted)
+                evv = eager(args, tables)
+                ok = numpy.isnan(jv) == numpy.isnan(evv) and (numpy.isnan(evv) or abs(jv - evv) <= 1e-9 * (1 + abs(evv)))
+                state['use_jit'] = bool(ok)
+                if not ok:
+                    log.warning(f'jitted functional value ({jv!r}) disagrees with eager evaluation ({evv!r}); '
+                                'falling back to eager value evaluation (toolchain miscompile, see ENVIRONMENT_NOTES.md)')
+                return evv
+            if state['use_jit']:
+                return sum(float(j(args, tables)) for j in jitted)
+            return eager(args, tables)
+        return fn
 
     @functools.cached_property
     def _jac_layout(self):
@@ -863,6 +1050,10 @@ class System:
         if fn is None:
             from .utils import config
             plan = self._scan_plan()
+            if which == 'value' and plan is None:
+                fn = self._compiled_value()
+                self._cache[which] = fn
+                return fn
             if plan is None and not config.fuse_assembly.value and jax.default_backend() == 'cpu':
                 fn = self._compiled_split(which)
                 self._cache[which] = fn
@@ -948,6 +1139,10 @@ class System:
         for t, shape in zip(self.trials, self.trial_shapes):
             a = arguments.get(t)
             c = constrain.get(t)
+            if a is not None:
+                a = _pack_complex(a)
+            if c is not None and numpy.asarray(c).dtype.kind == 'c':
+                c = _pack_complex(c)
             if a is None:
                 if c is None:
                     a = numpy.full(shape, numpy.nan)
@@ -989,6 +1184,16 @@ class System:
                 t: v[sl].reshape(shape) for t, shape, sl in zip(self.trials, self.trial_shapes, self._trial_slices)}
         return (arguments, free) if return_free else arguments
 
+    def _user_args(self, arguments):
+        '''Unpack complex trial arguments from the real backing layout.'''
+        out = dict(arguments)
+        for t in self.trials:
+            if self.argdtypes.get(t) is complex and t in out:
+                a = numpy.asarray(out[t])
+                if a.dtype.kind != 'c':
+                    out[t] = a[..., 0] + 1j * a[..., 1]
+        return out
+
     # -------------------------------------------------------- solving
 
     @log.withcontext
@@ -1006,7 +1211,7 @@ class System:
                 raise SolverError('residual is not finite')
             if resnorm > tol > 0:
                 raise SolverError(f'failed to reach tolerance {tol:.0e} (residual {resnorm:.1e})')
-            return arguments
+            return self._user_args(arguments)
         if tol <= 0:
             raise ValueError('nonlinear solve requires a positive tolerance')
         arguments, resnorm = next(m)
@@ -1022,7 +1227,7 @@ class System:
             log.info(f'iter {iiter}: residual norm {resnorm:.1e}')
             if not numpy.isfinite(resnorm):
                 raise SolverError('residual diverged')
-        return arguments
+        return self._user_args(arguments)
 
     def step(self, *, arguments, suffix, timearg=None, timesteparg=None, timestep=None, maxretry=2, **solveargs):
         '''Advance one time step with timestep-halving retry
@@ -1069,7 +1274,7 @@ class System:
                  f'{numpy.linalg.norm((jac @ dx + res)[~mycons]):.1e}')
         x = x + dx
         x[mycons] = numpy.nan
-        arguments = self.construct(arguments, x)
+        arguments = self._user_args(self.construct(arguments, x))
         return dict(constrain) | {t: arguments[t] for t in self.trials}
 
 
@@ -1111,13 +1316,53 @@ class Newton:
             x = x - dx
 
 
-class LinesearchNewton:
-    '''Newton with residual-norm backtracking (reference: solver.py:719 with
-    the NormBased strategy, solver.py:57).'''
+class ReuseNewton:
+    '''Newton reusing the previous Jacobian for as long as the residual norm
+    keeps shrinking by the ``require`` factor (reference: solver.py:664).'''
 
-    def __init__(self, minscale=0.01, maxscale=2.0, **linargs):
-        self.minscale = minscale
-        self.maxscale = maxscale
+    def __init__(self, require=.5, **linargs):
+        self.require = require
+        self.linargs = dict(linargs)
+        self.linargs.setdefault('rtol', 1e-3)
+
+    def __str__(self):
+        return 'reuse-newton'
+
+    def __call__(self, system, *, arguments, constrain):
+        arguments, x = system.deconstruct(arguments, constrain)
+        res = system.assemble_residual(arguments, x)
+        resnorm = float(numpy.linalg.norm(res))
+        yield system.construct(arguments, x), resnorm
+        fresh = True
+        jac = None
+        while True:
+            if fresh:
+                log.info('updating jacobian matrix')
+                jac = system.assemble_jacobian(arguments, x)
+            newx = x - jac.solve_leniently(res, symmetric=system.is_symmetric, **self.linargs)
+            newres = system.assemble_residual(arguments, newx)
+            newresnorm = float(numpy.linalg.norm(newres))
+            if fresh or newresnorm < self.require * resnorm:
+                x, res, resnorm = newx, newres, newresnorm
+                yield system.construct(arguments, x), resnorm
+                fresh = False
+            else:
+                fresh = True
+
+
+class LinesearchNewton:
+    '''Newton with strategy-driven relaxation (reference: solver.py:719).
+
+    Iterates ``x <- x - relax J(x)^-1 r(x)``; the relaxation value starts at
+    ``relax0`` and is updated by ``strategy`` (default :class:`NormBased`)
+    from the residuals and directional derivatives before/after each trial
+    step.  Raises SolverError when relaxation falls below ``failrelax``.'''
+
+    def __init__(self, strategy=None, failrelax=1e-6, relax0=1., **linargs):
+        self.strategy = strategy if strategy is not None else NormBased()
+        assert callable(self.strategy)
+        self.failrelax = failrelax
+        self.relax0 = relax0
         self.linargs = dict(linargs)
         self.linargs.setdefault('rtol', 1e-3)
 
@@ -1127,26 +1372,40 @@ class LinesearchNewton:
     def __call__(self, system, *, arguments, constrain):
         arguments, x = system.deconstruct(arguments, constrain)
         jac, res = system.assemble_jacobian_residual(arguments, x)
+        relax = self.relax0
         while True:
             yield system.construct(arguments, x), float(numpy.linalg.norm(res))
-            dx = jac.solve_leniently(res, symmetric=system.is_symmetric, **self.linargs)
-            res0norm = numpy.linalg.norm(res)
-            scale = 1.0
+            dx = -jac.solve_leniently(res, symmetric=system.is_symmetric, **self.linargs)
+            res0 = res
+            jac0dx = jac @ dx  # equals -res0 up to linear-solver tolerance
             while True:
-                xnew = x - scale * dx
-                jac, res = system.assemble_jacobian_residual(arguments, xnew)
-                if numpy.isfinite(res).all() and numpy.linalg.norm(res) <= res0norm * (1 - 0.1 * scale) + 1e-30:
+                newx = x + dx * relax
+                jac, res = system.assemble_jacobian_residual(arguments, newx)
+                scale, accept = self.strategy(res0, jac0dx * relax, res, (jac @ dx) * relax)
+                if accept:
+                    log.debug(f'update accepted at relaxation {relax:.5f}')
+                    relax = min(relax * scale, 1.)
                     break
-                if scale <= self.minscale:
-                    raise SolverError('linesearch stuck in local minimum')
-                scale *= 0.5
-            x = xnew
+                assert scale < 1
+                relax *= scale
+                if relax <= self.failrelax:
+                    raise SolverError('stuck in local minimum')
+            x = newx
 
 
 class Minimize:
-    '''Energy descent for symmetric systems (reference: solver.py:773).'''
+    '''Steepest-descent energy minimization for symmetric systems
+    (reference: solver.py:773).
 
-    def __init__(self, **linargs):
+    Starting from the Newton update, the two leading Ritz values of the
+    Jacobian on span{dx, res} define an approximate steepest-descent curve
+    x(r) = x_newton - V exp(-r L); the relaxation exponent ramps up while the
+    energy decreases along the curve and down otherwise.'''
+
+    def __init__(self, rampup=.5, rampdown=-1., failrelax=-10., **linargs):
+        self.rampup = rampup
+        self.rampdown = rampdown
+        self.failrelax = failrelax
         self.linargs = dict(linargs)
         self.linargs.setdefault('rtol', 1e-3)
 
@@ -1157,42 +1416,404 @@ class Minimize:
         if not system.is_symmetric:
             raise SolverError('minimize requires a symmetric system')
         arguments, x = system.deconstruct(arguments, constrain)
+        jac, res = system.assemble_jacobian_residual(arguments, x)
+        val = system.assemble_value(arguments, x)
+        relax = 0.
+        while True:
+            yield system.construct(arguments, x), float(numpy.linalg.norm(res))
+            dx = -jac.solve_leniently(res, symmetric=True, **self.linargs)
+            x = x + dx  # vanilla Newton baseline
+            # two-dimensional Lanczos on span{dx, jac dx}: the Ritz pair gives
+            # the local spectrum that shapes the descent curve
+            dxnorm = numpy.linalg.norm(dx)
+            if dxnorm == 0:
+                jac, res = system.assemble_jacobian_residual(arguments, x)
+                val = system.assemble_value(arguments, x)
+                continue
+            k0 = dx / dxnorm
+            k1 = -res / dxnorm  # = jac @ k0 up to solver tolerance
+            a = float(k1 @ k0)
+            k1 = k1 - k0 * a
+            c = float(numpy.linalg.norm(k1))
+            if c == 0:
+                jac, res = system.assemble_jacobian_residual(arguments, x)
+                val = system.assemble_value(arguments, x)
+                continue
+            k1 = k1 / c
+            b = float(k1 @ (jac @ k1))
+            D = numpy.hypot(b - a, 2 * c)
+            L = numpy.array([a + b - D, a + b + D]) / 2  # Ritz values
+            v0, v1 = res + dx * L[:, numpy.newaxis]
+            V = numpy.stack([v1, -v0], axis=1) / D  # satisfies V @ L = -res, V.sum(1) = dx
+            log.debug('spectrum: {:.1e}..{:.1e} ({}definite)'.format(
+                L[0], L[1], 'positive ' if L[0] > 0 else 'negative ' if L[-1] < 0 else 'in'))
+            val0 = val
+            while True:  # line search along the descent curve
+                r = numpy.exp(relax) / D
+                eL = numpy.exp(-r * L)
+                newx = x - V @ eL
+                jac, res = system.assemble_jacobian_residual(arguments, newx)
+                val = system.assemble_value(arguments, newx)
+                slope = float(res @ (V @ (eL * L)))
+                log.debug(f'energy {val - val0:+.2e} / e{relax:+.1f} and {"in" if slope > 0 else "de"}creasing')
+                # epsilon slack keeps the acceptance test meaningful once the
+                # energy decrement falls below f64 resolution near convergence
+                tiny = 1e-14 * (1 + abs(val0))
+                if numpy.isfinite(val) and numpy.isfinite(res).all() and val <= val0 + tiny and slope <= tiny:
+                    relax += self.rampup
+                    break
+                relax += self.rampdown
+                if relax <= self.failrelax:
+                    raise SolverError('stuck in local minimum')
+            x = newx
+
+
+class Arnoldi:
+    '''Linear solve with subspace recycling across parameter changes
+    (reference: solver.py:836).
+
+    First use is a direct solve.  On reuse with a changed matrix A(y), the
+    previous factorized matrix P acts as a preconditioner: the solution is
+    projected on the growing subspace [P b, P (A P) b, ...] until tolerance or
+    ``maxiter``, after which the new matrix is solved directly and cached.'''
+
+    def __init__(self, maxiter=2, **linargs):
+        self.maxiter = maxiter
+        self.linargs = linargs
+        self._cached = None
+
+    def __str__(self):
+        return 'arnoldi'
+
+    def __call__(self, system, *, arguments, constrain):
+        if not system.is_linear:
+            raise SolverError('problem is not linear')
+        arguments, x = system.deconstruct(arguments, constrain)
+        jac, res = system.assemble_jacobian_residual(arguments, x)
+        yield system.construct(arguments, x), float(numpy.linalg.norm(res))
+
+        approx = self._cached
+        if approx is not None and approx.shape == jac.shape:
+            dx_space = numpy.empty((self.maxiter, len(res)))
+            dres_space = numpy.empty((self.maxiter, len(res)))
+            for i in range(self.maxiter):
+                try:
+                    dx_space[i] = approx.solve(res, solver='direct', symmetric=system.is_symmetric, **self.linargs)
+                    dres_space[i] = jac @ dx_space[i]
+                    w, res2, *_ = numpy.linalg.lstsq(dres_space[:i + 1].T, res, rcond=None)
+                    resnorm = float(numpy.sqrt(res2[0])) if len(res2) else float(
+                        numpy.linalg.norm(res - w @ dres_space[:i + 1]))
+                except Exception as e:
+                    log.warning(f'subspace solve failed: {e}')
+                    break
+                x = x - w @ dx_space[:i + 1]
+                yield system.construct(arguments, x), resnorm
+                res = res - w @ dres_space[:i + 1]
+
+        log.info('updating cached jacobian')
+        self._cached = jac
+        dx = jac.solve(res, symmetric=system.is_symmetric, **self.linargs)
+        x = x - dx
+        yield system.construct(arguments, x), float(numpy.linalg.norm(res - jac @ dx))
+
+
+class Pseudotime:
+    '''Inertia-assisted Newton: solves ``(J(x) + dJ/dt) dx = r(x)`` with the
+    timestep growing as the residual shrinks (reference: solver.py:895).
+
+    ``inertia`` is given in the same form as the system residual: a scalar
+    functional carrying the system's test arguments, or a list of residual
+    vectors (entries may be None) aligned with the trial arguments.'''
+
+    def __init__(self, inertia, timestep, **linargs):
+        self.inertia = inertia
+        self.timestep = timestep
+        self.linargs = dict(linargs)
+        self.linargs.setdefault('rtol', 1e-3)
+
+    def __str__(self):
+        return 'pseudotime'
+
+    def _inertia_jacobian(self, system, arguments, free):
+        '''Assemble the inertia jacobian over the full trial space, embedding
+        sub-blocks for trials the inertia does not reference.'''
+        import scipy.sparse
+        inertia = self.inertia
+        if isinstance(inertia, (tuple, list)) and system._synthetic_tests:
+            pairs = [(i, f) for i, f in enumerate(inertia) if f is not None]
+            isys = System([f for _, f in pairs], trial=[system.trials[i] for i, _ in pairs])
+            rowmap = [i for i, _ in pairs]
+        else:
+            if isinstance(inertia, (tuple, list)):
+                val = None
+                for f in inertia:
+                    if f is not None:
+                        val = f if val is None else function.add(val, f)
+                inertia = val
+            present = set(function.arguments_for(inertia))
+            idx = [i for i, (t, s) in enumerate(zip(system.trials, system.tests)) if t in present and s in present]
+            isys = System(inertia, trial=[system.trials[i] for i in idx], test=[system.tests[i] for i in idx])
+            rowmap = idx
+        full = system.construct(arguments, numpy.zeros(int(free.sum())))
+        sub = isys._jac_matrix(isys._clean({k: v for k, v in full.items() if k in isys.arguments})) \
+            if set(isys.arguments) <= set(full) else isys.assemble_jacobian(full)
+        m = sub._scipy().tocoo()
+        # embed at the full system's (row, col) offsets
+        roff = numpy.array([system._test_slices[i].start for i in rowmap])
+        coff = numpy.array([system._trial_slices[i].start for i in rowmap])
+        rstart = numpy.cumsum([0] + [int(numpy.prod(isys.test_shapes[j], dtype=numpy.int64)) for j in range(len(rowmap))])
+        cstart = numpy.cumsum([0] + [int(numpy.prod(isys.trial_shapes[j], dtype=numpy.int64)) for j in range(len(rowmap))])
+        rows = m.row.copy()
+        cols = m.col.copy()
+        for j in range(len(rowmap)):
+            rsel = (m.row >= rstart[j]) & (m.row < rstart[j + 1])
+            rows[rsel] += roff[j] - rstart[j]
+            csel = (m.col >= cstart[j]) & (m.col < cstart[j + 1])
+            cols[csel] += coff[j] - cstart[j]
+        n = system._ntrial
+        emb = scipy.sparse.coo_matrix((m.data, (rows, cols)), shape=(n, n)).tocsr()
+        emb = matrix.Matrix(emb.indptr, emb.indices, emb.data, emb.shape)
+        return emb.submatrix(free, free)
+
+    def __call__(self, system, *, arguments, constrain):
+        arguments, x = system.deconstruct(arguments, constrain)
+        _, free = system.construct(arguments, x, return_free=True)
+        djac = self._inertia_jacobian(system, arguments, free)
+        resnorm0 = None
         while True:
             jac, res = system.assemble_jacobian_residual(arguments, x)
-            yield system.construct(arguments, x), float(numpy.linalg.norm(res))
-            dx = jac.solve_leniently(res, symmetric=True, **self.linargs)
-            E0 = system.assemble_value(arguments, x)
-            scale = 1.0
-            for attempt in range(40):
-                if system.assemble_value(arguments, x - scale * dx) <= E0 + 1e-12 * (1 + abs(E0)):
-                    break
-                scale *= 0.5
-            else:
-                raise SolverError('stuck in local minimum')
-            x = x - scale * dx
+            resnorm = float(numpy.linalg.norm(res))
+            yield system.construct(arguments, x), resnorm
+            if resnorm0 is None:
+                resnorm0 = resnorm
+            timestep = self.timestep * (resnorm0 / resnorm)
+            log.debug(f'timestep: {timestep:.0e}')
+            x = x - (jac + djac * (1. / timestep)).solve_leniently(res, **self.linargs)
 
 
 # ------------------------------------------------------------ legacy wrappers
 
+def _split_trial_test(target):
+    '''Split 'u:v,p:q' / ['u:v'] / 'u,p' targets into (trial, test)
+    (reference: solver.py:1323).'''
+    if isinstance(target, str):
+        target = target.rstrip(',')
+        target = target.split(',') if target else []
+    if not target:
+        raise ValueError('no targets specified')
+    parts = [item.split(':') if isinstance(item, str) else list(item) for item in target]
+    n = len(parts[0])
+    if not all(len(p) == n for p in parts):
+        raise ValueError('inconsistent targets')
+    if n == 1:
+        return [p[0] for p in parts], None
+    if n == 2:
+        return [p[0] for p in parts], [p[1] for p in parts]
+    raise ValueError('invalid targets')
+
+
+def _is_single(target):
+    return isinstance(target, str) and ',' not in target
+
+
+def _as_cons(target, constrain):
+    if constrain is None:
+        return {}
+    if isinstance(constrain, dict):
+        return constrain
+    name = target.split(':')[0] if isinstance(target, str) else target
+    return {name: constrain}
+
+
+def _make_system(target, residual):
+    trial, test = _split_trial_test(target)
+    if test is not None:
+        if isinstance(residual, (tuple, list)):
+            # list of scalar functionals sharing the test arguments: sum them
+            val = None
+            for r in residual:
+                if r is not None:
+                    val = r if val is None else function.add(val, r)
+            residual = val
+        return System(residual, trial=trial, test=test)
+    if not isinstance(residual, (tuple, list)):
+        residual = [residual]
+    return System(list(residual), trial=trial)
+
+
+def _strip_lin(kwargs):
+    '''Extract 'lin'-prefixed keyword arguments (reference: solver.py:1320).'''
+    lin = {key[3:]: kwargs.pop(key) for key in list(kwargs) if key.startswith('lin')}
+    if kwargs:
+        raise TypeError('unexpected keyword arguments: {}'.format(', '.join(kwargs)))
+    return lin
+
+
+class _with_solve:
+    '''Iterator over (arguments, resnorm) pairs with a ``.solve`` method
+    (reference: solver.py:1366).'''
+
+    def __init__(self, system, method, arguments, constrain, item=None):
+        self.system = system
+        self.method = method
+        self.arguments = arguments
+        self.constrain = constrain
+        self.item = item
+
+    def __getitem__(self, item):
+        assert self.item is None
+        return _with_solve(self.system, self.method, self.arguments, self.constrain, item)
+
+    def __iter__(self):
+        class _info:
+            def __init__(self, resnorm):
+                self.resnorm = resnorm
+        for arguments, resnorm in self.method(self.system, arguments=self.arguments, constrain=self.constrain):
+            yield (arguments if self.item is None else arguments[self.item]), _info(resnorm)
+
+    def solve(self, tol, maxiter=float('inf'), miniter=0):
+        lhs, info = self.solve_withinfo(tol, maxiter=maxiter, miniter=miniter)
+        return lhs
+
+    def solve_withinfo(self, tol, maxiter=float('inf'), miniter=0):
+        if miniter > maxiter:
+            raise ValueError('miniter cannot exceed maxiter')
+        it = enumerate(iter(self))
+        iiter, (lhs, info) = next(it)
+        while info.resnorm > tol or iiter < miniter:
+            if iiter >= maxiter:
+                raise SolverError(f'failed to reach target tolerance in {maxiter} iterations')
+            iiter, (lhs, info) = next(it)
+        log.info(f'converged in {iiter} iterations to residual {info.resnorm:.1e}')
+        info.niter = iiter
+        return lhs, info
+
+
 def solve_linear(target, residual, *, constrain=None, arguments=None, **kwargs):
     '''Legacy functional API (reference: solver.py:940).'''
-    if isinstance(target, str) and ':' in target:
-        trial, test = target.split(':')
-        sys = System(residual, trial=trial, test=test)
-        cons = constrain if isinstance(constrain, dict) else {trial: constrain} if constrain is not None else {}
-        return sys.solve(constrain=cons, arguments=arguments or {})[trial]
-    sys = System(residual, trial=target)
-    out = sys.solve(constrain=constrain or {}, arguments=arguments or {})
-    return out[target] if isinstance(target, str) else out
+    if _is_single(target):
+        name = target.split(':')[0]
+        sys_ = _make_system(target, residual)
+        return sys_.solve(constrain=_as_cons(target, constrain), arguments=arguments or {}, method=Direct(**_strip_lin(kwargs)))[name]
+    sys_ = _make_system(target, residual)
+    return sys_.solve(constrain=constrain or {}, arguments=arguments or {}, method=Direct(**_strip_lin(kwargs)))
 
 
-def optimize(target, functional, *, tol=0., droptol=None, constrain=None, arguments=None, **kwargs):
-    '''Minimize a functional (reference: solver.py:1213).'''
-    sys = System(functional, trial=target)
-    constrain = constrain or {}
+def newton(target, residual, *, relax0=1., constrain=None, linesearch='normbased', failrelax=1e-6, arguments=None, **kwargs):
+    '''Iteratively solve a nonlinear problem by Newton descent; returns an
+    iterator with a ``.solve(tol)`` method (reference: solver.py:975).'''
+    if linesearch == 'normbased':
+        linesearch = NormBased()
+    linargs = _strip_lin(kwargs)
+    system = _make_system(target, residual)
+    method = Newton(**linargs) if not linesearch \
+        else LinesearchNewton(strategy=linesearch, relax0=relax0, failrelax=failrelax, **linargs)
+    ws = _with_solve(system, method, arguments or {}, _as_cons(target, constrain))
+    return ws[target] if _is_single(target) and ':' not in target else ws
+
+
+def minimize(target, energy, *, constrain=None, rampup=.5, rampdown=-1., failrelax=-10., arguments=None, **kwargs):
+    '''Iteratively minimize a scalar functional; returns an iterator with a
+    ``.solve(tol)`` method (reference: solver.py:1037).'''
+    trial, test = _split_trial_test(target)
+    assert test is None, 'minimize does not accept test targets'
+    system = System(energy, trial=trial)
+    method = Minimize(rampup=rampup, rampdown=rampdown, failrelax=failrelax, **_strip_lin(kwargs))
+    ws = _with_solve(system, method, arguments or {}, _as_cons(target, constrain))
+    return ws[target] if _is_single(target) else ws
+
+
+def pseudotime(target, residual, inertia, timestep, *, constrain=None, arguments=None, **kwargs):
+    '''Iteratively solve a nonlinear problem by pseudo-time stepping; returns
+    an iterator with a ``.solve(tol)`` method (reference: solver.py:1090).'''
+    system = _make_system(target, residual)
+    method = Pseudotime(inertia=inertia, timestep=timestep, **_strip_lin(kwargs))
+    ws = _with_solve(system, method, arguments or {}, _as_cons(target, constrain))
+    return ws[target] if _is_single(target) and ':' not in target else ws
+
+
+def thetamethod(target, residual, inertia, timestep, theta, *, constrain=None, newtontol=1e-10,
+                arguments=None, newtonargs=None, timetarget='_thetamethod_time', time0=0., historysuffix='0'):
+    '''Time stepping by the theta method: theta=1 implicit Euler, theta=.5
+    Crank-Nicolson (reference: solver.py:1134).  Yields the argument dict per
+    timestep, starting with the initial condition.'''
+    trial, test = _split_trial_test(target)
+    residuals = list(residual) if isinstance(residual, (tuple, list)) else [residual]
+    inertias = list(inertia) if isinstance(inertia, (tuple, list)) else [inertia]
+    assert len(residuals) == len(inertias), 'one inertia term per residual'
+
+    argspecs = function.arguments_for(*[f for f in residuals + inertias if f is not None])
+    targ = function.Argument(timetarget, ())
+    subs0 = {t: function.Argument(t + historysuffix, argspecs[t].shape, argspecs[t].dtype) for t in trial if t in argspecs}
+    subs0[timetarget] = function.Argument(timetarget + historysuffix, ())
+    dt = function.subtract(targ, subs0[timetarget])
+
+    combined = []
+    for res, inert in zip(residuals, inertias):
+        term = function.add(function.multiply(function.asarray(theta), res),
+                            function.multiply(function.asarray(1. - theta), function.replace_arguments(res, subs0)))
+        if inert is not None:
+            term = function.add(term, function.divide(
+                function.subtract(inert, function.replace_arguments(inert, subs0)), dt))
+        combined.append(term)
+
+    if test is not None:
+        value = None
+        for term in combined:
+            value = term if value is None else function.add(value, term)
+        system = System(value, trial=trial, test=test)
+    else:
+        system = System(combined, trial=trial)
+
+    arguments = dict(arguments or {})
+    arguments.setdefault(timetarget, time0)
+    newtonargs = dict(newtonargs or {})
+    linesearch = newtonargs.pop('linesearch', NormBased())
+    method = None if system.is_linear else Newton() if linesearch is None \
+        else LinesearchNewton(strategy=linesearch, **newtonargs)
+    constrain = _as_cons(target, constrain)
+    single = _is_single(target)
+    name = target.split(':')[0] if isinstance(target, str) else None
+
+    def steps(arguments):
+        while True:
+            yield arguments[name] if single else arguments
+            arguments = system.step(arguments=arguments, timestep=timestep, timearg=timetarget,
+                                    suffix=historysuffix, constrain=constrain, tol=newtontol, method=method)
+    return steps(arguments)
+
+
+impliciteuler = functools.partial(thetamethod, theta=1.)
+cranknicolson = functools.partial(thetamethod, theta=.5)
+
+
+def optimize(target, functional, *, tol=0., droptol=None, constrain=None, arguments=None,
+             relax0=1., linesearch='normbased', failrelax=1e-6, **kwargs):
+    '''Find the minimizer of a functional (reference: solver.py:1213).'''
+    single = _is_single(target)
+    trial, test = _split_trial_test(target)
+    constrain = _as_cons(target, constrain)
     arguments = arguments or {}
+    present = set(function.arguments_for(functional))
+    missing = [t for t in trial if t not in present]
+    if missing:
+        if not droptol:
+            raise ValueError(f'target {", ".join(missing)} does not occur in the functional; consider setting droptol>0')
+        keep = [i for i, t in enumerate(trial) if t not in missing]
+        trial = [trial[i] for i in keep]
+        if test is not None:
+            test = [test[i] for i in keep]
+        if not trial:
+            return {}
+    linargs = _strip_lin(kwargs)
+    sys_ = System(functional, trial=trial, test=test)
     if droptol is not None:
-        cons = sys.solve_constraints(droptol=droptol, arguments=arguments, constrain=constrain)
-        return cons[target] if isinstance(target, str) else cons
-    out = sys.solve(constrain=constrain, arguments=arguments, tol=tol)
-    return out[target] if isinstance(target, str) else out
+        cons = sys_.solve_constraints(droptol=droptol, arguments=arguments, constrain=constrain, linargs=linargs or None)
+        return cons[target] if single else cons
+    if linesearch == 'normbased':
+        linesearch = NormBased()
+    method = Direct(**linargs) if sys_.is_linear \
+        else Newton(**linargs) if linesearch is None \
+        else LinesearchNewton(strategy=linesearch, relax0=relax0, failrelax=failrelax, **linargs)
+    out = sys_.solve(constrain=constrain, arguments=arguments, tol=tol, method=method)
+    return out[target] if single else out

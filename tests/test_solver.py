@@ -122,3 +122,144 @@ def test_step_theta(setup):
     args = sys_.step(arguments=args, suffix='0', tol=1e-10)
     # discrete solution: u1 = u0/(1+dt)
     numpy.testing.assert_allclose(args['u'], 1 / 1.1, rtol=1e-10)
+
+
+def _nonlinear_setup(setup):
+    topo, geom, u = setup
+    J = function.J(geom)
+    g = function.grad(u, geom)
+    E = topo.integral(((1 + u ** 2) * (g @ g) / 2 + u ** 2 / 2 - u) * J, degree=3)
+    cons = {'u': numpy.concatenate([numpy.zeros(4), numpy.full(12, numpy.nan)])}
+    return E, cons
+
+
+def test_reuse_newton(setup):
+    from nutils_tpu.solver import ReuseNewton
+    E, cons = _nonlinear_setup(setup)
+    sys_ = System(E, trial='u')
+    args = sys_.solve(constrain=cons, tol=1e-10, method=ReuseNewton())
+    r = sys_.assemble_residual(args)
+    assert numpy.linalg.norm(r[4:]) < 1e-10
+
+
+def test_linesearch_newton_normbased(setup):
+    from nutils_tpu.solver import LinesearchNewton
+    E, cons = _nonlinear_setup(setup)
+    sys_ = System(E, trial='u')
+    args = sys_.solve(constrain=cons, tol=1e-10, method=LinesearchNewton())
+    assert numpy.linalg.norm(sys_.assemble_residual(args)[4:]) < 1e-10
+
+
+def test_linesearch_newton_medianbased(setup):
+    from nutils_tpu.solver import LinesearchNewton, MedianBased
+    E, cons = _nonlinear_setup(setup)
+    sys_ = System(E, trial='u')
+    args = sys_.solve(constrain=cons, tol=1e-10, method=LinesearchNewton(strategy=MedianBased()))
+    assert numpy.linalg.norm(sys_.assemble_residual(args)[4:]) < 1e-10
+
+
+def test_minimize_method(setup):
+    from nutils_tpu.solver import Minimize
+    E, cons = _nonlinear_setup(setup)
+    sys_ = System(E, trial='u')
+    args = sys_.solve(constrain=cons, tol=1e-10, method=Minimize())
+    assert numpy.linalg.norm(sys_.assemble_residual(args)[4:]) < 1e-10
+
+
+def test_pseudotime(setup):
+    from nutils_tpu.solver import Pseudotime
+    topo, geom, u = setup
+    E, cons = _nonlinear_setup(setup)
+    J = function.J(geom)
+    v = topo.field('v', btype='std', degree=1)
+    res = function.linearize(E, 'u:v')
+    sys_ = System(res, trial='u', test='v')
+    inertia = topo.integral(u * v * J, degree=2)
+    args = sys_.solve(constrain=cons, tol=1e-10, method=Pseudotime(inertia=inertia, timestep=.5))
+    assert numpy.linalg.norm(sys_.assemble_residual(args)[4:]) < 1e-10
+
+
+def test_arnoldi_reuse(setup):
+    from nutils_tpu.solver import Arnoldi
+    topo, geom, u = setup
+    J = function.J(geom)
+    v = topo.field('v', btype='std', degree=1)
+    g = function.grad(u, geom)
+    gv = function.grad(v, geom)
+    k = function.Argument('k', ())
+    res = topo.integral(((1 + k) * (gv @ g) + u * v - v) * J, degree=2)
+    sys_ = System(res, trial='u', test='v')
+    method = Arnoldi()
+    args = sys_.solve(arguments={'k': 0.}, tol=1e-10, method=method)
+    r0 = sys_.assemble_residual(args)
+    assert numpy.linalg.norm(r0) < 1e-10
+    # perturbed parameter: reuse the cached factorization
+    args2 = sys_.solve(arguments={'k': 0.01, 'u': args['u']}, tol=1e-10, method=method)
+    assert numpy.linalg.norm(sys_.assemble_residual(args2)) < 1e-10
+
+
+def test_newton_wrapper(setup):
+    from nutils_tpu import solver
+    E, cons = _nonlinear_setup(setup)
+    topo, geom, u = setup
+    v = topo.field('v', btype='std', degree=1)
+    res = function.linearize(E, 'u:v')
+    args = solver.newton('u:v', res, constrain=cons['u']).solve(tol=1e-10)
+    sys_ = System(E, trial='u')
+    assert numpy.linalg.norm(sys_.assemble_residual({'u': args['u']})[4:]) < 1e-10
+
+
+def test_minimize_wrapper(setup):
+    from nutils_tpu import solver
+    E, cons = _nonlinear_setup(setup)
+    lhs = solver.minimize('u', E, constrain=cons['u']).solve(tol=1e-10)
+    sys_ = System(E, trial='u')
+    assert numpy.linalg.norm(sys_.assemble_residual({'u': lhs})[4:]) < 1e-10
+
+
+def test_solve_linear_wrapper(setup):
+    from nutils_tpu import solver
+    topo, geom, u = setup
+    J = function.J(geom)
+    v = topo.field('v', btype='std', degree=1)
+    g = function.grad(u, geom)
+    gv = function.grad(v, geom)
+    res = topo.integral((gv @ g + v) * J, degree=2)
+    cons = numpy.concatenate([numpy.zeros(4), numpy.full(12, numpy.nan)])
+    lhs = solver.solve_linear('u:v', res, constrain=cons)
+    sys_ = System(res, trial='u', test='v')
+    assert numpy.linalg.norm(sys_.assemble_residual({'u': lhs})[4:]) < 1e-10
+
+
+def test_thetamethod(setup):
+    from nutils_tpu import solver
+    topo, geom, u = setup
+    J = function.J(geom)
+    v = topo.field('v', btype='std', degree=1)
+    # du/dt = -u  (lumped through FEM): residual u v, inertia u v
+    res = topo.integral(u * v * J, degree=2)
+    inertia = topo.integral(u * v * J, degree=2)
+    # implicit euler: (u1 - u0)/dt + u1 = 0 -> u1 = u0 / (1 + dt)
+    gen = solver.impliciteuler('u:v', res, inertia, timestep=.1, newtontol=1e-12,
+                               arguments={'u': numpy.ones(16)})
+    first = next(gen)
+    numpy.testing.assert_allclose(first, 1.)
+    second = next(gen)
+    numpy.testing.assert_allclose(second, 1 / 1.1, rtol=1e-10)
+    third = next(gen)
+    numpy.testing.assert_allclose(third, 1 / 1.1 ** 2, rtol=1e-10)
+    # crank-nicolson: u1 = u0 (1 - dt/2)/(1 + dt/2)
+    gen = solver.cranknicolson('u:v', res, inertia, timestep=.1, newtontol=1e-12,
+                               arguments={'u': numpy.ones(16)})
+    next(gen)
+    numpy.testing.assert_allclose(next(gen), .95 / 1.05, rtol=1e-10)
+
+
+def test_optimize_droptol(setup):
+    from nutils_tpu import solver
+    topo, geom, u = setup
+    J = function.J(geom)
+    sqr = topo.boundary['left'].integral(u ** 2 * J, degree=2)
+    cons = solver.optimize('u', sqr, droptol=1e-13)
+    assert numpy.isnan(cons).sum() == 12
+    numpy.testing.assert_allclose(cons[:4], 0, atol=1e-12)
