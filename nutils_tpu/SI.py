@@ -101,6 +101,12 @@ class Dimension(type):
             return value
         return super().__call__(value)
 
+    @property
+    def zero(cls):
+        '''The zero quantity of this dimension (reference: nutils-units
+        Quantity.zero, used by examples/turek.py).'''
+        return cls.wrap(0.)
+
 
 def parse(s):
     if not isinstance(s, str):
@@ -285,7 +291,8 @@ class Quantity(metaclass=Dimension):
     def __array_function__(self, func, types, args, kwargs):
         if func in (numpy.amax, numpy.amin, numpy.max, numpy.min, numpy.mean, numpy.sum,
                     numpy.transpose, numpy.reshape, numpy.broadcast_to, numpy.take,
-                    numpy.trace, numpy.ptp, numpy.real, numpy.absolute, numpy.ravel):
+                    numpy.trace, numpy.ptp, numpy.real, numpy.absolute, numpy.ravel,
+                    numpy.repeat, numpy.quantile, numpy.diff):
             (q, *rest) = args
             return type(q).wrap(func(_val_of(q), *rest, **kwargs))
         if func is numpy.linalg.norm:

@@ -52,10 +52,18 @@ import hashlib as _hashlib
 def _host_fingerprint():
     try:
         with open('/proc/cpuinfo') as f:
+            keep = []
             for line in f:
-                if line.startswith('flags'):
-                    flags = ' '.join(sorted(line.split(':', 1)[1].split()))
-                    return _hashlib.sha1(flags.encode()).hexdigest()[:12]
+                # flags + exact model/stepping/microcode: two hosts can share
+                # an identical cpuinfo flag set yet get different XLA:CPU
+                # code (LLVM tuning features like prefer-no-gather differ per
+                # detected microarchitecture), so key on the full CPU identity
+                if line.split(':')[0].strip() in ('flags', 'model', 'model name', 'stepping', 'microcode', 'cpu family'):
+                    keep.append(line.strip())
+                if line.strip() == '' and keep:
+                    break  # first core only
+            if keep:
+                return _hashlib.sha1('\n'.join(sorted(keep)).encode()).hexdigest()[:12]
     except OSError:
         pass
     import platform as _platform

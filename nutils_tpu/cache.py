@@ -84,3 +84,96 @@ def function(func):
             pass
         return value
     return wrapper
+
+
+class Recursion:
+    '''Memoized iterator with fixed recursion length (reference: cache.py:251).
+
+    Subclass as ``class Sub(Recursion, length=n)`` and implement
+    ``resume(history)`` (or ``resume_index(history, index)``): ``history``
+    holds the last ``length`` items already produced (possibly fewer when
+    resuming early in the sequence) and the method yields the remaining items.
+    With caching enabled, every yielded item is pickled to
+    ``<cachedir>/<class>-<digest>/NNNN``; re-iterating replays the cached
+    items and *resumes* computation from the last valid file with the trailing
+    history — the reference's checkpoint/resume mechanism for time-stepping
+    loops.  Iterating an instance always starts the sequence from scratch.
+    '''
+
+    length = 1
+
+    def __init_subclass__(cls, *, length=None, **kwargs):
+        super().__init_subclass__(**kwargs)
+        if length is not None:
+            cls.length = int(length)
+
+    def __new__(cls, *args, **kwargs):
+        self = super().__new__(cls)
+        self._cache_args = (args, kwargs)
+        return self
+
+    def _digest(self):
+        h = hashlib.sha1()
+        h.update(f'{type(self).__module__}.{type(self).__qualname__}'.encode())
+        args, kwargs = getattr(self, '_cache_args', ((), {}))
+        try:
+            h.update(pickle.dumps((args, sorted(kwargs.items())), protocol=4))
+        except Exception:
+            return None
+        return h.hexdigest()
+
+    def __iter__(self):
+        length = type(self).length
+        cachedir = _cachedir[0]
+        key = self._digest() if cachedir else None
+        if not cachedir or key is None:
+            yield from self.resume_index([], 0)
+            return
+        path = os.path.join(cachedir, type(self).__qualname__ + '-' + key)
+        os.makedirs(path, exist_ok=True)
+        history = []
+        i = 0
+        while True:  # replay cached iterations
+            fname = os.path.join(path, f'{i:04d}')
+            if not os.path.exists(fname):
+                break
+            try:
+                with open(fname, 'rb') as f:
+                    stop, value = pickle.load(f)
+            except Exception:
+                break  # damaged tail: recompute from here
+            if stop:
+                return
+            history.append(value)
+            if len(history) > length:
+                history = history[1:]
+            log.info(f'cache hit: {type(self).__qualname__}[{i}]')
+            yield value
+            i += 1
+        resume = self.resume_index(history, i)
+        while True:  # compute and store the remaining iterations
+            try:
+                with disable():  # no nested caching inside resume
+                    value = next(resume)
+            except StopIteration:
+                stop, value = True, None
+            else:
+                stop = False
+            try:
+                tmp = os.path.join(path, f'{i:04d}.tmp')
+                with open(tmp, 'wb') as f:
+                    pickle.dump((stop, value), f, protocol=4)
+                os.replace(tmp, os.path.join(path, f'{i:04d}'))
+            except Exception:
+                pass
+            if stop:
+                return
+            yield value
+            i += 1
+
+    def resume(self, history):
+        raise NotImplementedError
+
+    def resume_index(self, history, index):
+        '''Resume recursion from ``history`` at iteration ``index``.'''
+        return self.resume(history)

@@ -22,7 +22,7 @@ class ExpressionSyntaxError(Exception):
 
 
 _TOKEN = re.compile(r'''
-      (?P<number>\d+\.\d*|\.\d+|\d+)
+      (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?)
     | (?P<name>[^\W\d_0-9]\w*|[^\x00-\x7F][\w]*)
     | (?P<lpar>\()|(?P<rpar>\))
     | (?P<lbrk>\[)|(?P<rbrk>\])
@@ -64,7 +64,7 @@ def _tokenize(s):
             break
         c = s[i]
         if c.isdigit() or c == '.':
-            m = re.match(r'\d+\.\d*|\.\d+|\d+', s[i:])
+            m = re.match(r'(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?', s[i:])
             tokens.append(_Token('number', m.group(), spaced))
             i += m.end()
         elif c in '()[]{}^/+-_':
@@ -325,7 +325,7 @@ def _trace_repeated(frag, s):
 
 
 def _number(text):
-    return float(text) if ('.' in text) else float(int(text))
+    return float(text) if ('.' in text or 'e' in text or 'E' in text) else float(int(text))
 
 
 def parse(string, namespace):
@@ -341,7 +341,14 @@ def _grad(geom, spaces, arg):
 
 
 def _curl(geom, spaces, arg):
-    return function.curl(arg, geom)
+    '''Two-generated-axes curl: curl_ki(u...) = ε_kji ∇_j(u...), used as
+    curl_ki(u_i) (reference: expression_v2.py:542,714).'''
+    arg = function.asarray(arg)
+    g = function.grad(arg, geom)  # [..., j]
+    g = function.insertaxis(g, g.ndim - 1, 3)   # [..., k, j]
+    g = function.insertaxis(g, g.ndim, 3)       # [..., k, j, i]
+    eps = function.levicivita(3)                # [k, j, i]
+    return function.sum_(function.multiply(g, eps), g.ndim - 2)  # [..., k, i]
 
 
 class Namespace:

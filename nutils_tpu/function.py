@@ -796,6 +796,15 @@ class _Jacobian(Array):
 
     def lower(self, args):
         charts = _chart_list(args)
+        if self.geom.spaces and set(self.geom.spaces) < set(args.charts):
+            # restrict to the geometry's own spaces: on zipped samples (two
+            # aligned charts of the same physical domain, sample.zip) the
+            # measure of a single-space geometry must not pick up the foreign
+            # chart's tangent directions
+            restricted = LowerArgs(points_shape=args.points_shape,
+                                   charts={s: c for s, c in args.charts.items() if s in self.geom.spaces},
+                                   opposite=args.opposite, part_ids=args.part_ids, part_topos=args.part_topos)
+            return self.lower(restricted)
         # block-diagonal tangent matrix over the concatenated root chart
         E = args.points_shape[0]
         ds = sum(c.tangents.shape[-1] for c in charts)
@@ -1811,6 +1820,8 @@ _UFUNC_MAP = {
     numpy.arctan2: arctan2, numpy.minimum: min_, numpy.maximum: max_,
     numpy.matmul: matmul,
     numpy.arcsin: arcsin, numpy.arccos: arccos, numpy.arctan: arctan,
+    numpy.arctanh: arctanh, numpy.real: real, numpy.imag: imag,
+    numpy.conjugate: conjugate,
 }
 
 def norm(a, ord=None, axis=None):

@@ -33,11 +33,11 @@ class _RectilinearGeom(function.Array):
         return ev.add(c0x, ev.multiply(c1x, chart.X))
 
 
-def rectilinear(richshape, periodic=(), space='X'):
+def rectilinear(richshape, periodic=(), space='X', bnames=None):
     'Structured mesh: integer axis sizes or explicit vertex positions.'
     verts = [numpy.arange(v + 1, dtype=float) if numeric.isint(v) else numpy.asarray(v, dtype=float) for v in richshape]
     shape = [len(v) - 1 for v in verts]
-    topo = topology.StructuredTopology(space, shape, periodic)
+    topo = topology.StructuredTopology(space, shape, periodic, bnames=bnames)
     if all(numeric.isint(v) for v in richshape):
         geom = function._RootCoords(space, len(shape))
     else:
@@ -45,9 +45,10 @@ def rectilinear(richshape, periodic=(), space='X'):
     return topo, geom
 
 
-def line(nodes, periodic=False, space='X'):
+def line(nodes, periodic=False, space='X', bnames=None):
     '''1-D mesh with scalar geometry (reference: mesh.py:66).'''
-    topo, geom = rectilinear([nodes], periodic=(0,) if periodic else (), space=space)
+    topo, geom = rectilinear([nodes], periodic=(0,) if periodic else (), space=space,
+                             bnames=None if bnames is None else [bnames])
     return topo, geom[0]
 
 
@@ -348,8 +349,7 @@ def gmsh(fname, *, space='X'):
         rows = [key2row[e] for e in edges if e in key2row]
         if rows:
             groups[name] = btopo[numpy.asarray(rows)]
-    if groups:
-        topo = topo.withboundary(**groups)
-    if data['tags']:
-        topo._vgroups = data['tags']
+    vgroups = {name: topo.take(ielems) for name, ielems in data['tags'].items()}
+    if groups or vgroups:
+        topo = topo.withgroups(vgroups=vgroups, bgroups=groups)
     return topo, geom

@@ -53,6 +53,8 @@ class Sample:
         self.weights = None if weights is None else numpy.asarray(weights, dtype=float)  # [E, P]
         self.tri_local = tri_local                            # [ntl, ds+1] within-element triangulation
         self.hull_local = hull_local
+        self._tri_global = None   # explicit override (zipped samples)
+        self._hull_global = None
         self.nelems = E
         self.npoints_per_elem = P
         self.npoints = E * P
@@ -117,6 +119,41 @@ class Sample:
                 part_ids=self.part_ids, part_topos=self.part_topos)
         return self._lower_args
 
+    def zip(self, *others):
+        '''Join samples with identical point counts over disjoint spaces into
+        one sample able to evaluate functions of any constituent space
+        (reference: sample.py:333).  The first sample provides the quadrature
+        weights and the triangulation; the points of all samples must be
+        aligned (e.g. via ``topo2.locate(geom2, sample1.eval(geom1))``).'''
+        samples = (self,) + tuple(others)
+        N = self.npoints
+        assert all(s.npoints == N for s in samples), 'zipped samples must have equal point counts'
+        spaces = set()
+        specs = []
+        for s in samples:
+            assert not (s.spaces & spaces), 'zipped samples must live on disjoint spaces'
+            spaces |= s.spaces
+            P = s.npoints_per_elem
+            for sp in s.specs:
+                specs.append(_ChartSpec(
+                    sp.space,
+                    sp.coords.reshape(N, 1, sp.coords.shape[-1]),
+                    numpy.repeat(sp.index, P),
+                    numpy.repeat(sp.p_linear, P, axis=0),
+                    numpy.repeat(sp.p_offset, P, axis=0),
+                    numpy.repeat(sp.tangents, P, axis=0),
+                    None if sp.normal_root is None else numpy.repeat(sp.normal_root, P, axis=0),
+                    sp.origin_topo,
+                    None if sp.lineage is None else (sp.lineage[0], numpy.repeat(sp.lineage[1], P),
+                                                     numpy.repeat(sp.lineage[2], P))))
+        weights = None if self.weights is None else self.weights.reshape(N, 1)
+        out = Sample(None, None, weights, None, None, None, None, specs=specs)
+        if self.tri_local is not None:
+            out._tri_global = self.tri
+        if self.hull_local is not None:
+            out._hull_global = self.hull
+        return out
+
     def __mul__(self, other):
         '''Tensor-product sample over disjoint spaces (reference: sample
         tensorization via _Mul, sample.py:698).'''
@@ -169,7 +206,30 @@ class Sample:
         func = function.asarray(func)
         if function.iscomplex(func):
             return function._Complex(self.integral(func.real), self.integral(func.imag))
+        if isinstance(func, _Integral) and not (self.spaces & func.sample.spaces):
+            # nested integral over a disjoint space (reference: sample.py:178
+            # via LowerArgs.__mul__): integrate over the product sample
+            return (func.sample * self).integral(func.integrand)
+        if isinstance(func, (function._Add, function._Neg)) and self._has_toplevel_disjoint_integral(func):
+            # distribute over sums/negations ONLY when a nested integral over a
+            # disjoint space sits at the additive top level, so it reaches the
+            # product-sample rewrite above (e.g. chained samples of trimmed
+            # subdomains in the coil example); ordinary integrands stay as one
+            # _Integral so residual assembly remains a single fused loop
+            if isinstance(func, function._Neg):
+                return function.negative(self.integral(func.operands[0]))
+            a, b = func.operands
+            return function.add(self.integral(a), self.integral(b))
         return _Integral(func, self)
+
+    def _has_toplevel_disjoint_integral(self, func):
+        '''True if a :class:`_Integral` over a space disjoint from this sample
+        appears in the additive spine (sums/negations) of ``func``.'''
+        if isinstance(func, _Integral):
+            return not (self.spaces & func.sample.spaces)
+        if isinstance(func, (function._Add, function._Neg)):
+            return any(self._has_toplevel_disjoint_integral(op) for op in func.operands)
+        return False
 
     def integrate(self, funcs, arguments=None, /, **kwargs):
         single = not isinstance(funcs, (list, tuple))
@@ -207,6 +267,8 @@ class Sample:
     @property
     def tri(self):
         '''Global triangulation: per-element local tri offset by element.'''
+        if self._tri_global is not None:
+            return self._tri_global
         assert self.tri_local is not None, 'sample has no triangulation'
         P = self.npoints_per_elem
         offsets = numpy.arange(self.nelems)[:, None, None] * P
@@ -214,6 +276,8 @@ class Sample:
 
     @property
     def hull(self):
+        if self._hull_global is not None:
+            return self._hull_global
         assert self.hull_local is not None, 'sample has no hull'
         P = self.npoints_per_elem
         offsets = numpy.arange(self.nelems)[:, None, None] * P

@@ -260,7 +260,7 @@ class StructuredTopology(Topology):
     slowest), root coordinates = element multi-index + local coordinate
     (reference: topology.py:1982 with transformseq.StructuredTransforms).'''
 
-    def __init__(self, space, shape, periodic=(), root_h=1.0):
+    def __init__(self, space, shape, periodic=(), root_h=1.0, origin=None, bnames=None):
         super().__init__(space, len(shape))
         self.shape = tuple(int(n) for n in shape)
         self.periodic = tuple(periodic)
@@ -268,6 +268,9 @@ class StructuredTopology(Topology):
         # root chart is stable under refinement so coarse bases and geometries
         # evaluate on refined samples (the analogue of the reference's shared
         # transform-chain roots, transformseq.py:526)
+        self.origin = tuple(int(o) for o in origin) if origin is not None else (0,) * self.ndims
+        # per-axis (lo, hi) boundary names (reference: mesh.line bnames)
+        self.bnames = tuple(tuple(b) for b in bnames) if bnames is not None else None
         self.ref = element.hypercube(self.ndims)
 
     def __len__(self):
@@ -279,7 +282,7 @@ class StructuredTopology(Topology):
     @functools.cached_property
     def _origins(self):
         '''Root-coordinate origin of each element, [nelems, ndims].'''
-        grids = numpy.meshgrid(*[numpy.arange(n) for n in self.shape], indexing='ij')
+        grids = numpy.meshgrid(*[o + numpy.arange(n) for o, n in zip(self.origin, self.shape)], indexing='ij')
         return numpy.stack([g.ravel() for g in grids], axis=1).astype(float) * self.root_h
 
     def sample(self, ischeme, degree=None):
@@ -323,7 +326,7 @@ class StructuredTopology(Topology):
         for idim in range(self.ndims):
             if idim in self.periodic:
                 continue
-            lo, hi = self._BNAMES[idim]
+            lo, hi = self.bnames[idim] if self.bnames is not None else self._BNAMES[idim]
             sides[lo] = _StructuredBoundary(self, idim, 0)
             sides[hi] = _StructuredBoundary(self, idim, 1)
         return UnionTopology(self.space, self.ndims - 1, sides)
@@ -415,7 +418,31 @@ class StructuredTopology(Topology):
     @property
     def refined(self):
         return StructuredTopology(self.space, tuple(2 * n for n in self.shape), self.periodic,
-                                  root_h=self.root_h / 2)
+                                  root_h=self.root_h / 2, origin=tuple(2 * o for o in self.origin),
+                                  bnames=self.bnames)
+
+    def __getitem__(self, item):
+        '''Contiguous sub-grid by per-axis slices, e.g. topo[:-1, :-1]
+        (reference: topology.py:1982 StructuredTopology.__getitem__).  The
+        sub-grid shares the parent's root chart so parent bases and geometry
+        evaluate on its samples; slicing drops periodicity.'''
+        if isinstance(item, str):
+            raise KeyError(item)
+        if not isinstance(item, tuple):
+            item = (item,)
+        item = item + (slice(None),) * (self.ndims - len(item))
+        assert len(item) == self.ndims, 'too many indices'
+        origin = []
+        shape = []
+        for sl, o, n in zip(item, self.origin, self.shape):
+            assert isinstance(sl, slice) and sl.step in (None, 1), 'only contiguous slices are supported'
+            start, stop, _ = sl.indices(n)
+            assert stop > start, 'empty slice'
+            origin.append(o + start)
+            shape.append(stop - start)
+        if tuple(shape) == self.shape:
+            return self
+        return StructuredTopology(self.space, shape, (), root_h=self.root_h, origin=origin, bnames=self.bnames)
 
     def refine(self, n):
         topo = self
@@ -440,6 +467,8 @@ class StructuredTopology(Topology):
         d = self.ndims
         assert coords.shape[1] == d
         geom = function.asarray(geom)
+        if geom.ndim == 0:  # scalar geometry: promote to a 1-vector
+            geom = function.stack([geom], axis=0)
         # probe for affinity: geom ~ geom0 + scale * root
         probe = self.sample('uniform', 2)
         gvals = numpy.asarray(probe.eval(geom, arguments or {})).reshape(len(self), 2 ** d, d)
@@ -495,7 +524,10 @@ class StructuredTopology(Topology):
         origins = self._origins[ielems]
         sample_coords = xi[:, None, :] * h  # [E, 1, d] root coords
         p_linear = numpy.broadcast_to(numpy.eye(d) / h, (E, d, d))
-        tangents = numpy.zeros((E, d, 0))  # point sample: no intrinsic dims
+        # located points are interior volume points: full-dimension tangents so
+        # jacobians/normals of functions of this space stay well defined (the
+        # reference's located samples integrate with user weights, topology.py:777)
+        tangents = numpy.broadcast_to(numpy.eye(d) * h, (E, d, d))
         return _sample.Sample(self.space, sample_coords, None, ielems, p_linear, -origins / h, tangents,
                               origin_topo=self)
 
@@ -626,6 +658,21 @@ class _WithGroupsTopology(Topology):
             parts = {}
         if parts:
             return UnionTopology(self.space, self.ndims - 1, parts, aliases=self._bgroups)
+        pbnd = getattr(self.parent, 'boundary', None)
+        if pbnd is not None and hasattr(pbnd, '_edges'):
+            # unstructured parent: named groups are edge subsets of the full
+            # boundary; keep any unnamed remainder so whole-boundary integrals
+            # and constraints still cover every exterior edge (reference:
+            # groups are views, the boundary itself stays complete,
+            # topology.py:734)
+            named = set()
+            for g in self._bgroups.values():
+                named.update(getattr(g, '_edges', ()))
+            rest = [e for e in pbnd._edges if e not in named]
+            parts = dict(self._bgroups)
+            if rest:
+                parts['_unnamed'] = type(pbnd)(pbnd.parent, rest)
+            return UnionTopology(self.space, self.ndims - 1, parts)
         return UnionTopology(self.space, self.ndims - 1, self._bgroups)
 
 

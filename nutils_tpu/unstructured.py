@@ -77,8 +77,13 @@ class UnstructuredTopology(Topology):
     # ------------------------------------------------------------ sampling
 
     def sample(self, ischeme, degree=None):
+        return self._sample_elements(self._buckets, ischeme, degree, self)
+
+    def _sample_elements(self, buckets, ischeme, degree, origin):
+        '''Sample the given (ref, global element ids) buckets; ``origin`` is
+        the topology recorded in part_topos (self or a subset view).'''
         samples = []
-        for ref, ids in self._buckets:
+        for ref, ids in buckets:
             tri_local = hull_local = None
             if ischeme == 'gauss':
                 pts, wts = ref.gauss(degree)
@@ -101,11 +106,40 @@ class UnstructuredTopology(Topology):
             tangents = numpy.broadcast_to(numpy.eye(d), (E, d, d))
             samples.append(_sample.Sample(self.space, coords, weights, ids, p_linear, p_offset,
                                           tangents, None, tri_local, hull_local,
-                                          part_ids=numpy.zeros(E, dtype=int), part_topos=[self],
+                                          part_ids=numpy.zeros(E, dtype=int), part_topos=[origin],
                                           batch_key=type(ref).__name__))
         if len(samples) == 1:
             return samples[0]
         return _sample.ChainedSample(samples)
+
+    def take(self, ielems):
+        '''Subset view over a selection of elements.  Samples carry the
+        parent's element numbering so any basis or geometry defined on the
+        full topology evaluates on the subset's samples; the boundary includes
+        the interface edges exposed by the selection (the analogue of the
+        reference's whole-element SubsetTopology, topology.py:2615).'''
+        return UnstructuredSubsetTopology(self, ielems)
+
+    def withgroups(self, vgroups=None, bgroups=None, pgroups=None):
+        '''Attach named element/boundary/point groups: ``topo[name]`` gives
+        the subset topology of an element group, ``topo.boundary[name]`` a
+        boundary group, and ``topo.points[name]`` a 0-d point-group topology
+        (reference: topology.py:731-760 with* and gmsh's pgroups).'''
+        out = self
+        if vgroups:
+            resolved = {name: self.take(ielems) if not isinstance(ielems, Topology) else ielems
+                        for name, ielems in vgroups.items()}
+            out = out.withsubdomain(**resolved)
+        if bgroups:
+            out = out.withboundary(**bgroups)
+        if pgroups:
+            object.__setattr__(out, 'points', dict(pgroups))
+        return out
+
+    def point_topology(self, vertex_id):
+        '''0-d topology of a single mesh vertex (reference: gmsh physical
+        points, accessible as topo.points[name], mesh.py:300 pgroups).'''
+        return _VertexTopology(self, int(vertex_id))
 
     # ------------------------------------------------------------ structure
 
@@ -270,3 +304,92 @@ class UnstructuredBoundary(Topology):
 
     def basis(self, btype='std', degree=1, **kwargs):
         return self.parent.basis(btype, degree, **kwargs)
+
+
+class UnstructuredSubsetTopology(Topology):
+    '''Whole-element subset view of an :class:`UnstructuredTopology`.
+
+    Samples keep the parent's element numbering, so bases and geometries of
+    the parent evaluate directly on subset samples; the subset's boundary is
+    recomputed by edge matching *within the selection* and therefore includes
+    interface edges against the rest of the mesh (the reference's
+    SubsetTopology boundary semantics, topology.py:2615,2665).
+    '''
+
+    def __init__(self, parent, ielems):
+        if isinstance(parent, UnstructuredSubsetTopology):
+            ielems = parent._ielems[numpy.asarray(ielems, dtype=int)]
+            parent = parent.parent
+        super().__init__(parent.space, parent.ndims)
+        self.parent = parent
+        self._ielems = numpy.unique(numpy.asarray(ielems, dtype=int))
+
+    def __len__(self):
+        return len(self._ielems)
+
+    @functools.cached_property
+    def _buckets(self):
+        buckets = {}
+        for gi in self._ielems:
+            ref = self.parent._refs[gi]
+            buckets.setdefault(type(ref).__name__, (ref, []))[1].append(int(gi))
+        return [(ref, numpy.asarray(ids)) for ref, ids in buckets.values()]
+
+    def sample(self, ischeme, degree=None):
+        return self.parent._sample_elements(self._buckets, ischeme, degree, self)
+
+    def basis(self, btype='std', degree=1, **kwargs):
+        return self.parent.basis(btype, degree, **kwargs)
+
+    def take(self, ielems):
+        return UnstructuredSubsetTopology(self, ielems)
+
+    @functools.cached_property
+    def boundary(self):
+        edge_owner = {}
+        for gi in self._ielems:
+            ref = self.parent._refs[gi]
+            verts = self.parent._elem_verts[gi]
+            for iedge, ev_ in enumerate(ref.edge_vertex_ids):
+                key = tuple(sorted(verts[list(ev_)].tolist()))
+                if key in edge_owner:
+                    edge_owner.pop(key)
+                else:
+                    edge_owner[key] = (int(gi), iedge)
+        return UnstructuredBoundary(self.parent, sorted(edge_owner.values()))
+
+
+class _VertexTopology(Topology):
+    '''0-d topology of one mesh vertex (reference: gmsh physical points
+    exposed as topo.points[name], mesh.py:300).  Sampling yields a single
+    point with unit weight in an element containing the vertex; tangents span
+    the full parent dimension so functions of the parent space (including
+    jacobians of volume geometries) evaluate cleanly.'''
+
+    def __init__(self, parent, vertex_id):
+        super().__init__(parent.space, 0)
+        self.parent = parent
+        self.vertex_id = int(vertex_id)
+        for ielem, verts in enumerate(parent._elem_verts):
+            hit = numpy.nonzero(numpy.asarray(verts) == self.vertex_id)[0]
+            if len(hit):
+                self._ielem = ielem
+                self._local = parent._refs[ielem].vertices[int(hit[0])]
+                break
+        else:
+            raise ValueError(f'vertex {vertex_id} not referenced by any element')
+
+    def __len__(self):
+        return 1
+
+    def sample(self, ischeme, degree=None):
+        d = self.parent.ndims
+        coords = numpy.asarray(self._local, dtype=float).reshape(1, 1, d)
+        weights = numpy.ones((1, 1))
+        p_linear = numpy.eye(d)[None]
+        p_offset = numpy.zeros((1, d))
+        tangents = numpy.eye(d)[None]
+        return _sample.Sample(self.space, coords, weights, numpy.array([self._ielem]),
+                              p_linear, p_offset, tangents, origin_topo=self.parent,
+                              part_ids=numpy.zeros(1, dtype=int), part_topos=[self],
+                              batch_key=('vertex', type(self.parent._refs[self._ielem]).__name__))

@@ -5,7 +5,10 @@ row, .github/workflows/test.yaml:58).'''
 import os
 import sys
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+# force CPU unconditionally: the session environment may pre-set
+# JAX_PLATFORMS=axon (TPU tunnel), but regression tests require real float64,
+# which the TPU only emulates (see ENVIRONMENT_NOTES.md)
+os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = flags + ' --xla_force_host_platform_device_count=8'

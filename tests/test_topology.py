@@ -170,3 +170,34 @@ def test_locate_newton_curved():
     smp2 = topo.locate(geom, numpy.array([[0.0, 0.0], [2.0, 2.0]]), tol=1e-10,
                        skip_missing=True, maxdist=0.1)
     assert smp2.nelems == 1
+
+
+def test_sample_zip():
+    '''Sample.zip pairs aligned samples on disjoint spaces (reference:
+    sample.py:333 doctest): evaluation works across spaces, integrals use the
+    first sample's weights.'''
+    from nutils_tpu import mesh, function
+    topo1, geom1 = mesh.line([0, .5, 1], space='ZX')
+    topo2, geom2 = mesh.line([0, .2, 1], space='ZY')
+    sample1 = topo1.sample('uniform', 3)
+    sample2 = topo2.locate(geom2, numpy.asarray(sample1.eval(geom1)), tol=1e-10)
+    zipped = sample1.zip(sample2)
+    assert float(numpy.linalg.norm(zipped.eval(function.subtract(geom1, geom2)))) < 1e-10
+    numpy.testing.assert_allclose(float(zipped.integrate(function.J(geom1))), 1.0, rtol=1e-12)
+    numpy.testing.assert_allclose(float(zipped.integrate(function.J(geom2))), 1.4, rtol=1e-12)
+
+
+def test_structured_slicing():
+    '''Sub-grid slicing shares the parent root chart (reference:
+    topology.py:1982 StructuredTopology.__getitem__).'''
+    from nutils_tpu import mesh, function
+    topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 5)] * 2)
+    sub = topo[1:-1, :2]
+    assert len(sub) == 4
+    # parent geometry/basis evaluate on the slice's samples
+    area = float(sub.integral(function.J(geom), degree=2).eval())
+    numpy.testing.assert_allclose(area, 2 / 4 * 2 / 4)
+    u = topo.field('u', btype='std', degree=1)
+    val = float(sub.integral(function.multiply(u, function.J(geom)), degree=2).eval(
+        u=numpy.ones(25)))
+    numpy.testing.assert_allclose(val, area, rtol=1e-12)
