@@ -132,6 +132,22 @@ class Array:
         self.spaces = frozenset(spaces)
         self.arguments = dict(arguments)  # name -> (shape, dtype)
 
+    def __init_subclass__(cls, **kwargs):
+        # debug sanitizer (the analogue of NUTILS_DEBUG=lower, reference:
+        # function.py:219-234): check every lower() result's trailing shape
+        # against the declaration
+        super().__init_subclass__(**kwargs)
+        from .utils import config
+        if config.debug_enabled('lower') and 'lower' in cls.__dict__:
+            inner = cls.__dict__['lower']
+
+            def checked_lower(self, args, _inner=inner, _cls=cls):
+                out = _inner(self, args)
+                assert out.ndim >= self.ndim and tuple(out.shape[out.ndim - self.ndim:]) == self.shape, (
+                    f'{_cls.__name__}.lower: lowered shape {tuple(out.shape)} does not end in declared {self.shape}')
+                return out
+            cls.lower = checked_lower
+
     @property
     def ndim(self):
         return len(self.shape)
@@ -887,23 +903,30 @@ class Basis(Array):
             return numpy.empty(0, dtype=int)
         return numpy.unique(numpy.concatenate([self._support[int(d)] for d in dof]))
 
-    def _chart_tables(self, chart, E, P):
-        '''Resolve a chart to (dofs [E, L], coeffs [E, L, K...], xi expression
-        [E, P, d]).  Samples of other members of the same refinement family
-        resolve through the chart lineage (the analogue of the reference's
-        index_with_tail chain resolution, transformseq.py:15).'''
+    def _resolve_chart(self, chart, E, P):
+        '''Resolve a chart to (elem_indices [E], xi expression [E, P, d]) in
+        this basis' home element numbering.  Samples of other members of the
+        same refinement family resolve through the chart lineage (the analogue
+        of the reference's index_with_tail chain resolution,
+        transformseq.py:15).  Wrapper bases (Masked/Pruned) delegate to their
+        parent so topology-specific resolutions (e.g. the structured
+        root-coordinate lookup for sliced sub-grids) stay in effect.'''
         own = self._origin
         hier = getattr(own, '_hier', None) if own is not None else None
         if chart.origin_topo is own or hier is None or chart.lineage is None:
-            dofs, coeffs = self.get_tables(chart.index)
-            return dofs, coeffs, chart.xi
+            return chart.index, chart.xi
         family, mylevel = hier
         cfamily, levels, elems = chart.lineage
         assert cfamily is family, 'sample belongs to a different refinement family'
         anc = family.ancestors_at(levels, elems, mylevel)
-        dofs, coeffs = self.get_tables(anc)
         lin, off = family.to_local(mylevel, anc)  # [E,d,d], [E,d]
         xi = _affine_of_X(chart.X, lin, off, E, P)
+        return anc, xi
+
+    def _chart_tables(self, chart, E, P):
+        '''(dofs [E, L], coeffs [E, L, K...], xi expression [E, P, d]).'''
+        idx, xi = self._resolve_chart(chart, E, P)
+        dofs, coeffs = self.get_tables(idx)
         return dofs, coeffs, xi
 
     def lower(self, args):
@@ -971,22 +994,21 @@ class StructuredBasis(Basis):
         multi = numpy.stack(numpy.unravel_index(elem_indices, self._shape), axis=1)
         return self._tensor_tables(self._offsets, self._coeffs, self._ndofs_per_dim, multi)
 
-    def lower(self, args):
-        chart = args.chart(self.space)
+    def _resolve_chart(self, chart, E, P):
         if self._topo is None or chart.origin_topo is self._topo:
-            return super().lower(args)
-        # cross-topology: locate our elements from the root coordinate table
+            return super()._resolve_chart(chart, E, P)
+        # cross-topology (refined, sliced, located samples): locate our
+        # elements from the root coordinate table
         Xtab = numpy.asarray(chart.X.value)  # [E, P, d]
         cent = Xtab.mean(axis=1) / self._root_h
         multi = numpy.minimum(numpy.maximum(numpy.floor(cent).astype(int), 0),
                               numpy.array(self._shape) - 1)  # [E, d]
-        dofs, coeffs = self._tensor_tables(self._offsets, self._coeffs, self._ndofs_per_dim, multi)
-        E, P = args.points_shape
-        dp = len(coeffs.shape[2:])
+        flat = numpy.ravel_multi_index(tuple(multi.T), self._shape)
+        dp = multi.shape[1]
         # local coords in our elements: X / h - elem_multi
         origin = ev.insertaxis(ev.constant(multi.astype(float)), 1, P)  # [E,P,d]
         xi = ev.add(ev.multiply(chart.X, _prefix_broadcast(ev.constant(1.0 / self._root_h), (E, P, dp))), ev.negative(origin))
-        return _lower_poly_tables(dofs, coeffs, xi, P, self.ndofs)
+        return flat, xi
 
 
 class MaskedBasis(Basis):
@@ -1002,6 +1024,9 @@ class MaskedBasis(Basis):
         self._renumber = numpy.cumsum(mask) - 1
         self._mask = mask
         super().__init__(int(mask.sum()), parent.nelems, parent.space)
+
+    def _resolve_chart(self, chart, E, P):
+        return self._parent._resolve_chart(chart, E, P)
 
     def get_tables(self, elem_indices):
         pd, pc = self._parent.get_tables(elem_indices)
@@ -1027,6 +1052,9 @@ class PrunedBasis(Basis):
         self._renumber = numpy.full(parent.ndofs, -1, dtype=int)
         self._renumber[self._dofmap] = numpy.arange(len(self._dofmap))
         super().__init__(len(self._dofmap), parent.nelems, parent.space)
+
+    def _resolve_chart(self, chart, E, P):
+        return self._parent._resolve_chart(chart, E, P)
 
     def get_tables(self, elem_indices):
         pd, pc = self._parent.get_tables(elem_indices)

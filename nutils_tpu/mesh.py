@@ -353,3 +353,30 @@ def gmsh(fname, *, space='X'):
     if groups or vgroups:
         topo = topo.withgroups(vgroups=vgroups, bgroups=groups)
     return topo, geom
+
+
+def fromfunc(func, nelems, ndims, degree=1, space='X'):
+    '''Structured mesh with geometry given by a python function of the
+    reference coordinates, L2-projected onto a spline basis (reference:
+    mesh.py:674).'''
+    if numeric.isint(nelems):
+        nelems = [nelems]
+    assert len(nelems) == func.__code__.co_argcount
+    topo, ref = rectilinear([numpy.linspace(0, 1, n + 1) for n in nelems], space=space)
+    basis = topo.basis('spline', degree=degree)
+    vals = func(*[ref[i] for i in range(len(nelems))])
+    if isinstance(vals, (tuple, list)):
+        target = function.stack([function.asarray(v) for v in vals])
+    else:
+        target = function.asarray(vals)
+    assert (target.ndim and target.shape[0] or 1) == ndims
+    coeffs = function.field('__fromfunc__', basis, shape=target.shape)
+    from .solver import System
+    J = function.J(ref)
+    diff2 = (coeffs - target) ** 2
+    if target.ndim:
+        diff2 = function.sum_(diff2, 0)
+    sqr = topo.integral(diff2 * J, degree=2 * degree + 2)
+    args = System(sqr, trial='__fromfunc__').solve()
+    geom = function.replace_arguments(coeffs, args)
+    return topo, geom

@@ -53,6 +53,16 @@ seed_block = _Setting('seed_block', 0, int)
 # accumulation — a diagnostic mode for environments whose remote XLA compile
 # service returns executables compiled against a mismatched target.
 fuse_assembly = _Setting('fuse_assembly', 1, int)
+# Colon-separated internal sanitizer flags (the analogue of NUTILS_DEBUG,
+# reference: debug_flags.py): 'lower' checks every function.Array.lower result
+# against the declared shape/dtype; 'compile' logs each compiled program;
+# 'all' enables everything.
+debug = _Setting('debug', frozenset(), lambda s: frozenset(s.split(':')) - {''})
+
+
+def debug_enabled(flag):
+    d = debug.value
+    return flag in d or 'all' in d
 
 
 def float_dtype():

@@ -201,3 +201,26 @@ def test_structured_slicing():
     val = float(sub.integral(function.multiply(u, function.J(geom)), degree=2).eval(
         u=numpy.ones(25)))
     numpy.testing.assert_allclose(val, area, rtol=1e-12)
+
+
+def test_masked_basis_on_slice():
+    '''removedofs (MaskedBasis) evaluation on sliced-topology samples must
+    resolve elements through the parent's root-coordinate lookup (regression:
+    the coil example evaluated garbage on RZ[:-1,:-1] slices).'''
+    from nutils_tpu import mesh, function
+    n = 6
+    topo, xy = mesh.rectilinear([n, n], space='S')
+    b = topo.basis('spline', degree=2, removedofs=[[-1], [-1]])
+    nk = n + 2 - 1
+    coef = (numpy.arange(nk * nk, dtype=float) % 7 + 1)
+    f = function.matmul(b, function.asarray(coef))
+    full = topo.sample('uniform', 2)
+    xv = numpy.asarray(full.eval(xy))
+    fv_full = numpy.asarray(full.eval(f))
+    smp = topo[1:5, 2:5].sample('uniform', 2)
+    xs = numpy.asarray(smp.eval(xy))
+    fv = numpy.asarray(smp.eval(f))
+    # match each sliced point against the identical full-topology point
+    lookup = {tuple(numpy.round(p, 9)): v for p, v in zip(xv, fv_full)}
+    for p, v in zip(xs, fv):
+        numpy.testing.assert_allclose(v, lookup[tuple(numpy.round(p, 9))], atol=1e-12)
