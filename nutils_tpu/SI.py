@@ -109,6 +109,16 @@ class Dimension(type):
 
 
 def parse(s):
+    """Parse a quantity string into a Quantity (or float if dimensionless).
+
+    >>> from nutils_tpu.SI import parse, Length
+    >>> parse('2.5cm')
+    0.025[L]
+    >>> Length('2.5cm') / 'mm'
+    25.0
+    >>> parse('3m/s')
+    3.0[L/T]
+    """
     if not isinstance(s, str):
         raise ValueError(f'expected a str, got {type(s).__name__}')
     tail = s.lstrip('+-0123456789.')

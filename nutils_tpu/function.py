@@ -1750,6 +1750,15 @@ def replace_arguments(func, arguments):
             assert spec is not None, f'argument {old!r} not present'
             repl[old] = _arg_from_spec(new.strip(), spec)
         arguments = repl
+    if isinstance(arguments, (list, tuple)):
+        # sequence of (old, new-name) pairs (reference: replace_arguments
+        # accepts an items-like iterable, examples/turek.py:174)
+        repl = {}
+        for old, new in arguments:
+            spec = func.arguments.get(old)
+            assert spec is not None, f'argument {old!r} not present'
+            repl[old] = _arg_from_spec(new, spec) if isinstance(new, str) else new
+        arguments = repl
     repl = {}
     for k, v in arguments.items():
         v = asarray(v) if not isinstance(v, Array) else v

@@ -238,12 +238,44 @@ def _seed_from(orig, name, direction):
     return ev.replace(orig, {argnodes[0]: direction})
 
 
+def _split_const_gathers(e, names):
+    '''Rewrite gather(arg_expr * const, dofs) -> gather(arg_expr) *
+    gather(const): masked trial/test arguments (e.g. the reference's
+    ``dtest * dfluid`` restriction, examples/turek.py:261,327) keep the
+    constant mask outside the gather so the argument gather itself stays
+    localizable per element batch.'''
+    while True:
+        repl = {}
+        for node in ev.find(e, lambda n: isinstance(n, ev.GatherAlong)):
+            chain = []
+            core = node.func
+            while isinstance(core, ev.InsertAxis):
+                chain.append((core.axis, core.length))
+                core = core.func
+            if not isinstance(core, ev.Multiply):
+                continue
+            a, b = core.children
+            for witharg, constpart in ((a, b), (b, a)):
+                if any(arg.name in names for arg in witharg.arguments) \
+                        and not constpart.arguments and not constpart.leafdeps:
+                    def rebuild(x):
+                        for ax, ln in reversed(chain):
+                            x = ev.insertaxis(x, ax, ln)
+                        return ev.GatherAlong(x, node.dofs, node.axis)
+                    repl[node] = ev.multiply(rebuild(witharg), rebuild(constpart))
+                    break
+        if not repl:
+            return e
+        e = ev.replace(e, repl)
+
+
 def _localize(expr, names):
     '''Replace localized gathers (and remaining direct appearances) of the
     named arguments by Leafs.  ArgGrad nodes over the named arguments
     (function.linearize directions) are expanded into LeafGrads whose seeds
     ride the same gather tables, so directional derivatives stay
     element-batched.  Returns (new_expr, {name: [_Loc]}).'''
+    expr = _split_const_gathers(expr, names)
     locs = {name: [] for name in names}
     leafinfo = {}  # leaf key -> (argument name, original gather node or None)
 
@@ -299,6 +331,7 @@ def _localize(expr, names):
                 out = ev.Zeros(ag.shape, float)
             repl[ag] = out
         new_expr = ev.replace(new_expr, repl)
+        new_expr = _split_const_gathers(new_expr, names)
         new_expr = collect_and_replace(new_expr)  # localize the seed gathers
 
     for name in names:  # remaining direct (dense) appearances
@@ -659,8 +692,10 @@ class System:
                         if loc.dense or cols_es.shape[0] == 1:
                             cols_b = cols_es.reshape((1,) * len(c.shape) + (S,))
                         else:
-                            assert len(c.shape) and c.shape[0] == cols_es.shape[0], \
-                                'row chunk and trial localization live on different element batches'
+                            assert len(c.shape) and c.shape[0] == cols_es.shape[0], (
+                                f'row chunk and trial localization live on different element batches: '
+                                f'chunk shape {c.shape} (block {bi}, chunk {ci}) vs cols {cols_es.shape} '
+                                f'for trial {u!r} loc {li}')
                             cols_b = cols_es.reshape((cols_es.shape[0],) + (1,) * (len(c.shape) - 1) + (S,))
                         reduce_axes = tuple(ax for ax in range(len(vshape))
                                             if rows_b.shape[ax] == 1 and cols_b.shape[ax] == 1 and vshape[ax] > 1)

@@ -339,7 +339,13 @@ class UnstructuredSubsetTopology(Topology):
         return self.parent._sample_elements(self._buckets, ischeme, degree, self)
 
     def basis(self, btype='std', degree=1, **kwargs):
-        return self.parent.basis(btype, degree, **kwargs)
+        '''Parent basis restricted to the dofs supported on this subset
+        (reference: the PrunedBasis a subset topology's basis() returns,
+        topology.py:2615 via function.py:3103).'''
+        parent_basis = self.parent.basis(btype, degree, **kwargs)
+        pruned = function.PrunedBasis(parent_basis, self._ielems)
+        pruned._origin = parent_basis._origin
+        return pruned
 
     def take(self, ielems):
         return UnstructuredSubsetTopology(self, ielems)

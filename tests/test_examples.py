@@ -12,7 +12,7 @@ def _load(name):
     return importlib.import_module(name)
 
 
-@pytest.mark.parametrize('example', ['laplace', 'poisson', 'elasticity', 'finitestrain', 'burgers', 'drivencavity', 'cylinderflow', 'platewithhole', 'torsion', 'adaptivity', 'cahnhilliard', 'coil'])
+@pytest.mark.parametrize('example', ['laplace', 'poisson', 'elasticity', 'finitestrain', 'burgers', 'drivencavity', 'cylinderflow', 'platewithhole', 'torsion', 'adaptivity', 'cahnhilliard', 'coil', 'turek'])
 def test_example_regressions(example):
     mod = _load(example)
     suite = unittest.defaultTestLoader.loadTestsFromTestCase(mod.test)
