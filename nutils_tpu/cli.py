@@ -2,6 +2,7 @@
 typed from the main function's signature and run it with logging configured.'''
 
 import inspect
+import os
 import logging
 import sys
 
@@ -52,6 +53,15 @@ def run(main, *, argv=None):
             raise SystemExit(f'unknown argument {name!r}; options: {", ".join(sig.parameters)}')
         kwargs[name] = _parse(value, sig.parameters[name].annotation)
     log.info(f'running {main.__module__}.{main.__name__} {kwargs}')
+    outroot = os.environ.get('NUTILS_TPU_OUTDIR')
+    if outroot:
+        # HTML log with embedded figures (reference: cli stacks add_htmllog
+        # writing ~/public_html/<script>/<timestamp>/log.html, _util.py:641)
+        import datetime
+        outdir = os.path.join(outroot, main.__module__,
+                              datetime.datetime.now().strftime('%Y-%m-%d_%H-%M-%S'))
+        with log.htmllog(outdir, f'{main.__module__}.{main.__name__}'):
+            return main(**kwargs)
     return main(**kwargs)
 
 

@@ -1493,8 +1493,23 @@ def _promote_big_constants(flat):
             # the chunked-assembly scan (solver._build_scan_plan) can slice the
             # element axis uniformly
             if node not in mapping:
-                mapping[node] = Leaf(('const', next(_const_leaf_counter)), node.shape, node.dtype,
-                                     value=node.value)
+                v = node.value
+                if config.uniform_tables.value and node.ndim >= 1 and node.shape[0] > 1 \
+                        and v.size and bool((v == v[:1]).all()):
+                    # element-uniform table (e.g. basis coefficients or
+                    # reference quadrature weights on a structured grid):
+                    # store one row and broadcast — the HBM traffic of the
+                    # assembly drops by the batch factor, and the chunked
+                    # scan handles the InsertAxis via _chunk_rewrite
+                    row = v[0]
+                    if row.size > CONST_LEAF_THRESHOLD:
+                        inner = Leaf(('const', next(_const_leaf_counter)), row.shape, node.dtype, value=row)
+                    else:
+                        inner = Constant(row)
+                    mapping[node] = insertaxis(inner, 0, node.shape[0])
+                else:
+                    mapping[node] = Leaf(('const', next(_const_leaf_counter)), node.shape, node.dtype,
+                                         value=node.value)
             return
         for c in node.children:
             collect(c, seen)
@@ -1556,6 +1571,55 @@ class Compiled:
             self._jitted = jax.jit(self.trace)
         return self._jitted(arguments, leaves)
 
+    def trace_with_stats(self, arguments=None, leaves=None):
+        '''Eager node-by-node evaluation with per-node wall-clock stats
+        (the analogue of the reference's ``stats='log'`` instrumented
+        evaluation, evaluable.py:7052 and _graph.py hot-node coloring).
+
+        Returns ``(output, stats)`` with ``stats`` a dict mapping each node to
+        seconds spent computing it (dispatch + device time, since every node
+        value is blocked on).  Use :func:`log_stats` to print a ranking, or
+        pass ``stats`` to :func:`export_graphviz` for a heat-colored DAG.'''
+        import time as _time
+        import jax
+        arguments = dict(arguments or {})
+        leaves = dict(leaves or {})
+        for key, node in self.leafnodes.items():
+            if key not in leaves:
+                assert node.value is not None, f'missing leaf binding: {key!r}'
+                leaves[key] = node.value
+        evtor = _Evaluator(arguments, leaves)
+        stats = {}
+        inner = evtor._compute
+
+        def timed_compute(node, frame, overridden, _inner=inner):
+            t0 = _time.perf_counter()
+            val = _inner(node, frame, overridden)
+            jax.block_until_ready(val)
+            dt = _time.perf_counter() - t0
+            stats[node] = stats.get(node, 0.0) + dt
+            return val
+        evtor._compute = timed_compute
+        frame = {}
+        vals = [evtor._eval(f, frame, frozenset()) for f in self.flat]
+        out = jax.tree.unflatten(self.treedef, vals)
+        return out, stats
+
+
+def log_stats(stats, top=15):
+    '''Print a per-node-type ranking of evaluation time (reference:
+    evaluable._log_stats, evaluable.py:6898).'''
+    from .utils import _log as log
+    bytype = {}
+    for node, t in stats.items():
+        bytype.setdefault(type(node).__name__, [0.0, 0])
+        bytype[type(node).__name__][0] += t
+        bytype[type(node).__name__][1] += 1
+    total = sum(t for t, _ in bytype.values()) or 1.0
+    log.info('per-node-type evaluation time:')
+    for name, (t, n) in sorted(bytype.items(), key=lambda kv: -kv[1][0])[:top]:
+        log.info(f'  {t * 1e3:8.2f} ms {t / total * 100:5.1f}%  {name} x{n}')
+
 
 def compile(funcs):
     return Compiled(funcs)
@@ -1610,11 +1674,14 @@ def asciitree(root, richoutput=True):
     return '\n'.join(lines)
 
 
-def export_graphviz(root):
-    '''Graphviz DOT source of the expression DAG (reference: _graph.py
-    export_graphviz).'''
+def export_graphviz(root, stats=None):
+    '''Graphviz DOT source of the expression DAG; with ``stats`` (node ->
+    seconds, from Compiled.trace_with_stats) nodes are heat-colored by their
+    share of the evaluation time (reference: _graph.py export_graphviz with
+    hot-node coloring, _graph.py:222).'''
     seen = {}
     lines = ['digraph {', 'node [shape=box];']
+    tmax = max(stats.values()) if stats else 0.0
 
     def rec(node):
         if node in seen:
@@ -1624,7 +1691,13 @@ def export_graphviz(root):
         name = type(node).__name__
         if node.ndim:
             name += ':' + 'x'.join(map(str, node.shape))
-        lines.append(f'{nid} [label="{name}"];')
+        attrs = f'label="{name}"'
+        if stats and tmax > 0 and node in stats:
+            frac = stats[node] / tmax
+            # white -> red ramp on the fill
+            g = int(255 * (1 - frac))
+            attrs += f', style=filled, fillcolor="#ff{g:02x}{g:02x}"'
+        lines.append(f'{nid} [{attrs}];')
         for c in node.children:
             cid = rec(c)
             lines.append(f'{nid} -> {cid};')

@@ -18,8 +18,13 @@ def mplfigure(name, **kwargs):
     try:
         yield fig
     finally:
+        import os
+        outdir = getattr(log, '_htmllog', [None])[0]
+        if outdir is not None:
+            name = os.path.join(outdir.outdir, name)
         fig.savefig(name)
         plt.close(fig)
+        log.notify_figure(os.path.basename(name))
         log.info(f'saved figure {name}')
 
 

@@ -71,3 +71,7 @@ def float_dtype():
 
 def int_dtype():
     return numpy.dtype(intx.value)
+# Collapse element-uniform constant tables (identical rows along the element
+# axis, e.g. structured-basis coefficients) to a single broadcast row during
+# constant promotion, cutting assembly HBM traffic.
+uniform_tables = _Setting('uniform_tables', 1, int)

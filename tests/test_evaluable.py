@@ -136,3 +136,19 @@ def test_replace():
     expr2 = ev.replace(expr, {a: b})
     out = ev.eval_once(expr2, {'b': numpy.ones(3)})
     assert float(out) == pytest.approx(3)
+
+
+def test_trace_with_stats():
+    '''Instrumented eager evaluation (reference: stats='log' timing,
+    evaluable.py:7052) and heat-colored graphviz export.'''
+    import numpy
+    from nutils_tpu import evaluable as ev
+    a = ev.constant(numpy.arange(12.0).reshape(3, 4))
+    expr = ev.sum_(ev.multiply(a, a), (0, 1))
+    comp = ev.compile(expr)
+    out, stats = comp.trace_with_stats({})
+    numpy.testing.assert_allclose(float(out), float((numpy.arange(12.0) ** 2).sum()))
+    assert stats and all(t >= 0 for t in stats.values())
+    dot = ev.export_graphviz(expr, stats)
+    assert 'digraph' in dot and 'fillcolor' in dot
+    ev.log_stats(stats)
