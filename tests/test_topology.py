@@ -224,3 +224,59 @@ def test_masked_basis_on_slice():
     lookup = {tuple(numpy.round(p, 9)): v for p, v in zip(xv, fv_full)}
     for p, v in zip(xs, fv):
         numpy.testing.assert_allclose(v, lookup[tuple(numpy.round(p, 9))], atol=1e-12)
+
+
+def test_gmsh_v41_subdomains(tmp_path):
+    '''msh 4.1 import with physical volume groups: topo[name] is a subset
+    topology whose samples evaluate full-mesh fields (reference: mesh.py:461
+    gmsh with pgroups/vgroups).'''
+    from nutils_tpu import mesh, function
+    msh = '''$MeshFormat
+4.1 0 8
+$EndMeshFormat
+$PhysicalNames
+3
+1 1 "bottom"
+2 2 "left"
+2 3 "right"
+$EndPhysicalNames
+$Entities
+0 1 2 0
+1 0 0 0 1 0 0 1 1 0
+1 0 0 0 1 1 0 1 2 0
+2 0 0 0 1 1 0 1 3 0
+$EndEntities
+$Nodes
+1 4 1 4
+1 1 0 4
+1
+2
+3
+4
+0 0 0
+1 0 0
+0 1 0
+1 1 0
+$EndNodes
+$Elements
+3 3 1 3
+1 1 1 1
+1 1 2
+2 1 2 1
+2 1 2 3
+2 2 2 1
+3 2 3 4
+$EndElements
+'''
+    p = tmp_path / 'square41.msh'
+    p.write_text(msh)
+    topo, geom = mesh.gmsh(str(p))
+    assert len(topo) == 2
+    total = float(numpy.asarray(topo.integral(function.J(geom), degree=2).eval()))
+    numpy.testing.assert_allclose(total, 1.0, rtol=1e-12)
+    a_left = float(numpy.asarray(topo['left'].integral(function.J(geom), degree=2).eval()))
+    a_right = float(numpy.asarray(topo['right'].integral(function.J(geom), degree=2).eval()))
+    numpy.testing.assert_allclose([a_left, a_right], [.5, .5], rtol=1e-12)
+    u = topo.field('u', btype='std', degree=1)
+    val = float(topo['left'].integral(u * function.J(geom), degree=2).eval(u=numpy.ones(4)))
+    numpy.testing.assert_allclose(val, a_left, rtol=1e-12)
