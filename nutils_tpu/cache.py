@@ -177,3 +177,31 @@ class Recursion:
     def resume_index(self, history, index):
         '''Resume recursion from ``history`` at iteration ``index``.'''
         return self.resume(history)
+
+
+def load(key):
+    '''Fetch a pickled value by key, or None (cache disabled / miss).'''
+    cachedir = _cachedir[0]
+    if not cachedir:
+        return None
+    path = os.path.join(cachedir, key)
+    try:
+        with open(path, 'rb') as f:
+            return pickle.load(f)
+    except (OSError, pickle.UnpicklingError, EOFError):
+        return None
+
+
+def store(key, value):
+    '''Store a pickled value by key (no-op when caching is disabled).'''
+    cachedir = _cachedir[0]
+    if not cachedir:
+        return
+    try:
+        os.makedirs(cachedir, exist_ok=True)
+        tmp = os.path.join(cachedir, key + '.tmp')
+        with open(tmp, 'wb') as f:
+            pickle.dump(value, f, protocol=4)
+        os.replace(tmp, os.path.join(cachedir, key))
+    except (OSError, pickle.PicklingError):
+        pass

@@ -1625,6 +1625,52 @@ def compile(funcs):
     return Compiled(funcs)
 
 
+def stable_digest(*roots):
+    '''Process-stable content hash of expression tree(s) (the analogue of the
+    reference's ``nutils_hash``, types.py:74, which keys its disk cache):
+    sha1 over a DFS serialization of node types, parameters and child links.
+    Python's built-in ``hash`` is salted per process and unusable for disk
+    keys.'''
+    import hashlib
+    h = hashlib.sha1()
+    ids = {}
+
+    def feed(x):
+        if isinstance(x, _ArrayKey):
+            h.update(b'arr')
+            h.update(str(x.array.shape).encode())
+            h.update(x.array.tobytes())
+        elif isinstance(x, type):
+            h.update(b'typ')
+            h.update(x.__name__.encode())
+        elif isinstance(x, tuple):
+            h.update(b'tup')
+            for y in x:
+                feed(y)
+        elif isinstance(x, numpy.ndarray):
+            h.update(b'nda')
+            h.update(str(x.shape).encode())
+            h.update(x.tobytes())
+        else:
+            h.update(repr(x).encode())
+
+    def rec(node):
+        nid = ids.get(node)
+        if nid is not None:
+            h.update(b'ref%d' % nid)
+            return
+        ids[node] = len(ids)
+        h.update(type(node).__name__.encode())
+        feed(node.params)
+        if isinstance(node, Leaf) and node.value is not None:
+            feed(numpy.asarray(node.value))
+        for c in node.children:
+            rec(c)
+    for root in roots:
+        rec(root)
+    return h.hexdigest()
+
+
 def eval_once(funcs, arguments=None, leaves=None):
     '''Evaluate expression(s) once, returning numpy arrays.'''
     import jax

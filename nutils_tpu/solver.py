@@ -31,6 +31,7 @@ import functools
 import numpy
 
 from . import evaluable as ev
+from . import cache
 from . import function, matrix
 from .utils import _log as log
 
@@ -1237,6 +1238,36 @@ class System:
         constrain = dict(constrain or {})
         if method is None:
             method = (Direct if self.is_linear else Newton)()
+        # disk memoization of the solve, keyed by a process-stable content
+        # hash of the localized residual expression plus the call data
+        # (reference: @cache.function on System.solve, solver.py:440)
+        cachekey = None
+        if cache._cachedir[0] is not None:
+            import hashlib
+            import pickle
+            try:
+                payload = pickle.dumps((sorted(arguments.items()), sorted(constrain.items()),
+                                        tol, miniter, maxiter, str(method)), protocol=4)
+                cachekey = 'solve-' + hashlib.sha1(
+                    (self._expr_digest + hashlib.sha1(payload).hexdigest()).encode()).hexdigest()
+            except Exception:
+                cachekey = None
+            if cachekey is not None:
+                hit = cache.load(cachekey)
+                if hit is not None:
+                    log.info(f'cache hit: solve for {",".join(self.trials)}')
+                    return hit
+        out = self._solve_impl(arguments=arguments, constrain=constrain, tol=tol,
+                               miniter=miniter, maxiter=maxiter, method=method)
+        if cachekey is not None:
+            cache.store(cachekey, out)
+        return out
+
+    @functools.cached_property
+    def _expr_digest(self):
+        return ev.stable_digest(self._expr)
+
+    def _solve_impl(self, *, arguments, constrain, tol, miniter, maxiter, method):
         log.info(f'{"optimizing" if self.is_symmetric else "solving"} for {",".join(self.trials)} using {method}')
         m = method(self, arguments=arguments, constrain=constrain)
         if isinstance(m, tuple):

@@ -79,3 +79,25 @@ def test_function_memoization():
         assert calls == [3]
         assert f(4) == 8
         assert calls == [3, 4]
+
+
+def test_solve_disk_cache(tmp_path):
+    '''System.solve results are disk-memoized when caching is enabled
+    (reference: @cache.function on System.solve, solver.py:440).'''
+    import numpy
+    from nutils_tpu import cache, function, mesh
+    from nutils_tpu.solver import System
+
+    def build():
+        topo, geom = mesh.rectilinear([4, 4])
+        u = topo.field('u', btype='std', degree=1)
+        g = function.grad(u, geom)
+        J = function.J(geom)
+        return System(topo.integral((function.sum_(g * g, 0) / 2 + u * u / 2 - u) * J, degree=2), trial='u')
+
+    with cache.enable(str(tmp_path)):
+        a1 = build().solve()
+        files = {f for f in tmp_path.iterdir() if f.name.startswith('solve-')}
+        assert files, 'solve result not stored'
+        a2 = build().solve()  # fresh System, same content hash -> cache hit
+    numpy.testing.assert_array_equal(a1['u'], a2['u'])
