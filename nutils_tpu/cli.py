@@ -53,6 +53,22 @@ def run(main, *, argv=None):
             raise SystemExit(f'unknown argument {name!r}; options: {", ".join(sig.parameters)}')
         kwargs[name] = _parse(value, sig.parameters[name].annotation)
     log.info(f'running {main.__module__}.{main.__name__} {kwargs}')
+
+    def invoke():
+        try:
+            return main(**kwargs)
+        except Exception:
+            # log the traceback through the sink(s) and optionally drop into
+            # the post-mortem debugger (reference: log_traceback/post_mortem,
+            # _util.py:517,548, env NUTILS_PDB)
+            import traceback
+            for line in traceback.format_exc().rstrip().split('\n'):
+                log.error(line)
+            if os.environ.get('NUTILS_TPU_PDB', '').lower() in ('1', 'yes', 'true'):
+                import pdb
+                pdb.post_mortem()
+            raise
+
     outroot = os.environ.get('NUTILS_TPU_OUTDIR')
     if outroot:
         # HTML log with embedded figures (reference: cli stacks add_htmllog
@@ -61,8 +77,8 @@ def run(main, *, argv=None):
         outdir = os.path.join(outroot, main.__module__,
                               datetime.datetime.now().strftime('%Y-%m-%d_%H-%M-%S'))
         with log.htmllog(outdir, f'{main.__module__}.{main.__name__}'):
-            return main(**kwargs)
-    return main(**kwargs)
+            return invoke()
+    return invoke()
 
 
 def choose(*mains, argv=None):
