@@ -11,9 +11,18 @@ Solve backends:
 
 * ``direct`` — scipy sparse LU on host (small systems, verification;
   replaces the reference's MKL Pardiso role, matrix/_mkl.py:22).
-* ``cg`` — on-device jacobi-preconditioned conjugate gradients under
-  ``lax.while_loop`` (the TPU-native production path).
-* ``gmres`` — scipy gmres host fallback for nonsymmetric systems.
+* ``cg`` — on-device preconditioned conjugate gradients under
+  ``lax.while_loop`` (symmetric production path).
+* ``gmres`` — on-device left-preconditioned restarted GMRES(m)
+  (nonsymmetric production path; the role of the reference's MKL FGMRES,
+  matrix/_mkl.py:205).
+* ``bicg``/``bicgstab``/``cgs``/``lgmres``/``scipy:gmres``/``scipy:cg`` —
+  host scipy iterative family (reference: matrix/_scipy.py:67-92).
+
+Preconditioners are obtained through :meth:`Matrix.getprecon` (reference:
+matrix/_base.py:316): device-side ``diag``/``block`` feed the jitted Krylov
+loops; host-side ``direct``/``splu``/``spilu``/``spilu0`` feed the scipy
+solvers.
 '''
 
 import numpy
@@ -209,19 +218,83 @@ class Matrix:
             log.warning('solver failed to reach tolerance; continuing with best iterate')
             return e.best
 
+    def getprecon(self, precon='diag', **args):
+        '''Construct (and cache) a preconditioner (reference:
+        matrix/_base.py:316).
+
+        Device preconditioners (feed the jitted Krylov loops):
+
+        * ``diag`` — inverse diagonal (reference: matrix/_base.py:338).
+        * ``block`` — block-Jacobi with ``blocksize`` dense diagonal blocks,
+          inverted host-side once and applied as a batched matmul.
+
+        Host preconditioners (returned as callables, fed to scipy solvers):
+        ``direct``/``splu`` (factorized sparse LU), ``spilu``/``spilu0``
+        (incomplete LU; reference: matrix/_scipy.py:94-103).
+        '''
+        key = (precon, tuple(sorted(args.items())))
+        cached = getattr(self, '_precon_cache', None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        if self.shape[0] != self.shape[1]:
+            raise MatrixError('matrix must be square')
+        if precon == 'diag':
+            d = self.diagonal()
+            if not d.all():
+                raise MatrixError("building 'diag' preconditioner: diagonal has zero entries")
+            obj = _Precon('diag', minv=1.0 / d)
+        elif precon == 'block':
+            from .ops.sparse import block_jacobi_inverse
+            bs = int(args.get('blocksize', 4))
+            obj = _Precon('block', minv=block_jacobi_inverse(
+                numpy.asarray(self.data), self.indices, self.indptr, self.shape[0], bs))
+        elif precon in ('direct', 'splu'):
+            import scipy.sparse.linalg
+            try:
+                obj = _Precon('host', apply=scipy.sparse.linalg.factorized(self._scipy().tocsc()))
+            except RuntimeError as e:
+                raise MatrixError(f'failed to create preconditioner: {e}') from e
+        elif precon in ('spilu', 'spilu0'):
+            import scipy.sparse.linalg
+            if precon == 'spilu0':
+                args = dict(args, fill_factor=1.)
+            try:
+                obj = _Precon('host', apply=scipy.sparse.linalg.spilu(self._scipy().tocsc(), **args).solve)
+            except RuntimeError as e:
+                raise MatrixError(f'failed to create preconditioner: {e}') from e
+        else:
+            raise MatrixError(f'unknown preconditioner {precon!r}')
+        self._precon_cache = (key, obj)
+        return obj
+
     def _solve_free(self, rhs, solver, atol, rtol, symmetric, precon, **kwargs):
         if not len(rhs):
             return numpy.zeros(0)
+        fallback = False
         if solver is None:
             solver = config.matrix.value
-            if solver == 'auto':
-                solver = 'direct' if self.shape[0] < 100000 or not symmetric else 'cg'
+        if solver == 'auto':
+            if self.shape[0] < config.device_solve_min.value:
+                solver = 'direct'
+            else:
+                solver = 'cg' if symmetric else 'gmres'
+                fallback = True  # auto mode: demote to host direct on failure
         if solver in ('direct', 'scipy', 'dense'):
             return self._solve_direct(rhs)
-        if solver == 'cg':
-            return self._solve_cg(rhs, atol=atol, rtol=rtol or 1e-11, **kwargs)
-        if solver == 'gmres':
-            return self._solve_gmres(rhs, atol=atol, rtol=rtol or 1e-11, **kwargs)
+        try:
+            if solver == 'cg':
+                return self._solve_cg(rhs, atol=atol, rtol=rtol or 1e-11, precon=precon, **kwargs)
+            if solver == 'gmres':
+                return self._solve_gmres(rhs, atol=atol, rtol=rtol or 1e-11, precon=precon, **kwargs)
+        except ToleranceNotReached:
+            if not fallback:
+                raise
+            log.warning(f'device {solver} failed to reach tolerance; falling back to host direct solve')
+            return self._solve_direct(rhs)
+        if solver.startswith('scipy:'):
+            return self._solver_scipy(rhs, solver[6:], atol=atol, rtol=rtol, precon=precon, **kwargs)
+        if solver in ('bicg', 'bicgstab', 'cgs', 'lgmres'):
+            return self._solver_scipy(rhs, solver, atol=atol, rtol=rtol, precon=precon, **kwargs)
         raise ValueError(f'unknown solver {solver!r}')
 
     def _solve_direct(self, rhs):
@@ -231,38 +304,99 @@ class Matrix:
         except RuntimeError as e:
             raise MatrixError(str(e)) from e
 
-    def _solve_cg(self, rhs, *, atol, rtol, maxiter=None):
-        '''Jacobi-preconditioned CG, jitted, fully on device.'''
-        import jax
+    def _device_precon(self, precon, preconargs):
+        '''Resolve the precon argument into (kind, minv array) for the device
+        Krylov drivers.  The default is a zero-tolerant Jacobi inverse
+        (identity rows where the diagonal vanishes, e.g. the pressure block of
+        saddle-point systems), unlike the strict ``getprecon('diag')``.'''
+        if precon is None:
+            d = self.diagonal()
+            return 'diag', numpy.where(d != 0, numpy.divide(1.0, numpy.where(d != 0, d, 1.0)), 1.0)
+        if isinstance(precon, _Precon):
+            obj = precon
+        else:
+            obj = self.getprecon(precon, **(preconargs or {}))
+        if obj.kind == 'host':
+            raise MatrixError(f'host preconditioner cannot feed the device solver')
+        return obj.kind, obj.minv
+
+    def _solve_cg(self, rhs, *, atol, rtol, maxiter=None, precon=None, preconargs=None):
+        '''Preconditioned CG, jitted, fully on device.'''
         import jax.numpy as jnp
-        from .ops.sparse import csr_matvec, cg
-        data = jnp.asarray(self.data)
-        indices = jnp.asarray(self.indices)
-        indptr = self.indptr
-        diag = jnp.asarray(self.diagonal())
-        b = jnp.asarray(rhs)
-        x, resnorm, it = cg(data, indices, indptr, b, diag, atol=max(atol, rtol * float(numpy.linalg.norm(rhs))),
+        from .ops.sparse import cg
+        kind, minv = self._device_precon(precon, preconargs)
+        target = max(atol, rtol * float(numpy.linalg.norm(rhs)))
+        x, resnorm, it = cg(jnp.asarray(self.data), jnp.asarray(self.indices), self.indptr,
+                            jnp.asarray(rhs), atol=target, minv=minv, precon=kind,
                             maxiter=maxiter or 4 * self.shape[0])
         x = numpy.asarray(x)
-        target = max(atol, rtol * float(numpy.linalg.norm(rhs)))
-        if float(resnorm) > target * 1.001:
-            raise ToleranceNotReached(x)
+        if not numpy.isfinite(x).all() or float(resnorm) > target * 1.001:
+            raise ToleranceNotReached(numpy.where(numpy.isfinite(x), x, 0.0))
         log.debug(f'cg converged in {int(it)} iterations (resnorm {float(resnorm):.1e})')
         return x
 
-    def _solve_gmres(self, rhs, *, atol, rtol, maxiter=None):
+    def _solve_gmres(self, rhs, *, atol, rtol, maxiter=None, restart=100, precon=None, preconargs=None):
+        '''Restarted GMRES(m), jitted, fully on device (the reference's MKL
+        FGMRES role, matrix/_mkl.py:205).'''
+        import jax.numpy as jnp
+        from .ops.sparse import gmres
+        kind, minv = self._device_precon(precon, preconargs)
+        target = max(atol, rtol * float(numpy.linalg.norm(rhs)))
+        x, resnorm, it = gmres(jnp.asarray(self.data), jnp.asarray(self.indices), self.indptr,
+                               jnp.asarray(rhs), atol=target, minv=minv, precon=kind,
+                               restart=restart, maxiter=maxiter or max(20000, 2 * self.shape[0]))
+        x = numpy.asarray(x)
+        if not numpy.isfinite(x).all() or float(resnorm) > target * 1.001:
+            raise ToleranceNotReached(numpy.where(numpy.isfinite(x), x, 0.0))
+        log.debug(f'gmres converged in {int(it)} iterations (resnorm {float(resnorm):.1e})')
+        return x
+
+    def _solver_scipy(self, rhs, method, *, atol, rtol, maxiter=None, precon=None, preconargs=None, **kwargs):
+        '''Host scipy iterative family (reference: matrix/_scipy.py:74-92).'''
         import scipy.sparse.linalg
         A = self._scipy()
-        M = scipy.sparse.linalg.LinearOperator(A.shape, lambda v: v / A.diagonal())
-        x, info = scipy.sparse.linalg.gmres(A, rhs, atol=max(atol, rtol * numpy.linalg.norm(rhs)), maxiter=maxiter, M=M)
+        M = None
+        if precon is not None:
+            obj = precon if isinstance(precon, _Precon) else self.getprecon(precon, **(preconargs or {}))
+            apply = obj.apply_host()
+            # rmatvec: exact for the symmetric diag/block kinds, and the
+            # customary same-operator approximation for ILU (bicg requires it)
+            M = scipy.sparse.linalg.LinearOperator(A.shape, apply, rmatvec=apply, dtype=float)
+        solverfun = getattr(scipy.sparse.linalg, method)
+        target = max(atol, rtol * float(numpy.linalg.norm(rhs)))
+        if maxiter is None and method == 'lgmres':
+            maxiter = 1000
+        x, info = solverfun(A, rhs, M=M, atol=target, rtol=0., maxiter=maxiter, **kwargs)
         if info != 0:
             raise ToleranceNotReached(x)
         return x
 
 
-def assemble_csr(values, rowptr, colidx, ncols):
-    nrows = len(rowptr) - 1
-    return Matrix(rowptr, colidx, values, (nrows, ncols))
+class _Precon:
+    '''Preconditioner handle: device kinds carry an ``minv`` array consumed by
+    the jitted Krylov drivers; host kind carries an apply callable.'''
+
+    def __init__(self, kind, minv=None, apply=None):
+        self.kind = kind
+        self.minv = minv
+        self.apply = apply
+
+    def apply_host(self):
+        if self.kind == 'host':
+            return self.apply
+        if self.kind == 'diag':
+            minv = self.minv
+            return lambda v: minv * v
+        if self.kind == 'block':
+            from .ops.sparse import _apply_block
+            minv = numpy.asarray(self.minv)
+            nb, bs, _ = minv.shape
+            def apply(v):
+                n = len(v)
+                vp = numpy.pad(v, (0, nb * bs - n))
+                return numpy.einsum('bij,bj->bi', minv, vp.reshape(nb, bs)).ravel()[:n]
+            return apply
+        raise MatrixError(self.kind)
 
 
 def assemble_block_csr(blocks):
@@ -272,17 +406,3 @@ def assemble_block_csr(blocks):
     grid = [[b._scipy() for b in row] for row in blocks]
     out = scipy.sparse.bmat(grid, format='csr')
     return Matrix(out.indptr, out.indices, out.data, out.shape)
-
-
-def empty(shape):
-    return Matrix(numpy.zeros(shape[0] + 1, dtype=int), numpy.zeros(0, dtype=int), numpy.zeros(0), shape)
-
-
-def diag(d):
-    d = numpy.asarray(d)
-    n = len(d)
-    return Matrix(numpy.arange(n + 1), numpy.arange(n), d, (n, n))
-
-
-def eye(n):
-    return diag(numpy.ones(n))

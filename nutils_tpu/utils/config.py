@@ -41,6 +41,11 @@ class _Setting:
 floatx = _Setting('floatx', numpy.float64, numpy.dtype)
 intx = _Setting('intx', numpy.int32, numpy.dtype)
 matrix = _Setting('matrix', 'auto')
+# Under matrix='auto', systems with at least this many free dofs solve with
+# the on-device Krylov backends (cg if symmetric else gmres, with host-direct
+# demotion on tolerance failure); smaller systems use the host direct solver,
+# where factorization beats device round-trips.
+device_solve_min = _Setting('device_solve_min', 25000, int)
 # Upper bound on elements per device batch during assembly; larger samples are
 # processed in chunks to bound HBM footprint of quadrature intermediates.
 assembly_chunk = _Setting('assembly_chunk', 2**18, int)
