@@ -1,14 +1,26 @@
-'''Benchmark: laplace-style residual+jacobian assembly at 1.05M dof.
+'''Benchmarks: assembly and assemble+solve throughput at ~1M dof.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric, then a final summary line (the driver's
+headline) carrying all metrics in a "sub" dict:
 
-value      = assembly throughput on the default (TPU) backend in GDOF/s
-             (dofs of the assembled system per second of wall-clock for a full
-             fused residual+jacobian evaluation, float32).
-vs_baseline = speedup of the TPU assembly over the same computation jitted on
-             the host CPU in float64 (the reference, evalf/nutils, is a
-             CPU/numpy framework with no published numbers — BASELINE.md — so
-             the CPU run of this same pipeline stands in as the baseline).
+a. laplace_assembly   — fused residual+jacobian assembly, GDOF/s, f32 device.
+b. laplace_solve      — assembly + device-CG solve (Jacobi precon) of an SPD
+                        reaction-diffusion system, wall-clock seconds, rtol
+                        1e-6 (the f32 accuracy floor: the TPU has no native
+                        f64, so 1e-10 targets are only reachable on the f64
+                        CPU path; see BASELINE.md item 5).
+c. ns_newton_step     — one Newton step of a cylinderflow-class nonsymmetric
+                        system (Taylor-Hood Navier-Stokes time step with
+                        convection at a nonzero state): fused jacobian +
+                        residual assembly plus device-GMRES sub-solve at the
+                        reference's Newton rtol 1e-3 (reference:
+                        solver.py:657), wall-clock seconds.
+
+vs_baseline = speedup over the same pipeline jitted on the host CPU (the
+reference, evalf/nutils, is a CPU/numpy framework with no published numbers —
+BASELINE.md — so the CPU run of this same code stands in as the baseline).
+The headline keeps round-1's f32-device vs f64-CPU assembly ratio for
+continuity; each sub-metric also carries a dtype-matched f32-CPU ratio.
 '''
 
 import json
@@ -19,7 +31,7 @@ import time
 import numpy
 
 
-def build(nelems, dtype):
+def build_laplace(nelems, dtype, reaction=False):
     from nutils_tpu import function, mesh
     from nutils_tpu.solver import System
     from nutils_tpu.utils import config
@@ -29,66 +41,168 @@ def build(nelems, dtype):
     g = function.grad(u, geom)
     J = function.J(geom)
     f = function.sin(geom[0]) * function.cosh(geom[1])
-    energy = topo.integral(((g @ g) / 2 - f * u) * J, degree=2)
+    energy = topo.integral(((g @ g) / 2 + (u * u) / 2 * reaction - f * u) * J, degree=2)
     return System(energy, trial='u')
 
 
-def time_assembly(system, device, repeats=5):
+def build_ns(nelems, dtype):
+    '''Navier-Stokes implicit-Euler time step, Taylor-Hood (P2/P1), with
+    convection linearized at a nonzero state — the cylinderflow Newton-system
+    class (reference: examples/cylinderflow.py:155, solver.py:503).'''
+    from nutils_tpu import function, mesh
+    from nutils_tpu.expression import Namespace
+    from nutils_tpu.solver import System
+    from nutils_tpu.utils import config
+    config.floatx.value = dtype
+    topo, geom = mesh.unitsquare(nelems, 'square')
+    ns = Namespace()
+    ns.x = geom
+    ns.define_for('x', gradient='∇', jacobians=('dV',))
+    ns.u = topo.field('u', btype='std', degree=2, shape=[2])
+    ns.p = topo.field('p', btype='std', degree=1)
+    ns.v = function.replace_arguments(ns.u, 'u:v')
+    ns.q = function.replace_arguments(ns.p, 'p:q')
+    ns.δ = function.eye(2)
+    ns.u0_i = 'sin(x_0) cos(x_1) δ_i0 - cos(x_0) sin(x_1) δ_i1'  # prior state (divergence-free)
+    ns.dt = 0.01
+    ns.nu = 0.001
+    ns.eps = 0.001  # pressure stabilization: removes the nullspace without BCs
+    res = topo.integral(
+        '(v_i (u_i - u0_i) / dt + v_i u_j ∇_j(u_i) + nu ∇_j(v_i) ∇_j(u_i)'
+        ' - p ∇_i(v_i) + q ∇_i(u_i) + eps p q) dV' @ ns, degree=6)
+    system = System(res, trial='u,p', test='v,q')
+    rng = numpy.random.default_rng(0)
+    args = {t: 0.1 * rng.standard_normal(shape)
+            for t, shape in zip(system.trials, system.trial_shapes)}
+    return system, args
+
+
+def _mintime(fn, repeats):
     import jax
+    out = fn()
+    jax.block_until_ready(out)  # compile + warmup
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def bench_laplace_assembly(nelems, dtype, repeats=5):
+    system = build_laplace(nelems, dtype)
     ndofs = system.trial_shapes[0][0]
-    u = numpy.zeros(ndofs)
-    with jax.default_device(device):
-        fn = system._compiled('jacres')
-        clean = system._clean({'u': u})
-        data, res = fn(clean)  # compile + warmup
-        jax.block_until_ready((data, res))
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            data, res = fn(clean)
-            jax.block_until_ready((data, res))
-            times.append(time.perf_counter() - t0)
-    return min(times), ndofs
+    clean = system._clean({'u': numpy.zeros(ndofs)})
+    fn = system._compiled('jacres')
+    t, _ = _mintime(lambda: fn(clean), repeats)
+    return {'ndofs': ndofs, 't_assemble': t, 'gdofs': ndofs / t / 1e9}
 
 
-def _run(nelems, dtype):
-    import jax
-    system = build(nelems, dtype)
-    t, ndofs = time_assembly(system, jax.devices()[0], repeats=3 if dtype == numpy.float64 else 5)
-    return t, ndofs
+def bench_laplace_solve(nelems, dtype, rtol=1e-6, repeats=3):
+    system = build_laplace(nelems, dtype, reaction=True)
+    ndofs = system.trial_shapes[0][0]
+    args = {'u': numpy.zeros(ndofs)}
+    clean = system._clean(args)
+    fn = system._compiled('jacres')
+    t_asm, _ = _mintime(lambda: fn(clean), repeats)
+    jac, res = system.assemble_jacobian_residual(args)
+    t_solve, x = _mintime(lambda: jac.solve(res, solver='cg', rtol=rtol), repeats)
+    resnorm = float(numpy.linalg.norm(res - jac @ x) / numpy.linalg.norm(res))
+    return {'ndofs': ndofs, 't_assemble': t_asm, 't_solve': t_solve,
+            't_total': t_asm + t_solve, 'rel_residual': resnorm}
+
+
+def bench_ns_newton(nelems, dtype, rtol=1e-3, repeats=3):
+    system, args = build_ns(nelems, dtype)
+    ndofs = sum(int(numpy.prod(s)) for s in system.trial_shapes)
+    clean = system._clean(args)
+    fn = system._compiled('jacres')
+    t_asm, _ = _mintime(lambda: fn(clean), repeats)
+    jac, res = system.assemble_jacobian_residual(args)
+    t_solve, dx = _mintime(lambda: jac.solve_leniently(res, solver='gmres', rtol=rtol), repeats)
+    resnorm = float(numpy.linalg.norm(res - jac @ dx) / numpy.linalg.norm(res))
+    return {'ndofs': ndofs, 't_assemble': t_asm, 't_solve': t_solve,
+            't_total': t_asm + t_solve, 'rel_residual': resnorm}
+
+
+def run_all(nelems, ns_nelems, dtype):
+    return {
+        'laplace_assembly': bench_laplace_assembly(nelems, dtype),
+        'laplace_solve': bench_laplace_solve(nelems, dtype),
+        'ns_newton_step': bench_ns_newton(ns_nelems, dtype),
+    }
 
 
 def main():
     nelems = int(os.environ.get('BENCH_NELEMS', '1024'))
+    ns_nelems = int(os.environ.get('BENCH_NS_NELEMS', '330'))
 
     if '--cpu-baseline' in sys.argv:
-        t, ndofs = _run(nelems, numpy.float64)
-        print(json.dumps({'t': t, 'ndofs': ndofs}))
+        out = run_all(nelems, ns_nelems, numpy.float32)
+        out['laplace_assembly_f64'] = bench_laplace_assembly(nelems, numpy.float64, repeats=3)
+        print(json.dumps(out))
         return
 
-    # device (TPU) run, float32
-    t_dev, ndofs = _run(nelems, numpy.float32)
-    gdofs = ndofs / t_dev / 1e9
+    dev = run_all(nelems, ns_nelems, numpy.float32)
 
-    # CPU float64 baseline in a subprocess (the reference is a CPU/numpy
-    # framework; this same pipeline on host CPU stands in for it since the
-    # reference publishes no numbers, BASELINE.md)
+    # CPU baseline in a subprocess (dtype-matched f32 plus the round-1 f64
+    # assembly anchor); the reference is a CPU/numpy framework with no
+    # published numbers (BASELINE.md) so this same pipeline on host CPU
+    # stands in for it.
+    cpu = None
     try:
         import subprocess
         env = dict(os.environ, JAX_PLATFORMS='cpu')
         out = subprocess.run([sys.executable, os.path.abspath(__file__), '--cpu-baseline'],
-                             env=env, capture_output=True, text=True, timeout=3000)
-        t_cpu = json.loads(out.stdout.strip().splitlines()[-1])['t']
-        speedup = t_cpu / t_dev
+                             env=env, capture_output=True, text=True, timeout=5400)
+        cpu = json.loads(out.stdout.strip().splitlines()[-1])
     except Exception as e:
         print(f'cpu baseline failed: {e}', file=sys.stderr)
-        speedup = float('nan')
 
+    def ratio(metric, field):
+        try:
+            return round(cpu[metric][field] / dev[metric][field], 2)
+        except Exception:
+            return float('nan')
+
+    lines = []
+    a = dev['laplace_assembly']
+    lines.append({
+        'metric': f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, f32)',
+        'value': round(a['gdofs'], 4), 'unit': 'GDOF/s',
+        'vs_baseline': ratio('laplace_assembly', 't_assemble'),
+    })
+    b = dev['laplace_solve']
+    lines.append({
+        'metric': f'laplace assemble + device-CG solve ({b["ndofs"]} dofs, rtol 1e-6, f32)',
+        'value': round(b['t_total'], 4), 'unit': 's',
+        'vs_baseline': ratio('laplace_solve', 't_total'),
+    })
+    c = dev['ns_newton_step']
+    lines.append({
+        'metric': f'navier-stokes newton step, assemble + device-GMRES rtol 1e-3 ({c["ndofs"]} dofs, f32)',
+        'value': round(c['t_total'], 4), 'unit': 's',
+        'vs_baseline': ratio('ns_newton_step', 't_total'),
+    })
+    for line in lines:
+        print(json.dumps(line))
+
+    try:
+        vs_f64 = round(cpu['laplace_assembly_f64']['t_assemble'] / a['t_assemble'], 2)
+    except Exception:
+        vs_f64 = float('nan')
     print(json.dumps({
-        'metric': f'laplace assembly throughput ({ndofs} dofs, fused jacobian+residual, f32 TPU vs f64 CPU)',
-        'value': round(gdofs, 4),
+        'metric': f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, f32 TPU vs f64 CPU)',
+        'value': round(a['gdofs'], 4),
         'unit': 'GDOF/s',
-        'vs_baseline': round(speedup, 2),
+        'vs_baseline': vs_f64,
+        'sub': {
+            'laplace_assembly': {**a, 'vs_cpu_f32': ratio('laplace_assembly', 't_assemble')},
+            'laplace_solve': {**b, 'vs_cpu_f32': ratio('laplace_solve', 't_total')},
+            'ns_newton_step': {**c, 'vs_cpu_f32': ratio('ns_newton_step', 't_total')},
+            'cpu_baseline': cpu,
+        },
     }))
 
 

@@ -723,6 +723,81 @@ class LeafGrad(Array):
         super().__init__((func, seed), (key,), func.shape, float)
 
 
+class ArgJac(Array):
+    '''Full derivative of ``func`` with respect to the named Argument: output
+    shape func.shape + argshape (the function-level ``derivative``, reference:
+    function.py:2021).  Evaluated as a single jax.jacrev (when the output is
+    no larger than the argument, e.g. gradients of scalar functionals) or
+    jax.jacfwd pass over the argument binding.'''
+
+    def __init__(self, func, name, argshape):
+        assert func.dtype == float
+        self.func = func
+        self.name = name
+        self.argshape = _astuple(int(n) for n in argshape)
+        super().__init__((func,), (name, self.argshape), func.shape + self.argshape, float)
+
+    @functools.cached_property
+    def arguments(self):
+        return self.func.arguments | {Argument(self.name, self.argshape)}
+
+
+class CustomNode(Array):
+    '''User-supplied JAX-traceable operation (the IR side of function.Custom;
+    reference: function.py:665).  ``fn(*args)`` receives each operand with its
+    leading ``nprefix`` (element/point) axes flattened into one, and must
+    return an array of shape (npoints,) + pershape.  Derivatives flow through
+    jax AD; an optional ``partials(iarg, *args)`` callback (returning
+    d out/d args[iarg], shape (npoints,) + pershape + args[iarg].shape[1:])
+    overrides the JVP via jax.custom_jvp.'''
+
+    def __init__(self, fn, args, pershape, dtype, nprefix, partials=None):
+        args = _astuple(args)
+        self.fn = fn
+        self.partials = partials
+        self.nprefix = int(nprefix)
+        self.pershape = _astuple(int(n) for n in pershape)
+        prefix = args[0].shape[:self.nprefix] if args else ()
+        assert all(a.shape[:self.nprefix] == prefix for a in args), 'inconsistent leading axes'
+        super().__init__(args, (getattr(fn, '__qualname__', repr(fn)), fn, partials, self.nprefix, self.pershape, dtype),
+                         prefix + self.pershape, dtype)
+
+    def _wrapped(self):
+        if self.partials is None:
+            return self.fn
+        import jax
+        import jax.numpy as jnp
+        fn, partials, pershape = self.fn, self.partials, self.pershape
+        f = jax.custom_jvp(lambda *a: fn(*a))
+
+        @f.defjvp
+        def _jvp(primals, tangents):
+            y = fn(*primals)
+            n = y.shape[0]
+            out_size = int(numpy.prod(pershape, dtype=numpy.int64)) if pershape else 1
+            tot = jnp.zeros_like(y)
+            for i, t in enumerate(tangents):
+                p = partials(i, *primals)
+                arg_size = int(numpy.prod(primals[i].shape[1:], dtype=numpy.int64)) if primals[i].ndim > 1 else 1
+                contrib = jnp.einsum('nij,nj->ni',
+                                     jnp.reshape(p, (n, out_size, arg_size)),
+                                     jnp.reshape(t, (n, arg_size)))
+                tot = tot + contrib.reshape(y.shape)
+            return y, tot
+        return f
+
+    def evalf(self, *vals):
+        import jax.numpy as jnp
+        k = self.nprefix
+        pshape = vals[0].shape[:k] if vals else ()
+        npts = int(numpy.prod(pshape, dtype=numpy.int64)) if pshape else 1
+        flat = [jnp.reshape(v, (npts,) + v.shape[k:]) for v in vals]
+        out = self._wrapped()(*flat)
+        assert out.shape == (npts,) + self.pershape, \
+            f'Custom evalf returned shape {out.shape}, expected {(npts,) + self.pershape}'
+        return jnp.reshape(out, tuple(pshape) + self.pershape)
+
+
 class Monomials(Array):
     '''Power features [1, x, x^2, ..., x^(K-1)] appended as a new last axis.
 
@@ -1052,6 +1127,17 @@ def gather_along(y, dofs, axis, L):
         return insertaxis(y0, axis, L)
     if isinstance(y, Constant) and isinstance(dofs, Constant):
         return Constant(numpy.take_along_axis(y.value, numpy.broadcast_to(dofs.value, y.shape[:axis] + (L,) + y.shape[axis + 1:]), axis=axis))
+    if False and isinstance(y, InsertAxis) and y.axis != axis and dofs.shape[y.axis] == 1:
+        # Push the gather through an unrelated broadcast axis, so localization
+        # reaches the pre-broadcast operand without materializing it.  The
+        # guard is essential: when the gather indices VARY along the broadcast
+        # axis, dropping that axis from the dofs silently gathers the same
+        # indices everywhere (the round-1 reverted-pushdown bug class, caught
+        # by tests/test_evaluable_rewrites.py
+        # test_gather_along_dofs_vary_along_other_axis_equiv).
+        inner_axis = axis if axis < y.axis else axis - 1
+        d = _drop_unit_axis(dofs, y.axis)
+        return insertaxis(gather_along(y.func, d, inner_axis, L), y.axis, y.length)
     if isinstance(y, (Multiply, Add)):  # gathers distribute over pointwise ops
         cls = add if isinstance(y, Add) else multiply
         return cls(gather_along(y.children[0], dofs, axis, L), gather_along(y.children[1], dofs, axis, L))
@@ -1143,6 +1229,86 @@ def grad(func, wrt):
     return Grad(func, wrt)
 
 
+# ------------------------------------------------------------ sparse sanitizer
+#
+# NUTILS_TPU_DEBUG=sparse (the analogue of the reference's NUTILS_DEBUG=sparse
+# ``verify_sparse_chunks``, evaluable.py:440): every call of a rewriting
+# builder additionally constructs the naive (rewrite-free) node and verifies
+# both evaluate identically on random float bindings.  Catches any
+# semantics-changing rewrite (e.g. the round-1 reverted gather_along pushdown)
+# at the exact call site that introduced it.
+
+_SANITIZE_MAX_SIZE = 65536
+_sanitize_guard = [False]
+
+
+def _sanitize_bindings(*nodes, seed=0):
+    rng = numpy.random.RandomState(seed)
+    args, leaves = {}, {}
+    for node in nodes:
+        for a in node.arguments:
+            if a.dtype != float:
+                return None  # cannot randomize ints (may be used as indices)
+            args.setdefault(a.name, rng.uniform(-1, 1, a.shape))
+        for l in node.leafdeps:
+            if l.value is not None:
+                continue
+            if l.dtype != float:
+                return None
+            leaves.setdefault(l.key, rng.uniform(-1, 1, l.shape))
+    return args, leaves
+
+
+def _assert_rewrite_equivalent(built, naive, what):
+    assert built.shape == naive.shape and built.dtype == naive.dtype, \
+        f'sparse-debug: {what} changed shape/dtype ({built.shape}/{built.dtype} vs {naive.shape}/{naive.dtype})'
+    if built.size > _SANITIZE_MAX_SIZE or any(c.size > _SANITIZE_MAX_SIZE for c in naive.children):
+        return
+    b = _sanitize_bindings(built, naive)
+    if b is None:
+        return
+    args, leaves = b
+    x = numpy.asarray(Compiled(built).trace(args, leaves))
+    y = numpy.asarray(Compiled(naive).trace(args, leaves))
+    numpy.testing.assert_allclose(
+        x, y, rtol=1e-10, atol=1e-12,
+        err_msg=f'sparse-debug: builder {what} rewrite changed semantics')
+
+
+def _sanitized(make_naive):
+    def deco(builder):
+        @functools.wraps(builder)
+        def wrapped(*args, **kw):
+            from .utils import config
+            out = builder(*args, **kw)
+            if _sanitize_guard[0] or not config.debug_enabled('sparse') or not isinstance(out, Array):
+                return out
+            _sanitize_guard[0] = True
+            try:
+                try:
+                    naive = make_naive(*args, **kw)
+                except Exception:
+                    return out  # builder-side normalization has no naive twin
+                if naive is not None:
+                    _assert_rewrite_equivalent(out, naive, builder.__name__)
+            finally:
+                _sanitize_guard[0] = False
+            return out
+        return wrapped
+    return deco
+
+
+insertaxis = _sanitized(lambda func, axis, length: InsertAxis(func, axis, length))(insertaxis)
+transpose = _sanitized(lambda func, axes: Transpose(func, _astuple(axes)) if _astuple(axes) != tuple(range(func.ndim)) else None)(transpose)
+ravel = _sanitized(lambda func, axis: Ravel(func, axis))(ravel)
+add = _sanitized(lambda a, b: Add(asarray(a), asarray(b)))(add)
+multiply = _sanitized(lambda a, b: Multiply(asarray(a), asarray(b)))(multiply)
+sum_ = _sanitized(lambda func, axes: Sum(func, (axes,) if isinstance(axes, int) else axes) if (axes if isinstance(axes, int) else tuple(axes)) != () else None)(sum_)
+gather_along = _sanitized(lambda y, dofs, axis, L: GatherAlong(y, dofs, axis))(gather_along)
+take = _sanitized(lambda func, indices, axis: Take(func, asarray(indices), axis))(take)
+inflate = _sanitized(lambda values, dofs, length, axis: Inflate(values, dofs, length, axis))(inflate)
+
+
 # ------------------------------------------------------------------ analysis
 
 @functools.cache
@@ -1181,6 +1347,11 @@ def _poly_degree(node, names):
         if node.name in names and d > 0:
             d = d - 1
         return d + _poly_degree(node.direction, names)
+    if isinstance(node, ArgJac):
+        d = _poly_degree(node.func, names)
+        if node.name in names and d > 0:
+            d = d - 1
+        return d
     if isinstance(node, LeafGrad):
         return _poly_degree(node.func, names) + _poly_degree(node.seed, names)
     return numpy.inf
@@ -1261,6 +1432,10 @@ def _rebuild(node, children):
         return grad(children[0], children[1])
     if cls is ArgGrad:
         return ArgGrad(children[0], node.name, children[1])
+    if cls is ArgJac:
+        return ArgJac(children[0], node.name, node.argshape)
+    if cls is CustomNode:
+        return CustomNode(node.fn, children, node.pershape, node.dtype, node.nprefix, node.partials)
     if cls is LeafGrad:
         return LeafGrad(children[0], node.key, children[1])
     if cls is Monomials:
@@ -1367,6 +1542,15 @@ class _Evaluator:
                 sub = _Evaluator({**self.arguments, node.name: x}, self.leaves)
                 return sub.run(node.func)
             return jax.jvp(fun, (x0,), (jnp.asarray(dirval, dtype=x0.dtype),))[1]
+        if isinstance(node, ArgJac):
+            import jax
+            x0 = jnp.asarray(self.arguments[node.name], dtype=_concrete_dtype(float))
+
+            def fun(x):
+                sub = _Evaluator({**self.arguments, node.name: x}, self.leaves)
+                return sub.run(node.func)
+            jacfn = jax.jacrev if node.func.size <= max(x0.size, 1) else jax.jacfwd
+            return jacfn(fun)(x0)
         if isinstance(node, LeafGrad):
             import jax
             seedval = self._eval(node.seed, frame, overridden)

@@ -1714,7 +1714,102 @@ def _clean_args(arguments):
 
 
 def derivative(func, var):
-    raise NotImplementedError('symbolic function-level derivative is provided via the solver AD path')
+    '''Derivative of ``func`` with respect to argument ``var`` (a name or an
+    :class:`Argument`): a new Array of shape func.shape + var.shape
+    (reference: function.py:2021).
+
+    The canonical use — building a residual vector from an energy functional,
+    ``residual = energy.derivative('u')`` — feeds :class:`nutils_tpu.solver.
+    System`, which recognizes the pattern and assembles it through the same
+    localized-AD path as the energy formulation itself (sparse jacobians, no
+    dense ndofs x ndofs intermediate).  Standalone evaluation lowers to a
+    dense jacobian pass (evaluable.ArgJac: one jax.jacrev/jacfwd), suitable
+    for small argument counts.'''
+    func = asarray(func)
+    if iscomplex(func):
+        c = _as_complex(func)
+        return _Complex(derivative(c.real, var), derivative(c.imag, var))
+    if isinstance(var, str):
+        name = var
+        spec = func.arguments.get(name)
+        if spec is None:
+            raise ValueError(f'argument {name!r} does not appear in the function')
+        argshape, argdtype = spec
+    else:
+        var = asarray(var)
+        assert isinstance(var, Argument), 'var must be an argument name or Argument'
+        name = var.name
+        argshape, argdtype = var.shape, var.dtype
+    if argdtype is complex:
+        raise NotImplementedError('derivative with respect to a complex argument')
+    return _Derivative(func, name, tuple(argshape))
+
+
+class _Derivative(Array):
+    '''Deferred full derivative with respect to a named argument.'''
+
+    def __init__(self, func, name, argshape):
+        self.func = func
+        self.name = name
+        self.argshape = tuple(int(n) for n in argshape)
+        args = dict(func.arguments)
+        args.setdefault(name, (self.argshape, float))
+        super().__init__(func.shape + self.argshape, float, func.spaces, args)
+
+    def lower(self, args):
+        inner = ev.astype(self.func.lower(args), float)
+        return ev.ArgJac(inner, self.name, self.argshape)
+
+
+class Custom(Array):
+    '''User-defined array operation with custom evaluation and derivatives
+    (reference: function.py:665, redesigned for JAX).
+
+    Subclass and provide a static method ``evalf(*args)`` written in
+    JAX-traceable code (jax.numpy operations): it receives each constructor
+    argument as a concrete array with ONE leading axis of evaluation points
+    prepended to the argument's declared shape, and must return an array of
+    shape ``(npoints,) + shape``.  Derivatives (grad, solver AD) flow through
+    JAX automatic differentiation of ``evalf``; optionally provide a static
+    method ``partial_derivative(iarg, *args)`` returning
+    d evalf / d args[iarg] of shape ``(npoints,) + shape + args[iarg].shape``
+    to override the automatic JVP (e.g. for stabilized or tabulated
+    derivatives).
+
+    >>> from nutils_tpu import function
+    >>> import jax.numpy as jnp
+    >>> class Sigmoid(function.Custom):
+    ...     @staticmethod
+    ...     def evalf(x):
+    ...         return 1 / (1 + jnp.exp(-x))
+    >>> x = function.Argument('x', (3,))
+    >>> s = Sigmoid(args=[x], shape=(3,))
+    >>> import numpy
+    >>> bool(numpy.allclose(s.eval(x=numpy.zeros(3)), 0.5))
+    True
+    '''
+
+    def __init__(self, args, shape, dtype=float):
+        ops = tuple(asarray(a) for a in args)
+        assert all(op.dtype != complex for op in ops), 'complex Custom arguments are not supported'
+        self._custom_operands = ops
+        super().__init__(tuple(shape), dtype, _merge_spaces(ops), _merge_args(ops))
+
+    @staticmethod
+    def evalf(*args):
+        raise NotImplementedError('Custom subclasses must implement evalf')
+
+    partial_derivative = None
+
+    def lower(self, args):
+        lowered = []
+        nprefix = len(args.points_shape)
+        for op in self._custom_operands:
+            node = op.lower(args)
+            assert node.ndim == nprefix + op.ndim
+            lowered.append(node)
+        cls = type(self)
+        return ev.CustomNode(cls.evalf, lowered, self.shape, self.dtype, nprefix, cls.partial_derivative)
 
 
 def factor(func):

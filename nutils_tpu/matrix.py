@@ -243,6 +243,10 @@ class Matrix:
             if not d.all():
                 raise MatrixError("building 'diag' preconditioner: diagonal has zero entries")
             obj = _Precon('diag', minv=1.0 / d)
+        elif precon in ('schurdiag', 'schur-diag'):
+            from .ops.sparse import schur_diag_inverse
+            obj = _Precon('diag', minv=schur_diag_inverse(
+                numpy.asarray(self.data), self.indices, self.indptr, self.shape[0]))
         elif precon == 'block':
             from .ops.sparse import block_jacobi_inverse
             bs = int(args.get('blocksize', 4))
@@ -306,12 +310,16 @@ class Matrix:
 
     def _device_precon(self, precon, preconargs):
         '''Resolve the precon argument into (kind, minv array) for the device
-        Krylov drivers.  The default is a zero-tolerant Jacobi inverse
-        (identity rows where the diagonal vanishes, e.g. the pressure block of
-        saddle-point systems), unlike the strict ``getprecon('diag')``.'''
+        Krylov drivers.  The default is the Schur-aware diagonal
+        (:func:`ops.sparse.schur_diag_inverse`): plain Jacobi on rows with a
+        healthy diagonal, a diagonal Schur-complement estimate on rows whose
+        diagonal is negligible (the pressure block of saddle-point systems),
+        which keeps GMRES iteration counts near mesh-independent where naive
+        Jacobi diverges with size.'''
         if precon is None:
-            d = self.diagonal()
-            return 'diag', numpy.where(d != 0, numpy.divide(1.0, numpy.where(d != 0, d, 1.0)), 1.0)
+            from .ops.sparse import schur_diag_inverse
+            return 'diag', schur_diag_inverse(
+                numpy.asarray(self.data), self.indices, self.indptr, self.shape[0])
         if isinstance(precon, _Precon):
             obj = precon
         else:
@@ -326,9 +334,14 @@ class Matrix:
         from .ops.sparse import cg
         kind, minv = self._device_precon(precon, preconargs)
         target = max(atol, rtol * float(numpy.linalg.norm(rhs)))
+        # the Krylov loop runs in the ASSEMBLY dtype: float64 traces on a TPU
+        # (no native f64) at best crawl through emulation and on this
+        # toolchain crash the worker, and cannot add accuracy beyond what the
+        # assembled values already carry
+        dt = numpy.asarray(self.data).dtype
         x, resnorm, it = cg(jnp.asarray(self.data), jnp.asarray(self.indices), self.indptr,
-                            jnp.asarray(rhs), atol=target, minv=minv, precon=kind,
-                            maxiter=maxiter or 4 * self.shape[0])
+                            jnp.asarray(rhs, dtype=dt), atol=target, minv=jnp.asarray(minv, dtype=dt),
+                            precon=kind, maxiter=maxiter or 4 * self.shape[0])
         x = numpy.asarray(x)
         if not numpy.isfinite(x).all() or float(resnorm) > target * 1.001:
             raise ToleranceNotReached(numpy.where(numpy.isfinite(x), x, 0.0))
@@ -342,9 +355,10 @@ class Matrix:
         from .ops.sparse import gmres
         kind, minv = self._device_precon(precon, preconargs)
         target = max(atol, rtol * float(numpy.linalg.norm(rhs)))
+        dt = numpy.asarray(self.data).dtype  # see _solve_cg: no f64 on TPU
         x, resnorm, it = gmres(jnp.asarray(self.data), jnp.asarray(self.indices), self.indptr,
-                               jnp.asarray(rhs), atol=target, minv=minv, precon=kind,
-                               restart=restart, maxiter=maxiter or max(20000, 2 * self.shape[0]))
+                               jnp.asarray(rhs, dtype=dt), atol=target, minv=jnp.asarray(minv, dtype=dt),
+                               precon=kind, restart=restart, maxiter=maxiter or max(20000, 2 * self.shape[0]))
         x = numpy.asarray(x)
         if not numpy.isfinite(x).all() or float(resnorm) > target * 1.001:
             raise ToleranceNotReached(numpy.where(numpy.isfinite(x), x, 0.0))

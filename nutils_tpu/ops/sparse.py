@@ -64,6 +64,42 @@ def _apply_block(minv, r):
 _PRECON_APPLY = {'diag': _apply_diag, 'block': _apply_block}
 
 
+def schur_diag_inverse(data, indices, indptr, n, weak_rel=1e-3):
+    '''Host: Schur-aware inverse-diagonal scaling for general CSR systems.
+
+    Rows with a healthy diagonal get plain Jacobi ``1/d_i``.  Rows whose
+    diagonal is negligible against the row norm (e.g. the pressure block of a
+    saddle-point system, where the diagonal is only a small stabilization
+    term) instead get the inverse of a diagonal Schur-complement estimate
+
+        s_i = sum_k A_ik^2 / |d_k|   (over columns k with a healthy diagonal)
+
+    — the exact diagonal of ``B diag(F)^-1 B^T`` for a [F B; B^T 0] block
+    system.  Computable in O(nnz) with no block-structure information, and
+    reducing to plain Jacobi for any matrix with a healthy diagonal, which
+    makes it a safe default.  Measured on a Taylor-Hood Navier-Stokes time
+    step this turns diag-preconditioned GMRES from O(n)-growing thousands of
+    iterations into a near-mesh-independent ~30 (see tests/test_matrix.py).
+    '''
+    data = numpy.asarray(data, dtype=numpy.float64)
+    indices = numpy.asarray(indices)
+    counts = numpy.diff(indptr)
+    rows = numpy.repeat(numpy.arange(n), counts)
+    d = numpy.zeros(n, dtype=data.dtype)
+    isdiag = indices == rows
+    d[rows[isdiag]] = data[isdiag]
+    sq = data * data
+    rownorm2 = numpy.zeros(n, dtype=data.dtype)
+    numpy.add.at(rownorm2, rows, sq)
+    strong = numpy.abs(d) > weak_rel * numpy.sqrt(rownorm2)
+    dsafe = numpy.where(strong, numpy.abs(d), 1.0)
+    schur = numpy.zeros(n, dtype=data.dtype)
+    numpy.add.at(schur, rows, sq / dsafe[indices])
+    minv = numpy.where(strong, numpy.divide(1.0, numpy.where(strong, d, 1.0)),
+                       numpy.where(schur > 0, numpy.divide(1.0, numpy.where(schur > 0, schur, 1.0)), 1.0))
+    return minv
+
+
 def block_jacobi_inverse(data, indices, indptr, n, blocksize):
     '''Host: extract dense diagonal blocks from CSR and invert them.
 

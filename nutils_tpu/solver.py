@@ -399,7 +399,15 @@ def _scalarize(res_array, testname):
 
     out = None
     for term, sign in walk(res_array, 1):
-        if isinstance(term, _Integral) and term.integrand.ndim == res_array.ndim:
+        if isinstance(term, function._Derivative) and term.func.shape == ():
+            # residual built as energy.derivative(trial): contracting with the
+            # synthetic test v gives exactly the directional derivative
+            # (linearize) of the energy toward v, which the localized-AD
+            # machinery assembles sparsely — no dense ndofs x ndofs jacobian
+            # intermediate ever exists (reference: function.py:2021 derivative
+            # feeding solver.System, solver.py:238)
+            e = function._Linearized(term.func, term.name, v, term.argshape)
+        elif isinstance(term, _Integral) and term.integrand.ndim == res_array.ndim:
             inner = function.sum_(function.multiply(term.integrand, v), tuple(range(res_array.ndim)))
             e = term.sample.integral(inner)
         else:
@@ -722,9 +730,13 @@ class System:
             loc = self._trial_locs[u][li]
             x0 = loc.leaf_value(args)
 
-            def one(seed, _c=c, _loc=loc, _x0=x0):
-                import jax as _jax
-                return _jax.jvp(lambda x: _c.fn(args, {_loc.leaf.key: x}, tables), (_x0,), (seed,))[1]
+            # linearize once (primal + grad pass traced a single time), then
+            # push all seed tangents through the linear map — versus the
+            # previous vmap-of-jvp which recomputed the nonlinear
+            # forward/backward pass per seed (round-1 profiling put the
+            # assembly bottleneck in exactly those duplicated grad-pass
+            # intermediates)
+            _, f_lin = jax.linearize(lambda x, _c=c, _loc=loc: _c.fn(args, {_loc.leaf.key: x}, tables), x0)
             seeds = loc.seeds()
             block = config.seed_block.value
             if block and seeds.shape[0] > block:
@@ -735,10 +747,10 @@ class System:
                 pad = nb * block - S
                 seeds_b = jnp.concatenate([seeds, jnp.zeros((pad,) + seeds.shape[1:], seeds.dtype)]) \
                     .reshape((nb, block) + seeds.shape[1:]) if pad else seeds.reshape((nb, block) + seeds.shape[1:])
-                V = lax.map(jax.vmap(one), seeds_b)          # [nb, block, *cshape]
+                V = lax.map(jax.vmap(f_lin), seeds_b)        # [nb, block, *cshape]
                 V = V.reshape((nb * block,) + V.shape[2:])[:S]
             else:
-                V = jax.vmap(one)(seeds)     # [S, *cshape]
+                V = jax.vmap(f_lin)(seeds)   # [S, *cshape]
             V = jnp.moveaxis(V, 0, -1)       # [*cshape, S]
             if reduce_axes:
                 V = V.sum(axis=reduce_axes)

@@ -60,8 +60,10 @@ seed_block = _Setting('seed_block', 0, int)
 fuse_assembly = _Setting('fuse_assembly', 1, int)
 # Colon-separated internal sanitizer flags (the analogue of NUTILS_DEBUG,
 # reference: debug_flags.py): 'lower' checks every function.Array.lower result
-# against the declared shape/dtype; 'compile' logs each compiled program;
-# 'all' enables everything.
+# against the declared shape/dtype; 'sparse' verifies every rewriting
+# evaluable builder against the naive node on random bindings at the call
+# site (reference: verify_sparse_chunks, evaluable.py:440); 'compile' logs
+# each compiled program; 'all' enables everything.
 debug = _Setting('debug', frozenset(), lambda s: frozenset(s.split(':')) - {''})
 
 

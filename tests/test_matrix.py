@@ -103,6 +103,41 @@ def test_getprecon_registry():
     assert ilu.kind == 'host'
 
 
+def test_schur_diag_reduces_to_jacobi_on_spd():
+    from nutils_tpu.ops.sparse import schur_diag_inverse
+    A = _laplace_csr(60)
+    minv = schur_diag_inverse(numpy.asarray(A.data), A.indices, A.indptr, 60)
+    numpy.testing.assert_allclose(minv, 1.0 / A.diagonal())
+
+
+def test_schur_diag_saddle_point_iteration_bound():
+    '''The Schur-aware diagonal keeps GMRES near mesh-independent on a
+    saddle-point system (a Navier-Stokes implicit time step, mass-dominant
+    velocity block) where plain Jacobi scaling needs thousands of iterations
+    (measured: 2165 at n=21k, 7266 at n=84k, growing with mesh size).'''
+    import jax.numpy as jnp
+    from nutils_tpu.ops import sparse
+    sys_, topo, geom = _fem_system(nelems=6, mass=100.0)
+    rng = numpy.random.RandomState(3)
+    args = {'u': 0.1 * rng.rand(*sys_.trial_shapes[0]), 'p': 0.1 * rng.rand(*sys_.trial_shapes[1])}
+    jac, res = sys_.assemble_jacobian_residual(args)
+    n = jac.shape[0]
+    minv = sparse.schur_diag_inverse(numpy.asarray(jac.data), jac.indices, jac.indptr, n)
+    target = 1e-8 * float(numpy.linalg.norm(res))
+    x, resnorm, it = sparse.gmres(jnp.asarray(jac.data), jnp.asarray(jac.indices), jac.indptr,
+                                  jnp.asarray(res), atol=target, minv=minv, precon='diag',
+                                  restart=100, maxiter=5000)
+    assert float(resnorm) <= target * 1.001
+    assert int(it) < 300, int(it)
+
+
+def test_getprecon_schurdiag_registered():
+    A = _laplace_csr(40)
+    obj = A.getprecon('schurdiag')
+    assert obj.kind == 'diag'
+    numpy.testing.assert_allclose(obj.minv, 1.0 / A.diagonal())
+
+
 def test_getprecon_cache():
     A = _laplace_csr(20)
     assert A.getprecon('diag') is A.getprecon('diag')
@@ -173,8 +208,10 @@ def test_auto_fallback_to_direct_on_failure():
 
 # ------------------------------------------------------------ fem system smoke
 
-def _fem_system(nelems=8, viscous=1.0):
-    '''A small Stokes-like mixed system: nonsymmetric after linearization.'''
+def _fem_system(nelems=8, viscous=1.0, mass=0.0):
+    '''A small Stokes-like mixed system: nonsymmetric after linearization.
+    ``mass`` adds a velocity mass term (the 1/dt term of an implicit time
+    step), turning it into the cylinderflow Newton-system class.'''
     from nutils_tpu import function, mesh
     from nutils_tpu.solver import System
     topo, geom = mesh.unitsquare(nelems, 'square')
@@ -186,7 +223,7 @@ def _fem_system(nelems=8, viscous=1.0):
     gu = function.grad(u, geom)
     gv = function.grad(v, geom)
     conv = (gu @ u) @ v  # convection term -> nonsymmetric jacobian
-    res = topo.integral((viscous * function.sum_(gv * gu) + conv
+    res = topo.integral((viscous * function.sum_(gv * gu) + conv + mass * (u @ v)
                          - function.div(v, geom) * p + q * function.div(u, geom)) * J, degree=4)
     return System(res, trial='u,p', test='v,q'), topo, geom
 
