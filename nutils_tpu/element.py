@@ -132,6 +132,10 @@ class HexReference(Reference):
     ndims = 3
     volume = 1.0
     vertices = numpy.stack(numpy.meshgrid(*[[0.0, 1.0]] * 3, indexing='ij'), axis=-1).reshape(-1, 3)
+    # faces in the order of the ``edges`` property (idim-major, low side
+    # first); vertex v = 4*i0 + 2*i1 + i2, face corners listed in the quad
+    # edge-reference's vertex order (see edge_vertex_ids invariant on Tet)
+    edge_vertex_ids = ((0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 4, 5), (2, 3, 6, 7), (0, 2, 4, 6), (1, 3, 5, 7))
 
     def gauss(self, degree):
         return quadrature.tensor(degree, 3)
@@ -232,6 +236,10 @@ class TetReference(Reference):
     ndims = 3
     vertices = numpy.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=float)
     volume = 1.0 / 6.0
+    # edge_vertex_ids[k][j] is the element vertex sitting at edge-reference
+    # vertex j under the k-th edge map (the invariant all references obey;
+    # used by unstructured edge matching and interface point pairing)
+    edge_vertex_ids = ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3))
 
     def gauss(self, degree):
         return quadrature.tetrahedron(degree)
@@ -528,4 +536,38 @@ def edge_dofs(ref, degree, iedge):
             dofs1 = numpy.arange(nd)
             dofs2 = edge_dofs(LineReference(), degree, iedge - 2)
         return numpy.array([d1 * nd + d2 for d1 in dofs1 for d2 in dofs2], dtype=int)
+    raise NotImplementedError(type(ref))
+
+
+def corner_weights(ref, pts):
+    '''Vertex interpolation weights W [P, nverts] with ``pts == W @
+    ref.vertices``: barycentric for simplices, multilinear for hypercubes.
+    Exact for points inside the (planar) reference, and equivariant under the
+    reference's symmetry group, which makes it the point-matching tool for
+    two-sided interface samples (reference analogue: the edge-transform
+    orientation bookkeeping of transform.py:265 SimplexEdge/TensorEdge).'''
+    pts = numpy.asarray(pts, dtype=float)
+    if isinstance(ref, PointReference):
+        return numpy.ones((len(pts), 1))
+    if isinstance(ref, (LineReference, TriangleReference, TetReference)):
+        return numpy.concatenate([1.0 - pts.sum(1, keepdims=True), pts], axis=1)
+    if isinstance(ref, (QuadReference, HexReference)):
+        d = ref.ndims
+        W = numpy.ones((len(pts), 2 ** d))
+        for k in range(2 ** d):
+            bits = [(k >> (d - 1 - i)) & 1 for i in range(d)]  # vertex bit order: i0 slow
+            for i, b in enumerate(bits):
+                W[:, k] *= pts[:, i] if b else 1.0 - pts[:, i]
+        return W
+    raise NotImplementedError(type(ref))
+
+
+def inside(ref, xi, eps=0.0):
+    '''Boolean mask: local coordinates xi [N, d] inside the reference up to
+    tolerance eps (reference: element.py:74 Reference.inside).'''
+    xi = numpy.asarray(xi, dtype=float)
+    if isinstance(ref, (LineReference, TriangleReference, TetReference)):
+        return (xi >= -eps).all(axis=-1) & (xi.sum(-1) <= 1.0 + eps)
+    if isinstance(ref, (QuadReference, HexReference)):
+        return (xi >= -eps).all(axis=-1) & (xi <= 1.0 + eps).all(axis=-1)
     raise NotImplementedError(type(ref))

@@ -380,3 +380,10 @@ def fromfunc(func, nelems, ndims, degree=1, space='X'):
     args = System(sqr, trial='__fromfunc__').solve()
     geom = function.replace_arguments(coeffs, args)
     return topo, geom
+
+
+def multipatch(patches, nelems, patchverts=None, space='X'):
+    '''Multipatch topology and geometry from patch vertex tables (reference:
+    mesh.py:96 multipatch).'''
+    from .multipatch import multipatch as _mp
+    return _mp(patches, nelems, patchverts=patchverts, space=space)

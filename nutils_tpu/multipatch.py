@@ -23,8 +23,9 @@ def _offset_sample(s, offset, origin):
     sp = s.specs[0]
     return _sample.Sample(sp.space, sp.coords, s.weights, sp.index + offset,
                           sp.p_linear, sp.p_offset, sp.tangents, sp.normal_root,
-                          s.tri_local, s.hull_local, batch_key=s.batch_key,
-                          origin_topo=origin)
+                          s.tri_local, s.hull_local,
+                          opposite=None if s.opposite is None else _offset_sample(s.opposite, offset, origin),
+                          batch_key=s.batch_key, origin_topo=origin)
 
 
 class MultipatchTopology(Topology):
@@ -90,12 +91,111 @@ class MultipatchTopology(Topology):
             parts[f'patch{ipatch}-{bname}'] = _PatchBoundary(self, ipatch, idim, iside)
         return UnionTopology(self.space, self.ndims - 1, parts)
 
-    @property
+    @functools.cached_property
     def interfaces(self):
-        raise NotImplementedError('multipatch interfaces pending')
+        '''All interior faces: per-patch structured interfaces plus the
+        glued inter-patch faces, the latter also available as the named group
+        ``interfaces['interpatch']`` (reference: topology.py:3098
+        MultipatchTopology.interfaces).'''
+        parts = {}
+        for ipatch, topo in enumerate(self.topos):
+            if any(n > 1 for n in topo.shape):
+                parts[f'patch{ipatch}'] = _PatchInterfaces(self, ipatch)
+        groups = [g for g in self._interfaces]
+        if groups:
+            parts['interpatch'] = UnionTopology(self.space, self.ndims - 1, {
+                f'group{i}': _InterpatchInterface(self, g) for i, g in enumerate(groups)
+            }) if len(groups) > 1 else _InterpatchInterface(self, groups[0])
+        return UnionTopology(self.space, self.ndims - 1, parts)
 
-    def locate(self, geom, coords, **kwargs):
-        raise NotImplementedError('locate on multipatch topologies pending')
+    # ------------------------------------------------------------ locate
+
+    def _elem_patch(self, ielems):
+        '''Global element ids -> (patch ids, local element ids).'''
+        ielems = numpy.asarray(ielems, dtype=int)
+        p = numpy.searchsorted(self.offsets, ielems, side='right') - 1
+        return p, ielems - self.offsets[p]
+
+    def _patch_rows(self, ielems):
+        '''Per-patch row groups (in patch order) of the given global ids.'''
+        patch, _ = self._elem_patch(ielems)
+        return [(p, numpy.nonzero(patch == p)[0]) for p in numpy.unique(patch)]
+
+    def _point_sample(self, ielems, xi, weights=None):
+        '''Sample of one point per row at element-local coordinates xi [N, d]
+        of global elements ielems [N].'''
+        ielems = numpy.asarray(ielems, dtype=int)
+        xi = numpy.asarray(xi, dtype=float)
+        patch, local = self._elem_patch(ielems)
+        samples = []
+        row_order = []
+        for p, rows in self._patch_rows(ielems):
+            topo = self.topos[p]
+            multi = numpy.stack(numpy.unravel_index(local[rows], topo.shape), axis=1)
+            s = topo._point_sample(multi + xi[rows],
+                                   None if weights is None else numpy.asarray(weights)[rows])
+            samples.append(_offset_sample(s, self.offsets[p], self))
+            row_order.append(rows)
+        if len(samples) == 1:
+            return samples[0]
+        # chained parts are patch-grouped; restore input row order for eval
+        order = numpy.concatenate(row_order)   # parent row k holds input row order[k]
+        perm = numpy.empty_like(order)
+        perm[order] = numpy.arange(len(order))  # perm[i] = parent row of input row i
+        return _sample.ReorderedSample(_sample.ChainedSample(samples), perm)
+
+    def locate(self, geom, coords, *, tol=None, eps=0, arguments=None, maxiter=None,
+               maxdist=None, skip_missing=False, weights=None):
+        '''Newton point location over all patches (reference: topology.py:777
+        generic Topology._locate; patches are curved so the structured affine
+        fast path does not apply).'''
+        from .unstructured import newton_locate
+        return newton_locate(self, geom, coords, tol=tol, eps=eps, arguments=arguments,
+                             maxiter=maxiter, maxdist=maxdist, skip_missing=skip_missing,
+                             weights=weights)
+
+    # newton_locate hooks: iteration coordinates are local coordinates of the
+    # candidate element, but excursions across element borders stay valid
+    # anywhere inside the candidate's patch (the geometry is patchwise smooth)
+
+    def _locate_start(self, cand):
+        return numpy.full((len(cand), self.ndims), 0.5)
+
+    def _locate_eval(self, cand, xi, geom, rootgrad, arguments):
+        smp = self._point_sample(cand, xi)  # ReorderedSample: already input-row order
+        vals, grads = smp.eval([geom, rootgrad], arguments)
+        d = self.ndims
+        vals = numpy.asarray(vals).reshape(len(cand), -1)
+        grads = numpy.asarray(grads).reshape(len(cand), -1, d)
+        patch, _ = self._elem_patch(cand)
+        h = numpy.array([self.topos[p].root_h for p in patch])
+        return vals, grads * h[:, None, None]
+
+    def _locate_clip(self, cand, xi):
+        patch, local = self._elem_patch(cand)
+        out = xi.copy()
+        for p, rows in self._patch_rows(cand):
+            shape = numpy.array(self.topos[p].shape, dtype=float)
+            multi = numpy.stack(numpy.unravel_index(local[rows], self.topos[p].shape), axis=1)
+            out[rows] = numpy.clip(multi + xi[rows], 0.0, shape) - multi
+        return out
+
+    def _locate_accept(self, cand, xi, eps):
+        patch, local = self._elem_patch(cand)
+        ok = numpy.zeros(len(cand), dtype=bool)
+        elems = numpy.array(cand)
+        xi_local = numpy.array(xi)
+        for p, rows in self._patch_rows(cand):
+            topo = self.topos[p]
+            shape = numpy.array(topo.shape)
+            multi = numpy.stack(numpy.unravel_index(local[rows], topo.shape), axis=1)
+            grid = multi + xi[rows]
+            inside = ((grid > -eps - 1e-10) & (grid < shape + eps + 1e-10)).all(axis=1)
+            cell = numpy.minimum(numpy.maximum(numpy.floor(grid).astype(int), 0), shape - 1)
+            elems[rows] = self.offsets[p] + numpy.ravel_multi_index(cell.T, topo.shape)
+            xi_local[rows] = grid - cell
+            ok[rows] = inside
+        return ok, elems, xi_local
 
     # ------------------------------------------------------------ bases
 
@@ -271,3 +371,64 @@ def multipatch(patches, nelems, patchverts=None, space='X'):
     funcsp = topo.basis_spline(degree=1, patchcontinuous=False)
     geom = funcsp @ numpy.concatenate(coords, axis=1).T
     return topo, geom
+
+
+class _PatchInterfaces(Topology):
+    '''Interior (intra-patch) interfaces of one patch, globally indexed.'''
+
+    def __init__(self, mp, ipatch):
+        super().__init__(mp.space, mp.ndims - 1)
+        from .topology import _StructuredInterfaces
+        self.mp = mp
+        self.ipatch = ipatch
+        self._inner = _StructuredInterfaces(mp.topos[ipatch])
+
+    def __len__(self):
+        return len(self._inner)
+
+    def sample(self, ischeme, degree=None):
+        return _offset_sample(self._inner.sample(ischeme, degree),
+                              self.mp.offsets[self.ipatch], self.mp)
+
+    def basis(self, btype='std', degree=1, **kwargs):
+        return self.mp.basis(btype, degree, **kwargs)
+
+
+class _InterpatchInterface(Topology):
+    '''Faces glued between two patches, with two-sided samples: the main side
+    is the first patch in the group (normal outward from it), the opposite
+    sample evaluates on the second patch (reference: topology.py:3098
+    MultipatchTopology.interfaces 'interpatch' group).  Point pairing relies
+    on the construction-time assertion that glued faces share vertex order
+    and orientation, so both patches' structured boundary samples enumerate
+    the same physical points in the same order.'''
+
+    def __init__(self, mp, group):
+        super().__init__(mp.space, mp.ndims - 1)
+        self.mp = mp
+        assert len(group) >= 2
+        self.group = list(group)
+
+    def __len__(self):
+        ip, idim, iside = self.group[0]
+        return len(_PatchBoundary(self.mp, ip, idim, iside))
+
+    def sample(self, ischeme, degree=None):
+        sides = [_PatchBoundary(self.mp, ip, idim, iside).sample(ischeme, degree)
+                 for ip, idim, iside in self.group[:2]]
+        main, opp = sides
+        assert main.nelems == opp.nelems and main.npoints_per_elem == opp.npoints_per_elem, \
+            'glued patch faces must have matching element counts'
+        sp = main.specs[0]
+        osp = opp.specs[0]
+        opp2 = _sample.Sample(osp.space, osp.coords, None, osp.index, osp.p_linear,
+                              osp.p_offset, osp.tangents, osp.normal_root,
+                              batch_key=opp.batch_key, origin_topo=self.mp)
+        return _sample.Sample(sp.space, sp.coords, main.weights, sp.index, sp.p_linear,
+                              sp.p_offset, sp.tangents, sp.normal_root,
+                              main.tri_local, main.hull_local, opposite=opp2,
+                              part_ids=numpy.zeros(main.nelems, dtype=int), part_topos=[self],
+                              batch_key=main.batch_key, origin_topo=self.mp)
+
+    def basis(self, btype='std', degree=1, **kwargs):
+        return self.mp.basis(btype, degree, **kwargs)

@@ -317,7 +317,7 @@ class Sample:
         return Sample(
             s0.space,
             numpy.concatenate([s.coords for s in samples]),
-            None if s0.weights is None else numpy.concatenate([s.weights for s in samples]),
+            None if any(s.weights is None for s in samples) else numpy.concatenate([s.weights for s in samples]),
             numpy.concatenate([s.index for s in samples]),
             numpy.concatenate([s.p_linear for s in samples]),
             numpy.concatenate([s.p_offset for s in samples]),
@@ -372,6 +372,43 @@ def _product_tri(tri1, P1, nd1, tri2, P2, nd2, hull1, hull2):
                     hull.append([a * P2 + c, b * P2 + c])
         return numpy.asarray(tris), numpy.asarray(hull) if hull else None
     return None, None
+
+
+class ReorderedSample:
+    '''Presents a parent sample's points in a permuted order: evaluation row i
+    is parent point ``perm[i]``.  Used by ``locate`` on topologies that bucket
+    points (per patch / per element type) so the returned sample still follows
+    the caller's input coordinate order (reference: the located sample of
+    topology.py:777 preserves point order by construction).  Integrals are
+    order-independent and delegate unchanged.'''
+
+    def __init__(self, parent, perm):
+        self.parent = parent
+        self.perm = numpy.asarray(perm, dtype=int)
+        assert len(self.perm) == parent.npoints
+        self.space = parent.space
+        self.ndims = parent.ndims
+        self.nelems = parent.nelems
+        self.npoints = parent.npoints
+
+    @property
+    def spaces(self):
+        return frozenset({self.space})
+
+    def integral(self, func):
+        return self.parent.integral(func)
+
+    def integrate(self, funcs, arguments=None, /, **kwargs):
+        return self.parent.integrate(funcs, arguments, **kwargs)
+
+    def bind(self, func):
+        return function._Take(self.parent.bind(func), self.perm, 0)
+
+    def eval(self, funcs, arguments=None, /, **kwargs):
+        single = not isinstance(funcs, (list, tuple))
+        flist = [funcs] if single else list(funcs)
+        out = function.eval([self.bind(f) for f in flist], arguments, **kwargs)
+        return out[0] if single else out
 
 
 class ChainedSample:

@@ -505,6 +505,8 @@ class StructuredTopology(Topology):
             if not skip_missing and not converged:
                 raise ValueError(f'failed to locate points (max residual {resid.max():.1e})')
             xi = xi[ok]
+            if weights is not None:
+                weights = numpy.asarray(weights)[ok]
         ielem = numpy.minimum(numpy.maximum(numpy.floor(xi).astype(int), 0), numpy.array(self.shape) - 1)
         inside = (xi > -eps - 1e-10).all(1) & (xi < numpy.array(self.shape) + eps + 1e-10).all(1)
         if not inside.all():
@@ -512,9 +514,11 @@ class StructuredTopology(Topology):
                 raise ValueError(f'failed to locate {int((~inside).sum())}/{len(coords)} points')
             xi = xi[inside]
             ielem = ielem[inside]
-        return self._point_sample(xi)
+            if weights is not None:
+                weights = numpy.asarray(weights)[inside]
+        return self._point_sample(xi, weights)
 
-    def _point_sample(self, xi):
+    def _point_sample(self, xi, weights=None):
         '''One-point-per-row sample at element-unit root coordinates [N, d].'''
         d = self.ndims
         h = self.root_h
@@ -528,7 +532,9 @@ class StructuredTopology(Topology):
         # jacobians/normals of functions of this space stay well defined (the
         # reference's located samples integrate with user weights, topology.py:777)
         tangents = numpy.broadcast_to(numpy.eye(d) * h, (E, d, d))
-        return _sample.Sample(self.space, sample_coords, None, ielems, p_linear, -origins / h, tangents,
+        return _sample.Sample(self.space, sample_coords,
+                              None if weights is None else numpy.asarray(weights)[:, None],
+                              ielems, p_linear, -origins / h, tangents,
                               origin_topo=self)
 
 
@@ -639,6 +645,14 @@ class _WithGroupsTopology(Topology):
 
     def __getattr__(self, name):
         return getattr(self.parent, name)
+
+    @property
+    def interfaces(self):
+        return self.parent.interfaces
+
+    @property
+    def refined(self):
+        return self.parent.refined
 
     def sample(self, ischeme, degree=None):
         return self.parent.sample(ischeme, degree)
