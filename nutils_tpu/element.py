@@ -252,10 +252,26 @@ class TetReference(Reference):
                 for k in range(n - i - j):
                     idx[i, j, k] = len(coords)
                     coords.append([i / (n - 1), j / (n - 1), k / (n - 1)])
-        # vertices-only triangulation for n == 2; finer handled via subdivision later
-        tets = [[idx[0, 0, 0], idx[n - 1, 0, 0], idx[0, n - 1, 0], idx[0, 0, n - 1]]] if n == 2 else []
+        pts = numpy.asarray(coords, dtype=float)
+        if n == 2:
+            tets = numpy.asarray([[idx[0, 0, 0], idx[1, 0, 0], idx[0, 1, 0], idx[0, 0, 1]]], dtype=int)
+        else:
+            # lattice triangulation via Delaunay, degenerate slivers dropped;
+            # covers the full reference volume (reference analogue:
+            # points.py SimplexBezierPoints.tri)
+            from scipy.spatial import Delaunay
+            cand = Delaunay(pts).simplices
+            vols = numpy.linalg.det(pts[cand[:, 1:]] - pts[cand[:, :1]])
+            tets = cand[numpy.abs(vols) > 1e-12 / n**3]
+        # hull: each face carries the triangle-lattice triangulation, mapped
+        # through the edge transform into the volume lattice
+        fpts, ftri, _ = TriangleReference().bezier(n)
         hull = []
-        return numpy.asarray(coords, dtype=float), numpy.asarray(tets, dtype=int).reshape(-1, 4), numpy.asarray(hull, dtype=int).reshape(-1, 3)
+        for lin, off, _nrm, _eref in self.edges:
+            fc = fpts @ lin.T + off
+            fidx = numpy.asarray([idx[tuple(numpy.round(c * (n - 1)).astype(int))] for c in fc])
+            hull.extend(fidx[t] for t in ftri)
+        return pts, tets, numpy.asarray(hull, dtype=int).reshape(-1, 3)
 
     @property
     def edges(self):

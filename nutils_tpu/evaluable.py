@@ -1226,6 +1226,27 @@ def astype(func, dtype):
 def grad(func, wrt):
     if isinstance(func, Zeros) or wrt not in func.leafdeps:
         return Zeros(func.shape + (wrt.shape[-1],), float)
+    # Structural pushdowns: the gradient is linear and acts pointwise in
+    # non-coordinate axes, so it commutes with scatters (Inflate), broadcasts,
+    # transposes and concatenations.  Keeping the Inflate OUTSIDE the Grad is
+    # what lets the contraction-localization rules in ``multiply``/``sum_``
+    # reach the basis scatter of k-indexed (vector) residuals — a bare
+    # ``∇_i(basis_k)`` otherwise hides its dof structure inside the jvp trace
+    # and the synthetic test argument of System([res], trial=...) degrades to
+    # a dense localization (reference analogue: evaluable derivative rules,
+    # reference evaluable.py:1502+ per-node _derivative).
+    if isinstance(func, Inflate) and wrt not in func.dofs.leafdeps and not func.dofs.arguments:
+        g = grad(func.values, wrt)
+        dofs = InsertAxis(func.dofs, func.dofs.ndim, 1)
+        return inflate(g, dofs, func.length, func.axis)
+    if isinstance(func, InsertAxis):
+        return insertaxis(grad(func.func, wrt), func.axis, func.length)
+    if isinstance(func, Transpose):
+        return transpose(grad(func.func, wrt), tuple(func.axes) + (func.ndim,))
+    if isinstance(func, Add) and func._has_sparse_structure:
+        return add(grad(func.children[0], wrt), grad(func.children[1], wrt))
+    if isinstance(func, Concatenate) and func._has_sparse_structure:
+        return Concatenate(tuple(grad(f, wrt) for f in func.children), func.axis)
     return Grad(func, wrt)
 
 

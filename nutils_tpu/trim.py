@@ -1,31 +1,99 @@
-'''Levelset trimming (finite cell method).
+'''Levelset trimming (finite cell method), dimension-generic.
 
 TPU-native counterpart of the reference's trim machinery (reference:
 topology.py:1603 trim, element.py:195 Reference.trim/slice, element.py:912
 MosaicReference): the levelset is evaluated in ONE batched pass on the
 depth-``maxrefine`` vertex grid of every element; per element a host-side
-quadtree recursion produces flat tables of integration cells — full sub-boxes
-plus mosaic triangles star-shaped around a snapped midpoint — interface
-facets, and retained boundary pieces.  Samples over the trimmed topology are
-plain batched tables whose charts carry *base* element indices, so every
-existing basis and geometry lowers unchanged; the trimmed basis is the base
-basis with the dof axis pruned (function.PrunedBasis).
+quad/octree recursion produces flat tables of integration cells — full
+sub-boxes plus mosaic simplices star-shaped around a snapped midpoint —
+interface facets, and retained boundary pieces.  Samples over the trimmed
+topology are plain batched tables whose charts carry *base* element indices,
+so every existing basis and geometry lowers unchanged; the trimmed basis is
+the base basis with the dof axis pruned (function.PrunedBasis).
 
-The cut geometry reproduces the reference's conventions exactly: cut
-positions snapped to a ``2**ndivisions`` grid per leaf edge, midpoint = first
-cut edge's intersection, star triangulation over retained hull segments, and
-corner ribs promoted to interface facets (element.py:209-290).
+The cut geometry follows the reference's dimension-recursive slice
+(element.py:209-271): every face of the cell is sliced recursively, a
+midpoint is chosen on the cut hull (the first new face-slice vertex, with
+cut positions snapped to a ``2**ndivisions`` grid per leaf edge), kept
+face pieces are coned from the midpoint into the volume triangulation, face
+interface pieces are coned into interface facets, and ribs — (d-2)-subfaces
+whose two incident faces disagree about retention after snapping — are
+promoted to interface facets (element.py:994-1002).
 '''
 
 import functools
-import itertools
 
 import numpy
 
 from . import element, function, sample as _sample
 from .topology import Topology, UnionTopology, StructuredTopology, _StructuredBoundary, _WithGroupsTopology
 from .unstructured import UnstructuredTopology, UnstructuredBoundary
-from .utils import _log as log
+
+_TOL = 1e-12
+
+
+def _apply(lin, off, pts):
+    '''Affine map of a point table [..., df] -> [..., d].'''
+    return numpy.asarray(pts, dtype=float) @ numpy.asarray(lin, dtype=float).T + off
+
+
+def _ref_simplices(ref):
+    '''Triangulation of a reference into its own-dimension simplices, as a
+    list of [d+1, d] vertex-coordinate arrays (reference analogue:
+    Reference.simplices, element.py:413/739).'''
+    if isinstance(ref, element.PointReference):
+        return [numpy.zeros((1, 0))]
+    if isinstance(ref, element.LineReference):
+        return [numpy.array([[0.0], [1.0]])]
+    if isinstance(ref, (element.TriangleReference, element.TetReference)):
+        return [ref.vertices.copy()]
+    if isinstance(ref, element.QuadReference):
+        return [numpy.array([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0]]),
+                numpy.array([[1.0, 1.0], [1.0, 0.0], [0.0, 1.0]])]
+    raise NotImplementedError(type(ref))
+
+
+def _facet_normal(span):
+    '''Unnormalized normal of a (d-1)-simplex with spanning rows span
+    [d-1, d], by determinant cofactors (generalized cross product).'''
+    span = numpy.asarray(span, dtype=float)
+    d = span.shape[1]
+    n = numpy.empty(d)
+    for i in range(d):
+        cols = [j for j in range(d) if j != i]
+        n[i] = (-1) ** i * numpy.linalg.det(span[:, cols]) if d > 1 else 1.0
+    return n
+
+
+def _piece_key(S):
+    return frozenset(tuple(numpy.round(v, 12)) for v in numpy.asarray(S, dtype=float))
+
+
+def _contains_point(S, p):
+    return bool((((numpy.asarray(S) - p) ** 2).sum(1) < _TOL ** 2).any())
+
+
+@functools.cache
+def _ribs_of(refname):
+    '''Pairs ((k1, j1), (k2, j2)) of coinciding (face, face-edge) locations of
+    the named reference (the analogue of Reference._ribs): every (d-2)-subface
+    is shared by exactly two faces.'''
+    ref = {'QuadReference': element.QuadReference, 'HexReference': element.HexReference,
+           'TriangleReference': element.TriangleReference, 'TetReference': element.TetReference,
+           'LineReference': element.LineReference}[refname]()
+    groups = {}
+    for k, (lin, off, _nrm, eref) in enumerate(ref.edges):
+        if eref.ndims == 0:
+            continue
+        for j, (elin, eoff, _enrm, eeref) in enumerate(eref.edges):
+            verts_face = _apply(elin, eoff, eeref.vertices) if eeref.ndims else eoff[None]
+            verts_cell = _apply(lin, off, verts_face)
+            groups.setdefault(_piece_key(verts_cell), []).append((k, j))
+    out = []
+    for key, locs in groups.items():
+        assert len(locs) == 2, f'rib {key} shared by {len(locs)} faces of {refname}'
+        out.append(tuple(locs))
+    return tuple(out)
 
 
 def _slice_edge(l0, l1, nbins):
@@ -43,134 +111,166 @@ def _slice_edge(l0, l1, nbins):
     return ('cut', xi / nbins, l0 > 0)
 
 
-def _slice_cell(ref, corner_levels, nbins):
-    '''Slice a 2D cell along the linear interpolant of its corner levels
-    (reference: element.py:209 Reference.slice).  Returns ('full',),
-    ('empty',) or ('mosaic', tris, iface, hull) with tris [nt, 3, d], iface
-    [(a, b)], hull {iedge: [(a, b)]} in cell-local coordinates.'''
-    verts = ref.vertices
-    lv = numpy.asarray(corner_levels, dtype=float)
+def _slice_ref(ref, levels, nbins):
+    '''Slice a reference along the linear interpolant of its vertex levels
+    (reference: element.py:209 Reference.slice), dimension-recursively.
+
+    Returns ('full',), ('empty',) or ('cut', data) with data a dict holding,
+    all in ref-local coordinates:
+
+    * midpoint [d] — the snapped cone apex on the cut hull;
+    * vol — kept d-simplices, list of [d+1, d];
+    * iface — interface (d-1)-simplices, list of [d, d] (unoriented);
+    * face_kept — per original face k, the kept (d-1)-simplices on that face,
+      list of lists of [d, d].
+    '''
+    lv = numpy.asarray(levels, dtype=float)
     if (lv >= 0).all():
         return ('full',)
     if (lv <= 0).all():
         return ('empty',)
+    d = ref.ndims
 
-    def vid(p):
-        d2 = ((verts - p) ** 2).sum(1)
-        i = int(numpy.argmin(d2))
-        assert d2[i] < 1e-20
-        return i
+    if d == 1:
+        st = _slice_edge(lv[0], lv[1], nbins)
+        if st[0] != 'cut':
+            return st
+        t, keep_low = st[1], st[2]
+        midpoint = numpy.array([t])
+        vol = [numpy.array([[0.0], [t]])] if keep_low else [numpy.array([[t], [1.0]])]
+        iface = [numpy.array([[t]])]
+        # line edge order: edge 0 at x=1, edge 1 at x=0 (element.py edges)
+        face_kept = [[numpy.array([[1.0]])] if not keep_low else [],
+                     [numpy.array([[0.0]])] if keep_low else []]
+        return ('cut', dict(midpoint=midpoint, vol=vol, iface=iface, face_kept=face_kept))
 
-    estat = []
-    for k, (lin, off, nrm, eref) in enumerate(ref.edges):
-        p0 = off
-        p1 = off + lin[:, 0]
-        st = _slice_edge(lv[vid(p0)], lv[vid(p1)], nbins)
-        estat.append((st, p0, p1))
+    edges = ref.edges
+    evids = ref.edge_vertex_ids
+    face_res = [_slice_ref(eref, lv[list(vids)], nbins)
+                for (lin, off, nrm, eref), vids in zip(edges, evids)]
+
+    def face_pieces(k):
+        '''Kept (d-1)-simplices of face k, in ref coords.'''
+        st = face_res[k]
+        lin, off, _nrm, eref = edges[k]
+        if st[0] == 'full':
+            return [_apply(lin, off, S) for S in _ref_simplices(eref)]
+        if st[0] == 'empty':
+            return []
+        return [_apply(lin, off, S) for S in st[1]['vol']]
 
     midpoint = None
-    for st, p0, p1 in estat:
+    for k, st in enumerate(face_res):
         if st[0] == 'cut':
-            midpoint = p0 + st[1] * (p1 - p0)
+            lin, off, _nrm, _eref = edges[k]
+            midpoint = _apply(lin, off, st[1]['midpoint'][None])[0]
             break
     if midpoint is None:
-        nchanged = sum(1 for st, _p0, _p1 in estat if st[0] == 'empty')
-        if nchanged < ref.ndims:
+        # no new face intersections (all faces snapped to full/empty):
+        # reference element.py:254-262
+        if sum(st[0] != 'full' for st in face_res) < d:
             return ('full',)
-        nkept = sum(1 for st, _p0, _p1 in estat if st[0] == 'full')
-        if nkept < ref.ndims:
+        if sum(st[0] != 'empty' for st in face_res) < d:
             return ('empty',)
-        count = numpy.zeros(len(verts), dtype=int)
-        for st, p0, p1 in estat:
+        count = numpy.zeros(ref.nverts, dtype=int)
+        for k, st in enumerate(face_res):
             if st[0] == 'full':
-                count[vid(p0)] += 1
-                count[vid(p1)] += 1
-        midpoint = verts[count == 1][0]
+                count[list(evids[k])] += 1
+        midpoint = ref.vertices[count == 1][0].astype(float)
 
-    same = lambda a, b: ((numpy.asarray(a) - b) ** 2).sum() < 1e-20
-    tris = []
+    vol = []
+    face_kept = []
+    for k in range(len(edges)):
+        pieces = face_pieces(k)
+        face_kept.append(pieces)
+        for S in pieces:
+            if _contains_point(S, midpoint):
+                continue
+            if abs(numpy.linalg.det(S - midpoint)) < 1e-14:
+                continue
+            vol.append(numpy.concatenate([midpoint[None], S], axis=0))
+
     iface = []
-    hull = {k: [] for k in range(len(estat))}
-    for k, (st, p0, p1) in enumerate(estat):
-        if st[0] == 'empty':
+
+    def add_iface(piece_cell):
+        '''Cone a (d-2)-simplex [d-1, d] to the midpoint.'''
+        if _contains_point(piece_cell, midpoint):
+            return
+        facet = numpy.concatenate([midpoint[None], piece_cell], axis=0)
+        if numpy.linalg.norm(_facet_normal(facet[1:] - facet[0])) < 1e-15:
+            return
+        iface.append(facet)
+
+    for k, st in enumerate(face_res):
+        if st[0] != 'cut':
             continue
+        lin, off, _nrm, _eref = edges[k]
+        for F in st[1]['iface']:
+            add_iface(_apply(lin, off, F))
+
+    def rib_pieces(k, j):
+        '''Kept (d-2)-simplices of face k on its own edge j, in ref coords.'''
+        st = face_res[k]
+        lin, off, _nrm, eref = edges[k]
+        elin, eoff, _enrm, eeref = eref.edges[j]
         if st[0] == 'full':
-            segs = [(p0, p1)]
+            pf = [_apply(elin, eoff, S) if eeref.ndims else eoff[None] for S in _ref_simplices(eeref)]
+        elif st[0] == 'empty':
+            pf = []
         else:
-            t, keep_low = st[1], st[2]
-            c = p0 + t * (p1 - p0)
-            segs = [(p0, c)] if keep_low else [(c, p1)]
-            if not same(c, midpoint):
-                iface.append((midpoint, c))
-        for a, b in segs:
-            hull[k].append((numpy.asarray(a, dtype=float), numpy.asarray(b, dtype=float)))
-            if not (same(a, midpoint) or same(b, midpoint)):
-                tris.append((midpoint, a, b))
+            pf = st[1]['face_kept'][j]
+        return [_apply(lin, off, P) for P in pf]
 
-    # ribs: corners kept by one incident edge but removed by the other become
-    # interface facets pulled to the midpoint (reference: element.py:995-1003)
-    for iv, v in enumerate(verts):
-        kept = []
-        for st, p0, p1 in estat:
-            if same(p0, v) or same(p1, v):
-                if st[0] == 'full':
-                    kept.append(True)
-                elif st[0] == 'empty':
-                    kept.append(False)
-                else:
-                    keep_low = st[2]
-                    kept.append(keep_low if same(p0, v) else not keep_low)
-        assert len(kept) == ref.ndims
-        if kept[0] != kept[1] and not same(v, midpoint):
-            iface.append((midpoint, numpy.asarray(v, dtype=float)))
+    # ribs: (d-2)-subfaces whose two incident faces disagree about retention
+    # (snapping can pull a cut onto a rib from one side only); the
+    # disagreement pieces are new exterior and get pulled to the midpoint
+    # (reference: element.py:994-1002)
+    for (k1, j1), (k2, j2) in _ribs_of(type(ref).__name__):
+        p1 = {(_piece_key(P)): P for P in rib_pieces(k1, j1)}
+        p2 = {(_piece_key(P)): P for P in rib_pieces(k2, j2)}
+        for key in set(p1) ^ set(p2):
+            add_iface(p1.get(key, p2.get(key)))
 
-    tris = numpy.asarray([numpy.stack(t) for t in tris]) if tris else numpy.zeros((0, 3, ref.ndims))
-    return ('mosaic', tris, iface, hull)
+    return ('cut', dict(midpoint=midpoint, vol=vol, iface=iface, face_kept=face_kept))
 
 
 class _ElemTrim:
     '''Per-element trim result in element-local coordinates.'''
 
-    __slots__ = 'status', 'boxes', 'tris', 'iface', 'iface_normal', 'hull'
+    __slots__ = 'status', 'boxes', 'simps', 'iface', 'iface_normal', 'hull'
 
     def __init__(self):
         self.status = None
         self.boxes = []   # (A [d,d], b [d]): ref-shaped sub-cells
-        self.tris = []    # [3, d] triangle vertices
-        self.iface = []   # (a, b) interface segments
+        self.simps = []   # [d+1, d] kept simplex vertices
+        self.iface = []   # [d, d] interface facet vertices
         self.iface_normal = []  # [d] outward normals (away from kept side)
-        self.hull = []    # (a, b) retained pieces of the element hull
+        self.hull = []    # [d, d] retained (d-1)-simplices of the element hull
 
 
 def _trim_element(ref, grid, m, nbins):
-    '''Quadtree trim of one element given its levelset values on the depth-m
-    vertex grid (``grid[i, j]`` at local coords (i, j)/2**m).'''
+    '''Quad/octree trim of one element given its levelset values on the
+    depth-m vertex grid (``grid[gi]`` at local coords gi/2**m).'''
     out = _ElemTrim()
     n = (1 << m)
     d = ref.ndims
     children = element.children(ref)
-    is_simplex = isinstance(ref, element.TriangleReference)
+
+    def grid_at(x):
+        g = numpy.asarray(x, dtype=float) * n
+        gi = numpy.round(g).astype(int)
+        assert numpy.abs(g - gi).max() < 1e-9
+        return grid[tuple(gi.T)] if gi.ndim == 2 else grid[tuple(gi)]
 
     def subtree_vals(A, b, rem):
         s = 1 << rem
-        ii, jj = numpy.meshgrid(numpy.arange(s + 1), numpy.arange(s + 1), indexing='ij')
-        if is_simplex:
-            keep = ii + jj <= s
-            ii, jj = ii[keep], jj[keep]
-        else:
-            ii, jj = ii.ravel(), jj.ravel()
-        q = numpy.stack([ii, jj], axis=1) / s  # node-local coords
-        x = q @ A.T + b
-        g = x * n
-        gi = numpy.round(g).astype(int)
-        assert numpy.abs(g - gi).max() < 1e-9
-        return grid[gi[:, 0], gi[:, 1]]
+        pts, _t, _h = ref.bezier(s + 1)  # lattice of the reference at depth rem
+        return grid_at(pts @ A.T + b)
 
     def add_hull(A, b):
-        for lin, off, nrm, eref in ref.edges:
-            p0 = off @ A.T + b
-            p1 = (off + lin[:, 0]) @ A.T + b
-            out.hull.append((p0, p1))
+        for lin, off, _nrm, eref in ref.edges:
+            for S in _ref_simplices(eref):
+                out.hull.append(_apply(lin, off, S) @ A.T + b)
 
     def rec(A, b, rem):
         vals = subtree_vals(A, b, rem)
@@ -184,41 +284,34 @@ def _trim_element(ref, grid, m, nbins):
             for clin, coff in children:
                 rec(A @ clin, A @ coff + b, rem - 1)
             return
-        lv = []
-        for v in ref.vertices:
-            x = v @ A.T + b
-            g = x * n
-            gi = numpy.round(g).astype(int)
-            lv.append(grid[gi[0], gi[1]])
-        res = _slice_cell(ref, lv, nbins)
+        lv = grid_at(ref.vertices @ A.T + b)
+        res = _slice_ref(ref, lv, nbins)
         if res[0] == 'full':
             out.boxes.append((A, b))
             add_hull(A, b)
             return
         if res[0] == 'empty':
             return
-        _tag, tris, iface, hull = res
+        data = res[1]
         Ainv_T = numpy.linalg.inv(A).T
         # linear levelset gradient for interface orientation
         V = numpy.concatenate([ref.vertices, numpy.ones((len(ref.vertices), 1))], axis=1)
-        gfit = numpy.linalg.lstsq(V, numpy.asarray(lv), rcond=None)[0][:d]
-        for t in tris:
-            out.tris.append(t @ A.T + b)
-        for a, c in iface:
-            a2, c2 = a @ A.T + b, c @ A.T + b
-            tang = numpy.asarray(c) - a
-            nrm_loc = numpy.array([tang[1], -tang[0]])
+        gfit = numpy.linalg.lstsq(V, numpy.asarray(lv, dtype=float), rcond=None)[0][:d]
+        for S in data['vol']:
+            out.simps.append(S @ A.T + b)
+        for F in data['iface']:
+            nrm_loc = _facet_normal(F[1:] - F[0])
             if nrm_loc @ gfit > 0:
                 nrm_loc = -nrm_loc
             nrm2 = Ainv_T @ nrm_loc
             nn = numpy.linalg.norm(nrm2)
             if nn < 1e-15:
                 continue
-            out.iface.append((a2, c2))
+            out.iface.append(F @ A.T + b)
             out.iface_normal.append(nrm2 / nn)
-        for k, segs in hull.items():
-            for a, c in segs:
-                out.hull.append((a @ A.T + b, c @ A.T + b))
+        for pieces in data['face_kept']:
+            for S in pieces:
+                out.hull.append(S @ A.T + b)
 
     vals0 = subtree_vals(numpy.eye(d), numpy.zeros(d), m)
     if (vals0 >= 0).all():
@@ -227,7 +320,7 @@ def _trim_element(ref, grid, m, nbins):
         out.status = 'empty'
     else:
         rec(numpy.eye(d), numpy.zeros(d), m)
-        if not out.boxes and not out.tris:
+        if not out.boxes and not out.simps:
             out.status = 'empty'
         else:
             out.status = 'cut'
@@ -257,15 +350,12 @@ def trim(topo, levelset, maxrefine, ndivisions=8, name='trimmed', *, arguments=N
         for row in range(s.nelems):
             e = int(s.index[row])
             ref = plain.ref if isinstance(plain, StructuredTopology) else plain._refs[e]
-            grid = numpy.full((n, n), numpy.nan)
-            if isinstance(ref, element.TriangleReference):
-                k = 0
-                for i in range(n):
-                    for j in range(n - i):
-                        grid[i, j] = v[row, k]
-                        k += 1
-            else:
-                grid[:, :] = v[row].reshape(n, n)
+            d = ref.ndims
+            pts, _t, _h = ref.bezier(n)
+            gi = numpy.round(pts * (n - 1)).astype(int)
+            assert numpy.abs(pts * (n - 1) - gi).max() < 1e-9
+            grid = numpy.full((n,) * d, numpy.nan)
+            grid[tuple(gi.T)] = v[row]
             data[e] = _trim_element(ref, grid, maxrefine, nbins)
     return TrimmedTopology(topo, data, name)
 
@@ -330,16 +420,17 @@ class TrimmedTopology(Topology):
                 if len(rows):
                     parts.append(_sample.take_rows(s, rows))
         # cut elements: per-subcell batches, bucketed by subcell shape
-        cells = {}  # (refname) -> list of (elem, A [d,d], b [d], ref)
+        cells = {}  # key -> list of (elem, A [d,d], b [d], ref)
         for e in self.cut_elems:
             t = self.data[e]
             ref = self._ref_of(e)
+            d = ref.ndims
             for A, b in t.boxes:
                 cells.setdefault(('box', type(ref).__name__), []).append((e, A, b, ref))
-            for tri in t.tris:
-                v0 = tri[0]
-                F = numpy.stack([tri[1] - v0, tri[2] - v0], axis=1)
-                cells.setdefault(('tri',), []).append((e, F, v0, element.simplex(2)))
+            for S in t.simps:
+                v0 = S[0]
+                F = numpy.stack([S[i] - v0 for i in range(1, d + 1)], axis=1)
+                cells.setdefault(('simplex',), []).append((e, F, v0, element.simplex(d)))
         for key, items in cells.items():
             ref = items[0][3]
             tri_local = hull_local = None
@@ -385,31 +476,32 @@ class TrimmedTopology(Topology):
     def boundary(self):
         parts = {}
         # trimmed (interface) part
-        segs, nrms, selems = [], [], []
+        facets, nrms, selems = [], [], []
         for e in self.cut_elems:
             t = self.data[e]
-            for (a, b), nn in zip(t.iface, t.iface_normal):
-                segs.append((a, b))
+            for F, nn in zip(t.iface, t.iface_normal):
+                facets.append(F)
                 nrms.append(nn)
                 selems.append(e)
-        # exposures: edges of kept elements whose neighbor element disappeared
+        # exposures: faces of kept elements whose neighbor element disappeared
         # entirely join the trimmed group (reference: topology.py:2688-2696)
         for e, k, nrm in self._exposed_edges():
             ref = self._ref_of(e)
-            lin, off, _n, _eref = ref.edges[k]
+            lin, off, _n, eref = ref.edges[k]
             t = self.data[e]
             if t.status == 'full':
-                segs.append((off, off + lin[:, 0]))
-                nrms.append(nrm)
-                selems.append(e)
+                for S in _ref_simplices(eref):
+                    facets.append(_apply(lin, off, S))
+                    nrms.append(nrm)
+                    selems.append(e)
             else:
-                for a, b in t.hull:
-                    if self._edge_matches(ref, k, a, b):
-                        segs.append((a, b))
+                for S in t.hull:
+                    if self._edge_matches(ref, k, S):
+                        facets.append(S)
                         nrms.append(nrm)
                         selems.append(e)
-        if segs:
-            parts[self.name] = _TrimSegPart(self, selems, segs, nrms)
+        if facets:
+            parts[self.name] = _TrimFacetPart(self, selems, facets, nrms)
         # base boundary groups, restricted to kept elements and trimmed pieces
         if isinstance(self.plain, StructuredTopology):
             for name, bpart in self.plain.boundary.parts.items():
@@ -418,10 +510,8 @@ class TrimmedTopology(Topology):
                 if len(fsub):
                     sub.append(_StructuredBoundary(self.plain, bpart.idim, bpart.side, fsub))
                 if pieces:
-                    elems = [p[0] for p in pieces]
-                    seg = [(p[1], p[2]) for p in pieces]
-                    nrm = [p[3] for p in pieces]
-                    sub.append(_TrimSegPart(self, elems, seg, nrm))
+                    sub.append(_TrimFacetPart(self, [p[0] for p in pieces],
+                                              [p[1] for p in pieces], [p[2] for p in pieces]))
                 if len(sub) == 1:
                     parts[name] = sub[0]
                 elif sub:
@@ -439,8 +529,8 @@ class TrimmedTopology(Topology):
                 if len(fsub):
                     sub.append(bpart[fsub])
                 if pieces:
-                    sub.append(_TrimSegPart(self, [p[0] for p in pieces],
-                                            [(p[1], p[2]) for p in pieces], [p[3] for p in pieces]))
+                    sub.append(_TrimFacetPart(self, [p[0] for p in pieces],
+                                              [p[1] for p in pieces], [p[2] for p in pieces]))
                 if len(sub) == 1:
                     parts[name] = sub[0]
                 elif sub:
@@ -448,7 +538,7 @@ class TrimmedTopology(Topology):
         return UnionTopology(self.space, self.ndims - 1, parts)
 
     def _exposed_edges(self):
-        '''(elem, iedge, normal) for kept-element edges whose neighbor element
+        '''(elem, iedge, normal) for kept-element faces whose neighbor element
         was entirely trimmed away.'''
         out = []
         dropped = numpy.asarray([e for e, t in enumerate(self.data) if t.status == 'empty'], dtype=int)
@@ -484,9 +574,9 @@ class TrimmedTopology(Topology):
                         out.append((int(e), k, self.plain._refs[int(e)].edges[k][2].astype(float)))
         return out
 
-    def _edge_matches(self, ref, k, a, b):
+    def _edge_matches(self, ref, k, S):
         lin, off, nrm, _eref = ref.edges[k]
-        return abs((a - off) @ nrm) < 1e-12 and abs((b - off) @ nrm) < 1e-12
+        return bool((numpy.abs((numpy.asarray(S) - off) @ nrm) < _TOL).all())
 
     def _structured_group(self, bpart):
         '''Boundary side of the structured base: full-element faces (by face
@@ -498,11 +588,10 @@ class TrimmedTopology(Topology):
         pieces = []
         for row in cut_rows:
             e = int(parent_index[row])
-            ref = self._ref_of(e)
             t = self.data[e]
-            for a, b in t.hull:
-                if abs((a - off) @ nrm) < 1e-12 and abs((b - off) @ nrm) < 1e-12:
-                    pieces.append((e, a, b, nrm.astype(float)))
+            for S in t.hull:
+                if (numpy.abs((S - off) @ nrm) < _TOL).all():
+                    pieces.append((e, S, nrm.astype(float)))
         return full_faces, pieces
 
     def _unstructured_group(self, bpart):
@@ -514,9 +603,9 @@ class TrimmedTopology(Topology):
             elif self.data[e].status == 'cut':
                 ref = self.plain._refs[e]
                 lin, off, nrm, _eref = ref.edges[k]
-                for a, b in self.data[e].hull:
-                    if self._edge_matches(ref, k, a, b):
-                        pieces.append((e, a, b, nrm.astype(float)))
+                for S in self.data[e].hull:
+                    if self._edge_matches(ref, k, S):
+                        pieces.append((e, S, nrm.astype(float)))
         return numpy.asarray(full_rows, dtype=int), pieces
 
     # ------------------------------------------------------------ misc
@@ -525,44 +614,42 @@ class TrimmedTopology(Topology):
         raise KeyError(item)
 
 
-class _TrimSegPart(Topology):
-    '''A batch of 1D boundary segments of a trimmed 2D topology, in
-    element-local coordinates with per-segment normals.'''
+class _TrimFacetPart(Topology):
+    '''A batch of (d-1)-simplex boundary facets of a trimmed d-dim topology,
+    in element-local coordinates with per-facet normals.'''
 
-    def __init__(self, trimmed, elems, segs, normals):
+    def __init__(self, trimmed, elems, facets, normals):
         super().__init__(trimmed.space, trimmed.ndims - 1)
         self.trimmed = trimmed
         self.elems = numpy.asarray(elems, dtype=int)
-        self.segs = numpy.asarray([numpy.stack(s) for s in segs])  # [E, 2, d]
-        self.normals = numpy.asarray(normals)                      # [E, d]
+        self.facets = numpy.asarray([numpy.asarray(f, dtype=float) for f in facets])  # [E, d, d]
+        self.normals = numpy.asarray(normals)                                         # [E, d]
 
     def __len__(self):
         return len(self.elems)
 
     def sample(self, ischeme, degree=None):
-        from .ops import quadrature
         d = self.trimmed.ndims
+        sref = element.simplex(d - 1)
         tri_local = hull_local = None
         if ischeme == 'gauss':
-            pts, wts = quadrature.line(degree)
+            pts, wts = sref.gauss(degree)
         elif ischeme == 'bezier':
-            pts = numpy.linspace(0, 1, degree)[:, None]
-            tri_local = numpy.stack([numpy.arange(degree - 1), numpy.arange(1, degree)], axis=1)
-            hull_local = numpy.array([[0], [degree - 1]])
+            pts, tri_local, hull_local = sref.bezier(degree)
             wts = None
         elif ischeme == '_centroid':
-            pts = numpy.array([[0.5]])
+            pts = sref.vertices.mean(0, keepdims=True)
             wts = None
         else:
             raise ValueError(f'unknown sample scheme {ischeme!r}')
         E, P = len(self.elems), len(pts)
-        a = self.segs[:, 0]  # [E, d]
-        dvec = self.segs[:, 1] - self.segs[:, 0]
+        a = self.facets[:, 0]                                     # [E, d]
+        span = self.facets[:, 1:] - self.facets[:, :1]            # [E, d-1, d]
         flin, foff = self.trimmed._frame(self.elems)
         a_f = numpy.einsum('eij,ej->ei', flin, a) + foff
-        d_f = numpy.einsum('eij,ej->ei', flin, dvec)
-        coords = a_f[:, None, :] + pts[:, 0][None, :, None] * d_f[:, None, :]
-        tangents = d_f[:, :, None]  # [E, d, 1]
+        span_f = numpy.einsum('eij,esj->esi', flin, span)         # [E, d-1, d]
+        coords = a_f[:, None, :] + numpy.einsum('ps,esi->epi', pts, span_f)
+        tangents = numpy.swapaxes(span_f, 1, 2)                   # [E, d, d-1]
         # normals transform by the inverse transpose of the frame map
         ninv = numpy.linalg.inv(numpy.swapaxes(flin, 1, 2))
         nrm = numpy.einsum('eij,ej->ei', ninv, self.normals)

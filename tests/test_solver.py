@@ -263,3 +263,36 @@ def test_optimize_droptol(setup):
     cons = solver.optimize('u', sqr, droptol=1e-13)
     assert numpy.isnan(cons).sum() == 12
     numpy.testing.assert_allclose(cons[:4], 0, atol=1e-12)
+
+
+def test_vector_residual_bare_basis():
+    '''System([res_k], trial='u') with a k-indexed residual built from a BARE
+    basis (no explicit test field): the synthetic-test contraction must
+    localize through the basis scatter — including the gradient, which
+    requires the Grad/Inflate pushdown in evaluable.grad — and match the
+    explicit-test formulation exactly (reference: solver.py:189 residual
+    vectors + trial).'''
+    from nutils_tpu import solver
+    from nutils_tpu.expression import Namespace
+    topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 5)] * 2)
+    ns = Namespace()
+    ns.x = geom
+    ns.define_for('x', gradient='∇', normal='n', jacobians=('dV', 'dS'))
+    ns.basis = topo.basis('std', degree=2)
+    ns.u = function.dotarg('u', ns.basis)
+    sqr = topo.boundary['left'].integral('u^2 dS' @ ns, degree=4)
+    cons = solver.optimize('u', sqr, droptol=1e-12)
+
+    res = topo.integral('∇_i(basis_k) ∇_i(u) dV' @ ns, degree=4)
+    res -= topo.integral('basis_k dV' @ ns, degree=4)
+    sys_vec = solver.System([res], trial='u')
+    # the localized layout must be element-batched, not dense: one pair
+    chunk_meta, pattern = sys_vec._jac_layout
+    assert pattern.nnz < 16 * 81, 'jacobian pattern is dense: localization failed'
+    args_vec = sys_vec.solve(constrain={'u': cons})
+
+    ns.v = function.dotarg('v', ns.basis)
+    res2 = topo.integral('(∇_i(v) ∇_i(u) - v) dV' @ ns, degree=4)
+    args_test = solver.System(res2, trial='u', test='v').solve(constrain={'u': cons})
+    numpy.testing.assert_allclose(numpy.asarray(args_vec['u']),
+                                  numpy.asarray(args_test['u']), rtol=0, atol=1e-10)
