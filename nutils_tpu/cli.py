@@ -21,22 +21,28 @@ def _parse(value, annotation):
     except ImportError:  # pragma: no cover
         pass
     # dataclass (possibly Union) annotations accept 'Name' or 'Name{k=v,...}'
-    # sub-parameter syntax (reference: cli dataclass support)
+    # (case-insensitive, parens allowed) sub-parameter syntax (reference: cli
+    # dataclass support via stringly, _util.py:698)
+    import dataclasses
     import re
     import typing
     options = typing.get_args(annotation) or (annotation,)
-    m = re.fullmatch(r'(\w+)(?:\{(.*)\})?', value.strip())
-    if m:
-        for cls in options:
-            if isinstance(cls, type) and cls.__name__ == m.group(1):
-                kwargs = {}
-                if m.group(2):
-                    hints = typing.get_type_hints(cls)
-                    for item in m.group(2).split(','):
-                        k, v = item.split('=', 1)
-                        k = k.strip()
-                        kwargs[k] = _parse(v.strip().strip("'\""), hints.get(k, str))
-                return cls(**kwargs)
+    classes = [cls for cls in options if isinstance(cls, type) and dataclasses.is_dataclass(cls)]
+    if classes:
+        m = re.fullmatch(r'(\w+)(?:[{(](.*)[)}])?', value.strip())
+        if m:
+            for cls in classes:
+                if cls.__name__.lower() == m.group(1).lower():
+                    kwargs = {}
+                    if m.group(2):
+                        hints = typing.get_type_hints(cls)
+                        for item in m.group(2).split(','):
+                            k, v = item.split('=', 1)
+                            k = k.strip()
+                            kwargs[k] = _parse(v.strip().strip("'\""), hints.get(k, str))
+                    return cls(**kwargs)
+        raise SystemExit(f'invalid value {value!r}; choose from '
+                         + ', '.join(f'{cls.__name__}{{{", ".join(f.name + "=" for f in dataclasses.fields(cls))}}}' for cls in classes))
     return value
 
 

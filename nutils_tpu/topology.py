@@ -58,15 +58,74 @@ class Topology:
         basis = self.basis(btype, degree, **kwargs)
         return function.field(name, basis, shape=shape, dtype=dtype)
 
-    def project(self, fun, onto, geometry, *, degree, droptol=1e-12, arguments=None, **kwargs):
-        '''L2 projection of ``fun`` onto a basis; returns the dof vector with
-        NaN at dofs without support (reference: topology.py:448).'''
+    def project(self, fun, onto, geometry, *, degree=None, droptol=1e-12, ptype='lsqr',
+                exact_boundaries=False, constrain=None, verify=None, arguments=None, **kwargs):
+        '''Projection of ``fun`` onto a basis; returns the dof vector with
+        NaN at dofs without support (reference: topology.py:448).
+
+        ``ptype='lsqr'`` solves the L2-projection normal equations;
+        ``'convolute'`` divides the convolution of ``fun`` against the basis
+        by the basis volumes (diagonal approximation, no solve);
+        ``'nodal'`` divides point sums over the ``bezier 2`` vertex sample
+        (exact for nodal bases; uses unit point weights where the reference
+        weights per element volume, identical except on mixed-type meshes).
+        '''
         from .solver import System
-        u = function.dotarg('__project__', onto)
+        fun = function.asarray(fun)
+        onto = function.asarray(onto)
+        ndofs = int(onto.shape[0])
+        cons = numpy.full(ndofs, numpy.nan) if constrain is None \
+            else numpy.array(numpy.asarray(constrain, dtype=float), copy=True)
+        if exact_boundaries:
+            bc = self.boundary.project(fun, onto, geometry, degree=degree, droptol=droptol,
+                                       ptype=ptype, arguments=arguments)
+            free = numpy.isnan(cons)
+            cons[free] = numpy.asarray(bc)[free]
         J = function.J(geometry)
-        sqr = self.integral((u - fun) ** 2 * J, degree=degree)
-        cons = System(sqr, trial='__project__').solve_constraints(droptol=droptol, arguments=arguments or {})
-        return cons['__project__']
+        vector = onto.ndim == 2
+
+        if ptype == 'lsqr':
+            assert degree is not None, 'please specify an integration degree for lsqr-projection'
+            u = function.dotarg('__project__', onto)
+            err2 = ((u - fun) ** 2).sum(-1) if vector else (u - fun) ** 2
+            sqr = self.integral(err2 * J, degree=degree)
+            out = System(sqr, trial='__project__').solve_constraints(
+                droptol=droptol, arguments=arguments or {},
+                constrain={'__project__': cons} if not numpy.isnan(cons).all() else None)
+            result = numpy.asarray(out['__project__'])
+        elif ptype == 'convolute':
+            assert degree is not None, 'please specify an integration degree for convolute-projection'
+            if vector:
+                ufun = (onto * fun).sum(-1)
+                afun = function.sqrt((onto ** 2).sum(-1))
+            else:
+                ufun = onto * fun
+                afun = onto
+            smp = self.sample('gauss', degree)
+            u, scale = (numpy.asarray(a) for a in
+                        smp.integrate([ufun * J, afun * J], arguments or {}))
+            result = cons.copy()
+            N = numpy.isnan(result) & (numpy.abs(scale) > droptol)
+            result[N] = u[N] / scale[N]
+        elif ptype == 'nodal':
+            bezier = self.sample('bezier', 2)
+            if vector:
+                wfun, ffun = (onto ** 2).sum(-1), (onto * fun).sum(-1)
+            else:
+                wfun, ffun = onto, onto * fun
+            Wp, Fp = (numpy.asarray(a) for a in bezier.eval([wfun, ffun], arguments or {}))
+            W, F = Wp.sum(0), Fp.sum(0)
+            result = cons.copy()
+            N = numpy.isnan(result) & (numpy.abs(W) > droptol)
+            result[N] = F[N] / W[N]
+        else:
+            raise ValueError(f'invalid projection type {ptype!r}')
+
+        numcons = int((~numpy.isnan(result)).sum())
+        if verify is not None:
+            assert numcons == verify, \
+                f'number of constraints does not meet expectation: {numcons} != {verify}'
+        return result
 
     @property
     def boundary(self):

@@ -280,3 +280,31 @@ $EndElements
     u = topo.field('u', btype='std', degree=1)
     val = float(topo['left'].integral(u * function.J(geom), degree=2).eval(u=numpy.ones(4)))
     numpy.testing.assert_allclose(val, a_left, rtol=1e-12)
+
+
+def test_project_ptypes():
+    '''project ptype lsqr/convolute/nodal semantics (reference topology.py:448):
+    lsqr and nodal reproduce a linear function exactly on a std degree-1
+    basis; convolute is the diagonal Riesz approximation, exact at interior
+    (symmetric-support) nodes with h/3-per-dimension skew at the boundary.'''
+    from nutils_tpu import mesh
+    topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 4)] * 2)
+    basis = topo.basis('std', degree=1)
+    fun = geom[0] + 2 * geom[1]
+    exact = numpy.array([i / 3 + 2 * j / 3 for i in range(4) for j in range(4)])
+    for ptype, tol in (('lsqr', 1e-12), ('nodal', 1e-12)):
+        v = topo.project(fun, basis, geom, degree=4, ptype=ptype)
+        assert not numpy.isnan(v).any()
+        numpy.testing.assert_allclose(v, exact, atol=tol)
+    v = topo.project(fun, basis, geom, degree=4, ptype='convolute')
+    h = 1 / 3
+    interior = numpy.array([0 < i < 3 and 0 < j < 3 for i in range(4) for j in range(4)])
+    numpy.testing.assert_allclose(v[interior], exact[interior], atol=1e-12)
+    # corner skew: +h/3 per clamped dimension (f increases into the domain)
+    assert v[0] == pytest.approx(h / 3 + 2 * h / 3, abs=1e-12)
+    with pytest.raises(ValueError):
+        topo.project(fun, basis, geom, degree=2, ptype='bogus')
+    # verify= count assertion and exact_boundaries consistency
+    topo.project(fun, basis, geom, degree=4, verify=16)
+    v2 = topo.project(fun, basis, geom, degree=4, exact_boundaries=True)
+    numpy.testing.assert_allclose(v2, exact, atol=1e-12)
