@@ -35,6 +35,25 @@ def _row_ids(indptr):
     return numpy.repeat(numpy.arange(len(counts)), counts)
 
 
+def csr_to_ell(data, indices, indptr):
+    '''Convert CSR arrays to the padded ELL layout (vals [N, W], cols [N, W],
+    zero-padded): FEM rows have a bounded nonzero count, so the matvec
+    becomes a regular statically-shaped gather + dense reduce.'''
+    data = numpy.asarray(data)
+    indices = numpy.asarray(indices)
+    indptr = numpy.asarray(indptr)
+    counts = numpy.diff(indptr)
+    N = len(counts)
+    W = int(counts.max()) if N else 0
+    vals = numpy.zeros((N, W), dtype=data.dtype)
+    cols = numpy.zeros((N, W), dtype=numpy.int32)
+    pos = numpy.arange(len(data)) - numpy.repeat(indptr[:-1], counts)
+    rows = numpy.repeat(numpy.arange(N), counts)
+    vals[rows, pos] = data
+    cols[rows, pos] = indices
+    return vals, cols
+
+
 def csr_matvec(data, indices, indptr, x, row_ids=None):
     import jax.numpy as jnp
     if row_ids is None:
@@ -127,20 +146,68 @@ def block_jacobi_inverse(data, indices, indptr, n, blocksize):
     return out
 
 
+# ------------------------------------------------------------ operator kinds
+#
+# The Krylov drivers are parameterized over the matvec form:
+#
+# * ('csr',)                 op = (data, indices, row_ids)   — scatter-add
+# * ('ell',)                 op = (vals [n,W], cols [n,W])   — gather + dense
+# * ('stencil', k, ny, nx)   op = (w [(2k+1)^2, ny, nx],)    — shifted slices
+#
+# and each kind may be wrapped with a constraint mask: ('masked', kind) adds
+# a leading mfree [n] (1.0 = free) operand and applies m*A(m*x) + (1-m)*x,
+# the masked-solve constraint handling that keeps the operator structure
+# intact (no submatrix; SURVEY 7.3).  Measured on a v5e at 1024^2 dofs, f32,
+# 100 chained matvecs per dispatch: stencil 64 us/mv (~HBM roofline), ell
+# 69 ms, csr scatter 145 ms — element-granular gathers serialize on this
+# toolchain, so the stencil form is selected whenever the pattern permits
+# (matrix.Matrix._device_op).
+
+
+def _make_matvec(mv_kind):
+    import jax.numpy as jnp
+    if mv_kind[0] == 'masked':
+        inner = _make_matvec(mv_kind[1])
+
+        def mv(op, x):
+            mfree = op[0]
+            return mfree * inner(op[1:], mfree * x) + (1.0 - mfree) * x
+        return mv
+    if mv_kind[0] == 'csr':
+        def mv(op, x):
+            data, indices, row_ids = op
+            prod = data * x[indices]
+            return jnp.zeros(x.shape[0], dtype=prod.dtype).at[row_ids].add(prod)
+        return mv
+    if mv_kind[0] == 'ell':
+        def mv(op, x):
+            vals, cols = op
+            return (vals * jnp.take(x, cols, axis=0)).sum(1)
+        return mv
+    if mv_kind[0] == 'stencil':
+        from . import stencil as _st
+        _kind, k, ny, nx = mv_kind
+        fn = _st._matvec_fn(k, ny, nx)
+
+        def mv(op, x):
+            (w,) = op
+            return fn(w, x.reshape(ny, nx)).reshape(-1)
+        return mv
+    raise ValueError(f'unknown matvec kind {mv_kind!r}')
+
+
 # ------------------------------------------------------------ CG
 
 @functools.lru_cache(maxsize=32)
-def _cg_driver(precon_kind):
+def _cg_driver(precon_kind, mv_kind=('csr',)):
     import jax
     import jax.numpy as jnp
     apply_m = _PRECON_APPLY[precon_kind]
+    matvec_op = _make_matvec(mv_kind)
 
-    def run(data, indices, row_ids, b, minv, atol, maxiter):
-        n = b.shape[0]
-
+    def run(op, b, minv, atol, maxiter):
         def matvec(x):
-            prod = data * x[indices]
-            return jnp.zeros(n, dtype=prod.dtype).at[row_ids].add(prod)
+            return matvec_op(op, x)
 
         def body(state):
             x, r, z, p, rz, k = state
@@ -164,7 +231,16 @@ def _cg_driver(precon_kind):
         x, r, z, p, rz, k = jax.lax.while_loop(cond, body, state)
         return x, jnp.linalg.norm(r), k
 
-    return jax.jit(run)
+    return jax.jit(run, static_argnames=())
+
+
+def cg_op(mv_kind, op, b, *, atol, maxiter, minv, precon='diag'):
+    '''Preconditioned CG over an operator-kind/operand pair; returns
+    (x, resnorm, iters).'''
+    import jax.numpy as jnp
+    run = _cg_driver(precon, mv_kind)
+    return run(tuple(op), b, jnp.asarray(minv), jnp.asarray(atol, dtype=b.dtype),
+               jnp.asarray(maxiter, dtype=jnp.int32))
 
 
 def cg(data, indices, indptr, b, diag=None, *, atol, maxiter, minv=None, precon='diag'):
@@ -178,29 +254,27 @@ def cg(data, indices, indptr, b, diag=None, *, atol, maxiter, minv=None, precon=
     row_ids = jnp.asarray(_row_ids(indptr))
     if precon == 'diag' and minv is None:
         minv = jnp.where(diag != 0, 1.0 / diag, 1.0)
-    run = _cg_driver(precon)
-    return run(data, indices, row_ids, b,
-               jnp.asarray(minv), jnp.asarray(atol, dtype=b.dtype),
-               jnp.asarray(maxiter, dtype=jnp.int32))
+    return cg_op(('csr',), (data, indices, row_ids), b,
+                 atol=atol, maxiter=maxiter, minv=minv, precon=precon)
 
 
 # ------------------------------------------------------------ GMRES(m)
 
 @functools.lru_cache(maxsize=32)
-def _gmres_driver(precon_kind, restart):
+def _gmres_driver(precon_kind, restart, mv_kind=('csr',)):
     import jax
     import jax.numpy as jnp
     apply_m = _PRECON_APPLY[precon_kind]
+    matvec_op = _make_matvec(mv_kind)
     m = int(restart)
 
-    def run(data, indices, row_ids, b, minv, atol, maxiter):
+    def run(op, b, minv, atol, maxiter):
         n = b.shape[0]
         dtype = b.dtype
         eps = jnp.asarray(numpy.finfo(numpy.dtype(str(dtype))).tiny * 16, dtype)
 
         def matvec(x):
-            prod = data * x[indices]
-            return jnp.zeros(n, dtype=prod.dtype).at[row_ids].add(prod)
+            return matvec_op(op, x)
 
         def inner_body(state):
             V, R, g, cs, sn, j, res, inner_tol = state
@@ -280,6 +354,16 @@ def _gmres_driver(precon_kind, restart):
     return jax.jit(run)
 
 
+def gmres_op(mv_kind, op, b, *, atol, maxiter, restart=60, minv, precon='diag'):
+    '''Left-preconditioned restarted GMRES(m) over an operator-kind/operand
+    pair; returns (x, resnorm, iters).'''
+    import jax.numpy as jnp
+    restart = max(2, min(int(restart), int(len(b))))
+    run = _gmres_driver(precon, restart, mv_kind)
+    return run(tuple(op), b, jnp.asarray(minv), jnp.asarray(atol, dtype=b.dtype),
+               jnp.asarray(maxiter, dtype=jnp.int32))
+
+
 def gmres(data, indices, indptr, b, diag=None, *, atol, maxiter, restart=60,
           minv=None, precon='diag'):
     '''Left-preconditioned restarted GMRES(m); returns (x, resnorm, iters).
@@ -292,9 +376,5 @@ def gmres(data, indices, indptr, b, diag=None, *, atol, maxiter, restart=60,
     row_ids = jnp.asarray(_row_ids(indptr))
     if precon == 'diag' and minv is None:
         minv = jnp.where(diag != 0, 1.0 / diag, 1.0)
-    n = len(b)
-    restart = max(2, min(int(restart), int(n)))
-    run = _gmres_driver(precon, restart)
-    return run(data, indices, row_ids, b,
-               jnp.asarray(minv), jnp.asarray(atol, dtype=b.dtype),
-               jnp.asarray(maxiter, dtype=jnp.int32))
+    return gmres_op(('csr',), (data, indices, row_ids), b, atol=atol,
+                    maxiter=maxiter, restart=restart, minv=minv, precon=precon)

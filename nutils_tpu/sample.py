@@ -573,3 +573,5 @@ Sample.integral = function._dispatchable(Sample.integral)
 Sample.bind = function._dispatchable(Sample.bind)
 ChainedSample.integral = function._dispatchable(ChainedSample.integral)
 ChainedSample.bind = function._dispatchable(ChainedSample.bind)
+ReorderedSample.integral = function._dispatchable(ReorderedSample.integral)
+ReorderedSample.bind = function._dispatchable(ReorderedSample.bind)
