@@ -6,9 +6,11 @@ headline) carrying all metrics in a "sub" dict:
 a. laplace_assembly   — fused residual+jacobian assembly, GDOF/s, f32 device.
 b. laplace_solve      — assembly + device-CG solve (Jacobi precon) of an SPD
                         reaction-diffusion system, wall-clock seconds, rtol
-                        1e-6 (the f32 accuracy floor: the TPU has no native
-                        f64, so 1e-10 targets are only reachable on the f64
-                        CPU path; see BASELINE.md item 5).
+                        1e-10: the inner Krylov loop runs in f32 on device
+                        (stencil-form matvec at the HBM roofline) and an
+                        outer f64 iterative-refinement loop contracts the
+                        true residual past the f32 drift floor
+                        (matrix._device_krylov).
 c. ns_newton_step     — one Newton step of a cylinderflow-class nonsymmetric
                         system (Taylor-Hood Navier-Stokes time step with
                         convection at a nonzero state): fused jacobian +
@@ -99,7 +101,7 @@ def bench_laplace_assembly(nelems, dtype, repeats=5):
     return {'ndofs': ndofs, 't_assemble': t, 'gdofs': ndofs / t / 1e9}
 
 
-def bench_laplace_solve(nelems, dtype, rtol=1e-6, repeats=3):
+def bench_laplace_solve(nelems, dtype, rtol=1e-10, repeats=3):
     system = build_laplace(nelems, dtype, reaction=True)
     ndofs = system.trial_shapes[0][0]
     args = {'u': numpy.zeros(ndofs)}
@@ -126,11 +128,36 @@ def bench_ns_newton(nelems, dtype, rtol=1e-3, repeats=3):
             't_total': t_asm + t_solve, 'rel_residual': resnorm}
 
 
-def run_all(nelems, ns_nelems, dtype):
+class _SectionTimeout(Exception):
+    pass
+
+
+def _with_deadline(fn, seconds):
+    '''Run fn() under a SIGALRM deadline: the TPU tunnel of this environment
+    intermittently degrades to minute-scale dispatch stalls (see
+    ENVIRONMENT_NOTES.md), and a bench that hangs forever produces no JSON at
+    all — a timed-out section reports null values instead.'''
+    import signal
+
+    def handler(signum, frame):
+        raise _SectionTimeout
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(int(seconds))
+    try:
+        return fn()
+    except _SectionTimeout:
+        return None
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
+def run_all(nelems, ns_nelems, dtype, budget=900):
     return {
-        'laplace_assembly': bench_laplace_assembly(nelems, dtype),
-        'laplace_solve': bench_laplace_solve(nelems, dtype),
-        'ns_newton_step': bench_ns_newton(ns_nelems, dtype),
+        'laplace_assembly': _with_deadline(lambda: bench_laplace_assembly(nelems, dtype), budget),
+        'laplace_solve': _with_deadline(lambda: bench_laplace_solve(nelems, dtype), budget),
+        'ns_newton_step': _with_deadline(lambda: bench_ns_newton(ns_nelems, dtype), budget),
     }
 
 
@@ -138,13 +165,16 @@ def main():
     nelems = int(os.environ.get('BENCH_NELEMS', '1024'))
     ns_nelems = int(os.environ.get('BENCH_NS_NELEMS', '330'))
 
+    budget = int(os.environ.get('BENCH_SECTION_TIMEOUT', '900'))
+
     if '--cpu-baseline' in sys.argv:
-        out = run_all(nelems, ns_nelems, numpy.float32)
-        out['laplace_assembly_f64'] = bench_laplace_assembly(nelems, numpy.float64, repeats=3)
+        out = run_all(nelems, ns_nelems, numpy.float32, budget)
+        out['laplace_assembly_f64'] = _with_deadline(
+            lambda: bench_laplace_assembly(nelems, numpy.float64, repeats=3), budget)
         print(json.dumps(out))
         return
 
-    dev = run_all(nelems, ns_nelems, numpy.float32)
+    dev = run_all(nelems, ns_nelems, numpy.float32, budget)
 
     # CPU baseline in a subprocess (dtype-matched f32 plus the round-1 f64
     # assembly anchor); the reference is a CPU/numpy framework with no
@@ -168,23 +198,27 @@ def main():
 
     lines = []
     a = dev['laplace_assembly']
-    lines.append({
-        'metric': f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, f32)',
-        'value': round(a['gdofs'], 4), 'unit': 'GDOF/s',
-        'vs_baseline': ratio('laplace_assembly', 't_assemble'),
-    })
+    if a:
+        lines.append({
+            'metric': f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, f32)',
+            'value': round(a['gdofs'], 4), 'unit': 'GDOF/s',
+            'vs_baseline': ratio('laplace_assembly', 't_assemble'),
+        })
     b = dev['laplace_solve']
-    lines.append({
-        'metric': f'laplace assemble + device-CG solve ({b["ndofs"]} dofs, rtol 1e-6, f32)',
-        'value': round(b['t_total'], 4), 'unit': 's',
-        'vs_baseline': ratio('laplace_solve', 't_total'),
-    })
+    if b:
+        lines.append({
+            'metric': (f'laplace assemble + device-CG solve ({b["ndofs"]} dofs, rtol 1e-10, '
+                       'f32 device inner + f64 iterative refinement)'),
+            'value': round(b['t_total'], 4), 'unit': 's',
+            'vs_baseline': ratio('laplace_solve', 't_total'),
+        })
     c = dev['ns_newton_step']
-    lines.append({
-        'metric': f'navier-stokes newton step, assemble + device-GMRES rtol 1e-3 ({c["ndofs"]} dofs, f32)',
-        'value': round(c['t_total'], 4), 'unit': 's',
-        'vs_baseline': ratio('ns_newton_step', 't_total'),
-    })
+    if c:
+        lines.append({
+            'metric': f'navier-stokes newton step, assemble + device-GMRES rtol 1e-3 ({c["ndofs"]} dofs, f32)',
+            'value': round(c['t_total'], 4), 'unit': 's',
+            'vs_baseline': ratio('ns_newton_step', 't_total'),
+        })
     for line in lines:
         print(json.dumps(line))
 
@@ -193,14 +227,15 @@ def main():
     except Exception:
         vs_f64 = float('nan')
     print(json.dumps({
-        'metric': f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, f32 TPU vs f64 CPU)',
-        'value': round(a['gdofs'], 4),
+        'metric': (f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, '
+                   'f32 TPU vs f64 CPU)') if a else 'bench timed out (degraded TPU tunnel)',
+        'value': round(a['gdofs'], 4) if a else float('nan'),
         'unit': 'GDOF/s',
         'vs_baseline': vs_f64,
         'sub': {
-            'laplace_assembly': {**a, 'vs_cpu_f32': ratio('laplace_assembly', 't_assemble')},
-            'laplace_solve': {**b, 'vs_cpu_f32': ratio('laplace_solve', 't_total')},
-            'ns_newton_step': {**c, 'vs_cpu_f32': ratio('ns_newton_step', 't_total')},
+            'laplace_assembly': {**a, 'vs_cpu_f32': ratio('laplace_assembly', 't_assemble')} if a else None,
+            'laplace_solve': {**b, 'vs_cpu_f32': ratio('laplace_solve', 't_total')} if b else None,
+            'ns_newton_step': {**c, 'vs_cpu_f32': ratio('ns_newton_step', 't_total')} if c else None,
             'cpu_baseline': cpu,
         },
     }))
