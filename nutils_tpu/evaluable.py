@@ -1533,6 +1533,18 @@ class _Evaluator:
         if memo_key in frame:
             return frame[memo_key]
         val = self._compute(node, frame, overridden)
+        from .utils import config
+        if config.debug_enabled('evalf'):
+            # NUTILS_TPU_DEBUG=evalf: assert shape/dtype of every intermediate
+            # against the node declaration (the analogue of the reference's
+            # generated-code assertions, reference evaluable.py:6963,
+            # debug_flags.py evalf)
+            assert tuple(val.shape) == tuple(node.shape), \
+                f'evalf-debug: {type(node).__name__} declared shape {node.shape}, evaluated {tuple(val.shape)}'
+            want = _concrete_dtype(node.dtype)
+            got = numpy.dtype(str(val.dtype)) if not isinstance(val, numpy.ndarray) else val.dtype
+            assert numpy.dtype(got).kind == numpy.dtype(want).kind, \
+                f'evalf-debug: {type(node).__name__} declared dtype {node.dtype}, evaluated {val.dtype}'
         frame[memo_key] = val
         return val
 

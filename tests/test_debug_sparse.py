@@ -59,3 +59,28 @@ def test_system_build_clean_under_sanitizer():
         ndofs = system.trial_shapes[0][0]
         jac, res = system.assemble_jacobian_residual({'u': numpy.zeros(ndofs)})
         assert numpy.isfinite(res).all()
+
+
+def test_debug_evalf_flag():
+    '''NUTILS_TPU_DEBUG=evalf asserts every intermediate's shape/dtype
+    (reference: evaluable.py:6963 generated assertions).'''
+    import numpy
+    from nutils_tpu import evaluable as ev
+    from nutils_tpu.utils import config
+    old = config.debug.value
+    config.debug.value = frozenset({'evalf'})
+    try:
+        a = ev.Argument('a', (3, 4))
+        out = ev.eval_once(ev.sum_(ev.multiply(a, a), (0, 1)), {'a': numpy.ones((3, 4))})
+        assert float(out) == 12.0
+        # a node lying about its shape must be caught
+        class Bad(ev.Array):
+            def __init__(self, func):
+                super().__init__((func,), (), (5, 5), float)  # wrong shape
+            def evalf(self, f):
+                return f
+        import pytest
+        with pytest.raises(AssertionError, match='evalf-debug'):
+            ev.eval_once(Bad(ev.constant(numpy.ones((3, 4)))))
+    finally:
+        config.debug.value = old
