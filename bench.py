@@ -128,37 +128,35 @@ def bench_ns_newton(nelems, dtype, rtol=1e-3, repeats=3):
             't_total': t_asm + t_solve, 'rel_residual': resnorm}
 
 
-class _SectionTimeout(Exception):
-    pass
+_SECTIONS = {
+    'laplace_assembly': lambda nelems, ns_nelems, dtype: bench_laplace_assembly(nelems, dtype),
+    'laplace_solve': lambda nelems, ns_nelems, dtype: bench_laplace_solve(nelems, dtype),
+    'ns_newton_step': lambda nelems, ns_nelems, dtype: bench_ns_newton(ns_nelems, dtype),
+}
 
 
-def _with_deadline(fn, seconds):
-    '''Run fn() under a SIGALRM deadline: the TPU tunnel of this environment
-    intermittently degrades to minute-scale dispatch stalls (see
-    ENVIRONMENT_NOTES.md), and a bench that hangs forever produces no JSON at
-    all — a timed-out section reports null values instead.'''
-    import signal
-
-    def handler(signum, frame):
-        raise _SectionTimeout
-
-    old = signal.signal(signal.SIGALRM, handler)
-    signal.alarm(int(seconds))
+def _run_section_subprocess(name, nelems, ns_nelems, dtype, budget):
+    '''Run one bench section in a subprocess under a hard timeout: the TPU
+    tunnel of this environment intermittently degrades to minute-scale
+    dispatch stalls inside C-level device calls, where in-process SIGALRM
+    handlers never fire — only a killable subprocess guarantees the driver
+    gets its JSON.  A timed-out or crashed section reports null.'''
+    import subprocess
     try:
-        return fn()
-    except _SectionTimeout:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--section', name],
+            env=dict(os.environ, BENCH_NELEMS=str(nelems), BENCH_NS_NELEMS=str(ns_nelems),
+                     BENCH_DTYPE=numpy.dtype(dtype).name),
+            capture_output=True, text=True, timeout=budget)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        print(f'bench section {name} failed: {type(e).__name__}', file=sys.stderr)
         return None
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
 
 
 def run_all(nelems, ns_nelems, dtype, budget=900):
-    return {
-        'laplace_assembly': _with_deadline(lambda: bench_laplace_assembly(nelems, dtype), budget),
-        'laplace_solve': _with_deadline(lambda: bench_laplace_solve(nelems, dtype), budget),
-        'ns_newton_step': _with_deadline(lambda: bench_ns_newton(ns_nelems, dtype), budget),
-    }
+    return {name: _run_section_subprocess(name, nelems, ns_nelems, dtype, budget)
+            for name in _SECTIONS}
 
 
 def main():
@@ -167,10 +165,16 @@ def main():
 
     budget = int(os.environ.get('BENCH_SECTION_TIMEOUT', '900'))
 
+    if '--section' in sys.argv:
+        name = sys.argv[sys.argv.index('--section') + 1]
+        dtype = numpy.dtype(os.environ.get('BENCH_DTYPE', 'float32')).type
+        print(json.dumps(_SECTIONS[name](nelems, ns_nelems, dtype)))
+        return
+
     if '--cpu-baseline' in sys.argv:
         out = run_all(nelems, ns_nelems, numpy.float32, budget)
-        out['laplace_assembly_f64'] = _with_deadline(
-            lambda: bench_laplace_assembly(nelems, numpy.float64, repeats=3), budget)
+        out['laplace_assembly_f64'] = _run_section_subprocess(
+            'laplace_assembly', nelems, ns_nelems, numpy.float64, budget)
         print(json.dumps(out))
         return
 

@@ -1,5 +1,7 @@
 '''Mesh generators (reference: mesh.py:34 rectilinear, :686 unitsquare).'''
 
+import functools
+
 import numpy
 
 from . import function, topology
@@ -239,12 +241,15 @@ def parsegmsh(text):
             phys[int(parts[0]), int(parts[1])] = parts[2].strip().strip('"')
 
     nodes = {}
-    elems = []  # (dim, physname, [node ids])
+    elems = []  # (dim, physname, [node ids, corners first])
+    # gmsh element types: linear and quadratic (p2) simplices; node order is
+    # corners first, then edge midside nodes (gmsh reference manual 9.x)
+    typeinfo = {1: (1, 2), 8: (1, 3), 2: (2, 3), 9: (2, 6),
+                4: (3, 4), 11: (3, 10), 15: (0, 1)}
     if version < 4:
         for row in blocks['Nodes'][1:]:
             parts = row.split()
             nodes[int(parts[0])] = [float(x) for x in parts[1:4]]
-        typeinfo = {1: (1, 2), 2: (2, 3), 4: (3, 4), 15: (0, 1)}
         for row in blocks['Elements'][1:]:
             parts = [int(x) for x in row.split()]
             etype, ntags = parts[1], parts[2]
@@ -281,10 +286,11 @@ def parsegmsh(text):
                     i += 1
         rows = blocks['Elements']
         nblocks = int(rows[0].split()[0])
-        typeinfo = {1: (1, 2), 2: (2, 3), 4: (3, 4), 15: (0, 1)}
         i = 1
         for _ in range(nblocks):
             edim, etag, etype, n = (int(x) for x in rows[i].split())
+            if etype not in typeinfo:
+                raise ValueError(f'unsupported gmsh element type {etype}')
             dim, nn = typeinfo[etype]
             name = phys.get((dim, ent_phys.get((edim, etag))))
             for k in range(n):
@@ -303,18 +309,71 @@ def parsegmsh(text):
             coords_list.append(nodes[g][:ndims])
         return renumber[g]
 
-    vol = [(name, [nid(g) for g in verts]) for d, name, verts in elems if d == ndims]
-    simplices = numpy.sort([v for _n, v in vol], axis=1)
+    vol = [(name, [nid(g) for g in verts[:ndims + 1]], verts)
+           for d, name, verts in elems if d == ndims]
+    simplices = numpy.sort([v for _n, v, _f in vol], axis=1)
     tags = {}
-    for ielem, (name, _v) in enumerate(vol):
+    for ielem, (name, _v, _f) in enumerate(vol):
         if name:
             tags.setdefault(name, []).append(ielem)
-    bedges = {}  # name -> list of sorted vertex tuples
+    bedges = {}  # name -> list of sorted corner-vertex tuples
     for d, name, verts in elems:
         if d == ndims - 1 and name:
-            bedges.setdefault(name, []).append(tuple(sorted(nid(g) for g in verts if g in renumber)))
-    return dict(nodes=simplices, coords=numpy.asarray(coords_list),
-                tags={k: numpy.asarray(v) for k, v in tags.items()}, btags=bedges)
+            bedges.setdefault(name, []).append(
+                tuple(sorted(nid(g) for g in verts[:ndims] if g in renumber)))
+    out = dict(nodes=simplices, coords=numpy.asarray(coords_list),
+               tags={k: numpy.asarray(v) for k, v in tags.items()}, btags=bedges)
+    if vol and len(vol[0][2]) > ndims + 1:
+        # p2 isoparametric geometry: separate numbering over ALL nodes of the
+        # volume elements (corners + midsides), aligned with the UNSORTED
+        # element node order so the nodal shape functions match
+        ho_renumber = {}
+        ho_coords = []
+
+        def hid(g):
+            if g not in ho_renumber:
+                ho_renumber[g] = len(ho_renumber)
+                ho_coords.append(nodes[g][:ndims])
+            return ho_renumber[g]
+
+        out['geom_dofs'] = [[hid(g) for g in full] for _n, _v, full in vol]
+        out['geom_corners'] = [v for _n, v, _f in vol]  # gmsh corner order
+        out['geom_coords'] = numpy.asarray(ho_coords)
+        out['geom_degree'] = 2
+    return out
+
+
+def _p2_barycentric(ndims):
+    '''Barycentric weights [nn, ndims+1] of the gmsh p2 simplex nodes:
+    corners first, then edge midside nodes in gmsh edge order (gmsh
+    reference manual node orderings).'''
+    eye = numpy.eye(ndims + 1)
+    if ndims == 2:
+        edges = [(0, 1), (1, 2), (2, 0)]
+    elif ndims == 3:
+        edges = [(0, 1), (1, 2), (0, 2), (0, 3), (2, 3), (1, 3)]
+    else:
+        raise ValueError(f'p2 gmsh geometry: unsupported dimension {ndims}')
+    return numpy.concatenate([eye, [(eye[a] + eye[b]) / 2 for a, b in edges]])
+
+
+@functools.cache
+def _nodal_simplex_coeffs(ndims, degree, perm):
+    '''Power-basis coefficients [nn, (degree+1)^ndims box] of the nodal
+    (Lagrange) shape functions of the gmsh p2 node set, expressed in the
+    element frame whose reference vertex j is gmsh corner ``perm[j]``.'''
+    assert degree == 2
+    lam = _p2_barycentric(ndims)              # [nn, d+1] in gmsh corner frame
+    pos = lam[:, list(perm)][:, 1:]           # cartesian coords in the element frame
+    import itertools
+    expos = [e for e in itertools.product(range(degree + 1), repeat=ndims) if sum(e) <= degree]
+    V = numpy.array([[numpy.prod(p ** numpy.asarray(e)) for e in expos] for p in pos])
+    A = numpy.linalg.inv(V)  # column k = power coeffs of shape fn k
+    K = (degree + 1,) * ndims
+    coeffs = numpy.zeros((len(pos),) + K)
+    for m, e in enumerate(expos):
+        coeffs[(slice(None),) + e] = A[m]
+    return coeffs
 
 
 def gmsh(fname, *, space='X'):
@@ -336,7 +395,22 @@ def gmsh(fname, *, space='X'):
     ndims = coords.shape[1]
     ref = element.simplex(ndims)
     topo = UnstructuredTopology(space, [ref] * len(simplices), list(simplices), len(coords))
-    geom = function.matmul(topo.basis('std', degree=1), function.asarray(coords))
+    if 'geom_dofs' in data:
+        # isoparametric p2 geometry: nodal quadratic basis over the full
+        # (corner + midside) node set (reference: mesh.py:540 simplex with
+        # higher-order node tables).  The topology's element frame uses the
+        # SORTED corner order, so each element's shape functions are built in
+        # the corner permutation relating the two orderings.
+        coeffs = []
+        for sorted_v, gm_c in zip(simplices, data['geom_corners']):
+            perm = tuple(gm_c.index(int(vj)) for vj in sorted_v)
+            coeffs.append(_nodal_simplex_coeffs(ndims, data['geom_degree'], perm))
+        gbasis = function.PlainBasis(space, [numpy.asarray(d) for d in data['geom_dofs']],
+                                     coeffs, len(data['geom_coords']), ragged=True)
+        gbasis._origin = topo
+        geom = function.matmul(gbasis, function.asarray(data['geom_coords']))
+    else:
+        geom = function.matmul(topo.basis('std', degree=1), function.asarray(coords))
     # resolve named boundary groups by vertex matching
     btopo = topo.boundary
     key2row = {}
