@@ -1786,6 +1786,14 @@ class Compiled:
             raise ValueError(f'missing arguments: {sorted(missing)}')
         if self._jitted is None:
             self._jitted = jax.jit(self.trace)
+            from .utils import config
+            if config.debug_enabled('compile'):
+                # NUTILS_TPU_DEBUG=compile: log the traced program (the
+                # analogue of the reference's generated-source dump,
+                # evaluable.py:6835, debug_flags.py compile)
+                from .utils import _log as log
+                jaxpr = jax.make_jaxpr(self.trace)(arguments, leaves)
+                log.info(f'compiled program ({len(self.flat)} outputs):\n{jaxpr}')
         return self._jitted(arguments, leaves)
 
     def trace_with_stats(self, arguments=None, leaves=None):

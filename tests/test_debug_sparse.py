@@ -84,3 +84,23 @@ def test_debug_evalf_flag():
             ev.eval_once(Bad(ev.constant(numpy.ones((3, 4)))))
     finally:
         config.debug.value = old
+
+
+def test_debug_compile_flag(caplog):
+    '''NUTILS_TPU_DEBUG=compile logs the traced program (reference:
+    evaluable.py:6835 generated-source dump).'''
+    import logging
+    import numpy
+    from nutils_tpu import evaluable as ev
+    from nutils_tpu.utils import config
+    old = config.debug.value
+    config.debug.value = frozenset({'compile'})
+    try:
+        a = ev.Argument('acmp', (3,))
+        comp = ev.Compiled(ev.sum_(ev.multiply(a, a), 0))
+        with caplog.at_level(logging.INFO):
+            out = comp({'acmp': numpy.ones(3)})
+        assert float(out) == 3.0
+        assert any('compiled program' in r.message for r in caplog.records)
+    finally:
+        config.debug.value = old
