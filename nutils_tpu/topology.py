@@ -43,7 +43,14 @@ class Topology:
                              arguments or {})
         out = numpy.concatenate([numpy.asarray(v) for v in vals])
         if asfunction:
-            raise NotImplementedError('asfunction=True pending')
+            # piecewise-constant function carrying each element's integral
+            # (reference: topology.py:420 asfunction branch): the degree-0
+            # discontinuous basis is the element indicator set
+            b = self.basis('discont', degree=0)
+            v = function.asarray(out)
+            for n in out.shape[1:]:
+                b = function.insertaxis(b, b.ndim, n)
+            return function.sum_(function.multiply(b, v), 0)
         return out
 
     # ---------------------------------------------------------- fields

@@ -308,3 +308,22 @@ def test_project_ptypes():
     topo.project(fun, basis, geom, degree=4, verify=16)
     v2 = topo.project(fun, basis, geom, degree=4, exact_boundaries=True)
     numpy.testing.assert_allclose(v2, exact, atol=1e-12)
+
+
+def test_integrate_elementwise_asfunction():
+    '''asfunction=True returns the piecewise-constant per-element integral
+    (reference: topology.py:420).'''
+    from nutils_tpu import mesh
+    topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 3)] * 2)
+    J = function.J(geom)
+    areas = topo.integrate_elementwise(J, degree=2)
+    numpy.testing.assert_allclose(areas, 0.25, atol=1e-12)
+    f = topo.integrate_elementwise(J, degree=2, asfunction=True)
+    smp = topo.sample('gauss', 1)
+    vals = numpy.asarray(smp.eval(f, {}))
+    numpy.testing.assert_allclose(vals, 0.25, atol=1e-12)
+    # vector integrand
+    fv = topo.integrate_elementwise(geom * J, degree=2, asfunction=True)
+    got = numpy.asarray(smp.eval(fv, {}))
+    want = numpy.asarray(smp.eval(geom, {})) * 0.25  # centroid * area
+    numpy.testing.assert_allclose(got, want, atol=1e-12)
