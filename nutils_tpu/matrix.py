@@ -254,11 +254,21 @@ class Matrix:
         else:
             auto = False
         if eff in ('cg', 'gmres') and self.shape[0] == self.shape[1]:
+            # build the masked operator M A M + (I - M) explicitly: identity
+            # rows keep the matrix inside the stencil window, so constrained
+            # structured systems retain the roofline matvec AND the multigrid
+            # preconditioner (a submatrix would destroy the grid)
+            import scipy.sparse
+            mf = isfree.astype(float)
+            Dm = scipy.sparse.diags(mf)
+            Am = (Dm @ self._scipy() @ Dm + scipy.sparse.diags(1.0 - mf)).tocsr()
+            Am.sum_duplicates()
+            Mm = Matrix(Am.indptr, Am.indices,
+                        Am.data.astype(numpy.asarray(self.data).dtype), Am.shape)
             b = numpy.where(isfree, rhs - (self @ xfix), 0.0)
             try:
-                fn = self._solve_cg if eff == 'cg' else self._solve_gmres
-                y = fn(b, atol=atol, rtol=rtol or 1e-11, precon=precon,
-                       _isfree=isfree, **kwargs)
+                fn = Mm._solve_cg if eff == 'cg' else Mm._solve_gmres
+                y = fn(b, atol=atol, rtol=rtol or 1e-11, precon=precon, **kwargs)
                 return numpy.where(isfree, y, xfix)
             except ToleranceNotReached:
                 if not auto:
@@ -396,6 +406,23 @@ class Matrix:
         mfree = jnp.asarray(numpy.asarray(isfree, dtype=dt))
         return ('masked', mv_kind), (mfree,) + tuple(op)
 
+    def _mg(self):
+        '''Cached geometric-multigrid hierarchy for stencil-form matrices
+        (None when the grid cannot coarsen); see ops/mg.py.'''
+        cached = getattr(self, '_mg_cache', '?')
+        if cached != '?':
+            return cached
+        from .ops import mg as _mg
+        from .ops import stencil as _stencil
+        form = _stencil.from_csr(numpy.asarray(self.data), self.indices, self.indptr,
+                                 self.shape[0]) if self.shape[0] == self.shape[1] else None
+        out = None
+        if form is not None:
+            dt = numpy.asarray(self.data).dtype
+            out = _mg.setup(form, self.data, self.indices, self.indptr, dtype=dt)
+        self._mg_cache = out
+        return out
+
     def _inf_norm(self):
         cached = getattr(self, '_inf_norm_cache', None)
         if cached is None:
@@ -450,28 +477,57 @@ class Matrix:
                 return A64 @ x
             return numpy.where(_isfree, A64 @ numpy.where(_isfree, x, 0.0), x)
 
+        # symmetric stencil operators get a geometric-multigrid V-cycle
+        # preconditioner by default: f32 Krylov alone stagnates at O(1) true
+        # residual for cond >~1e4 (measured: scipy f32 CG at 263k dofs ends
+        # at 0.63 relative), while MG-preconditioned CG converges in O(10)
+        # iterations independent of size (ops/mg.py)
+        if method == 'cg' and precon is None and mv_kind[0] == 'stencil' and _isfree is None:
+            mg = self._mg()
+            if mg is not None:
+                kind = ('mg', mg.shapes, mg.k)
+                minv = (mg.ws, mg.dinvs, mg.coarse_inv)
+
         inner = cg_op if method == 'cg' else gmres_op
-        inner_kwargs = dict(minv=jnp.asarray(minv), precon=kind,
-                            maxiter=maxiter or (4 * self.shape[0] if method == 'cg'
-                                                else max(20000, 2 * self.shape[0])))
+        n = self.shape[0]
+        # per-round iteration budget: O(sqrt(n)) covers a healthy
+        # Jacobi-preconditioned CG on second-order problems; anything the
+        # round leaves on the table is picked up by the next refinement
+        # round (warm restart from the true residual), so capping cannot
+        # lose convergence — it only bounds the time wasted when the inner
+        # recursion grinds below its precision floor
+        cap = maxiter or max(1024, int(16 * numpy.sqrt(n)))
+        inner_kwargs = dict(minv=minv if isinstance(minv, tuple) else jnp.asarray(minv),
+                            precon=kind, maxiter=cap)
         if method == 'gmres':
             inner_kwargs['restart'] = restart
-        x = numpy.zeros(self.shape[0])
+        eps_dt = float(numpy.finfo(dt).eps)
+        x = numpy.zeros(n)
         r = b64
         total_it = 0
         for outer in range(30):
             rn = float(numpy.linalg.norm(r))
             if rn <= target or not numpy.isfinite(rn):
                 break
-            d, _rnin, it = inner(mv_kind, op, jnp.asarray(r, dtype=dt),
-                                 atol=target, **inner_kwargs)
-            d = numpy.asarray(d, dtype=numpy.float64)
+            # the inner system is solved for the NORMALIZED residual r/|r|
+            # (and the correction rescaled): low-precision Krylov at O(1)
+            # magnitudes avoids the underflow blow-ups observed when a
+            # late-round residual of ~1e-8 entered the f32 loop.  Ask only
+            # for what the precision can deliver this round; deeper targets
+            # are reached by later rounds.
+            # sqrt(eps) per round is reliably reachable (f32: 3.5e-4) and
+            # exits the inner loop by convergence instead of stall detection;
+            # three rounds of it already overshoot a 1e-10 target
+            inner_atol = max(target / rn, float(numpy.sqrt(eps_dt)))
+            d, _rnin, it = inner(mv_kind, op, jnp.asarray(r / rn, dtype=dt),
+                                 atol=inner_atol, **inner_kwargs)
+            d = rn * numpy.asarray(d, dtype=numpy.float64)
             total_it += int(it)
             if not numpy.isfinite(d).all():
                 break
             x_new = x + d
             r_new = b64 - apply64(x_new)
-            if float(numpy.linalg.norm(r_new)) >= 0.5 * rn:
+            if float(numpy.linalg.norm(r_new)) >= 0.95 * rn:
                 # inner solve no longer contracts the error: floor reached
                 if float(numpy.linalg.norm(r_new)) < rn:
                     x, r = x_new, r_new

@@ -83,6 +83,21 @@ def _apply_block(minv, r):
 _PRECON_APPLY = {'diag': _apply_diag, 'block': _apply_block}
 
 
+def _precon_apply(kind):
+    '''Resolve a precon kind (a name, or ('mg', shapes, k) with static grid
+    shapes) to an apply(operand, r) callable.'''
+    if isinstance(kind, tuple) and kind[0] == 'mg':
+        from . import mg as _mg
+        shapes, k = kind[1], kind[2]
+        fn = _mg._vcycle_fn(shapes, k, 2)
+        ny, nx = shapes[0]
+
+        def apply(operand, r):
+            return fn(operand, r.reshape(ny, nx)).reshape(-1)
+        return apply
+    return _PRECON_APPLY[kind]
+
+
 def schur_diag_inverse(data, indices, indptr, n, weak_rel=1e-3):
     '''Host: Schur-aware inverse-diagonal scaling for general CSR systems.
 
@@ -202,7 +217,7 @@ def _make_matvec(mv_kind):
 def _cg_driver(precon_kind, mv_kind=('csr',)):
     import jax
     import jax.numpy as jnp
-    apply_m = _PRECON_APPLY[precon_kind]
+    apply_m = _precon_apply(precon_kind)
     matvec_op = _make_matvec(mv_kind)
 
     def run(op, b, minv, atol, maxiter):
@@ -233,12 +248,13 @@ def _cg_driver(precon_kind, mv_kind=('csr',)):
             lastres = jnp.where(need, rnorm, lastres)
             z = apply_m(minv, r)
             rz_new = r @ z
-            # residual replacement keeps the direction recursion (van der
-            # Vorst-style): r_refresh ~ r_rec so conjugacy degrades only by
-            # the drift itself; resetting beta instead would turn the method
-            # into 64-step restarted CG, which stagnates on ill-conditioned
-            # systems
-            beta = rz_new / rz
+            # SCHEDULED replacements keep the direction recursion (van der
+            # Vorst: r_refresh ~ r_rec, conjugacy degrades only by the
+            # drift); a CLAIMED-but-refuted convergence however replaces the
+            # residual by a much larger true one, and continuing the
+            # recursion there diverges (observed) — restart the direction
+            # (beta = 0) on those rare events instead
+            beta = jnp.where(claimed, 0.0, rz_new / rz)
             p = z + beta * p
             return x, r, z, p, rz_new, k + 1, stall, lastres
 
@@ -261,7 +277,8 @@ def cg_op(mv_kind, op, b, *, atol, maxiter, minv, precon='diag'):
     (x, resnorm, iters).'''
     import jax.numpy as jnp
     run = _cg_driver(precon, mv_kind)
-    return run(tuple(op), b, jnp.asarray(minv), jnp.asarray(atol, dtype=b.dtype),
+    m = minv if isinstance(minv, tuple) else jnp.asarray(minv)
+    return run(tuple(op), b, m, jnp.asarray(atol, dtype=b.dtype),
                jnp.asarray(maxiter, dtype=jnp.int32))
 
 
@@ -286,7 +303,7 @@ def cg(data, indices, indptr, b, diag=None, *, atol, maxiter, minv=None, precon=
 def _gmres_driver(precon_kind, restart, mv_kind=('csr',)):
     import jax
     import jax.numpy as jnp
-    apply_m = _PRECON_APPLY[precon_kind]
+    apply_m = _precon_apply(precon_kind)
     matvec_op = _make_matvec(mv_kind)
     m = int(restart)
 
@@ -382,7 +399,8 @@ def gmres_op(mv_kind, op, b, *, atol, maxiter, restart=60, minv, precon='diag'):
     import jax.numpy as jnp
     restart = max(2, min(int(restart), int(len(b))))
     run = _gmres_driver(precon, restart, mv_kind)
-    return run(tuple(op), b, jnp.asarray(minv), jnp.asarray(atol, dtype=b.dtype),
+    m = minv if isinstance(minv, tuple) else jnp.asarray(minv)
+    return run(tuple(op), b, m, jnp.asarray(atol, dtype=b.dtype),
                jnp.asarray(maxiter, dtype=jnp.int32))
 
 
