@@ -133,6 +133,80 @@ def _pack_complex(v):
     return v
 
 
+def _grid_plan(idx, N):
+    '''Detect the structured-grid affine layout of a constant index table:
+
+        idx[e, t...] == base[t] + (e // nx_e) * pitch + (e % nx_e)
+
+    — the shape of every dof table a structured (tensor-product) basis
+    produces.  Returns (ny_e, nx_e, pitch, bases [T]) or None.  The match is
+    verified exactly over the whole table, so the slice-form fast paths it
+    enables (gathers and scatter-adds become static 2-D slices, which XLA
+    runs at the HBM roofline where element-granular gathers serialize) can
+    never change results.'''
+    idx = numpy.asarray(idx)
+    if idx.ndim < 2 or idx.shape[0] < 4:
+        return None
+    E = idx.shape[0]
+    flatT = idx.reshape(E, -1)
+    col = flatT[:, 0].astype(numpy.int64)
+    d = numpy.diff(col)
+    sx = int(d[0])
+    if sx < 1:
+        return None
+    jumps = numpy.nonzero(d != sx)[0]
+    nx_e = int(jumps[0] + 1) if len(jumps) else E
+    if E % nx_e:
+        return None
+    ny_e = E // nx_e
+    span = (nx_e - 1) * sx + 1
+    pitch = int(col[nx_e] - col[0]) if ny_e > 1 else max(int(flatT.max()) + span, span)
+    if pitch < span:
+        return None
+    e = numpy.arange(E)
+    grid = (e // nx_e) * pitch + (e % nx_e) * sx
+    if not numpy.array_equal(flatT, flatT[:1] + grid[:, None] - grid[0]):
+        return None
+    bases = (flatT[0] - grid[0]).astype(numpy.int64)
+    if bases.min() < 0 or ((bases % pitch) + span > pitch).any():
+        return None  # a slice would wrap a row
+    return ny_e, nx_e, sx, pitch, bases
+
+
+def _slice_gather(flat, plan, trailing_shape):
+    '''[N] -> [E, *trailing] through static 2-D slices of the padded grid
+    view (the slice-form counterpart of flat[idx]).'''
+    import jax.numpy as jnp
+    ny_e, nx_e, sx, pitch, bases = plan
+    span = (nx_e - 1) * sx + 1
+    nrows = max(int(bases.max()) // pitch + ny_e, -(-flat.shape[0] // pitch))
+    pad = nrows * pitch - flat.shape[0]
+    u2 = (jnp.pad(flat, (0, pad)) if pad else flat).reshape(nrows, pitch)
+    parts = []
+    for b in bases:
+        r0, c0 = int(b) // pitch, int(b) % pitch
+        parts.append(u2[r0:r0 + ny_e, c0:c0 + span:sx].reshape(-1))
+    out = jnp.stack(parts, axis=-1) if len(parts) > 1 else parts[0][:, None]
+    return out.reshape((ny_e * nx_e,) + tuple(trailing_shape))
+
+
+def _slice_scatter_add(r, plan, v):
+    '''r[idx] += v via static 2-D slice adds; v [E, *trailing] (C-order
+    trailing matching the plan's bases).'''
+    import jax.numpy as jnp
+    ny_e, nx_e, sx, pitch, bases = plan
+    span = (nx_e - 1) * sx + 1
+    n = r.shape[0]
+    nrows = max(int(bases.max()) // pitch + ny_e, -(-n // pitch))
+    pad = nrows * pitch - n
+    r2 = (jnp.pad(r, (0, pad)) if pad else r).reshape(nrows, pitch)
+    vf = v.reshape(v.shape[0], -1)
+    for t, b in enumerate(bases):
+        r0, c0 = int(b) // pitch, int(b) % pitch
+        r2 = r2.at[r0:r0 + ny_e, c0:c0 + span:sx].add(vf[:, t].reshape(ny_e, nx_e))
+    return r2.reshape(-1)[:n]
+
+
 class _Loc:
     '''One localized appearance of an argument in an expression.
 
@@ -159,6 +233,13 @@ class _Loc:
         import jax.numpy as jnp
         from .utils import config
         flat = jnp.asarray(args[self.name], dtype=config.float_dtype()).reshape(-1)
+        plan = getattr(self, '_gplan', '?')
+        if plan == '?':
+            N = int(numpy.prod(self.argshape, dtype=numpy.int64))
+            plan = self._gplan = None if self.dense else _grid_plan(self.argidx, N)
+        if plan is not None:
+            out = _slice_gather(flat, plan, self.argidx.shape[1:])
+            return jnp.broadcast_to(out, self.leaf.shape)
         return jnp.broadcast_to(flat[self.argidx], self.leaf.shape)
 
     def seeds(self):
@@ -636,8 +717,24 @@ class System:
             r = jnp.zeros(n, dtype=config.float_dtype())
             for c in chunks:
                 v = c.fn(args, {}, tables)
-                rows = jnp.broadcast_to(jnp.asarray(c.rows), c.shape)
-                r = r.at[rows.ravel()].add(v.ravel())
+                plan = getattr(c, '_row_plan', '?')
+                if plan == '?':
+                    rows_np = numpy.asarray(c.rows)
+                    # sum v over axes the row table broadcasts along, then
+                    # try the structured slice-scatter layout
+                    bcast = tuple(ax for ax in range(len(c.shape))
+                                  if rows_np.shape[ax] == 1 and c.shape[ax] > 1)
+                    sq = rows_np
+                    for ax in reversed(bcast):
+                        sq = numpy.squeeze(sq, ax)
+                    plan = c._row_plan = (bcast, _grid_plan(sq, n)) \
+                        if sq.ndim >= 2 and sq.shape[0] > 1 else (None, None)
+                bcast, gplan = plan
+                if gplan is not None:
+                    r = _slice_scatter_add(r, gplan, v.sum(bcast) if bcast else v)
+                else:
+                    rows = jnp.broadcast_to(jnp.asarray(c.rows), c.shape)
+                    r = r.at[rows.ravel()].add(v.ravel())
             parts.append(r)
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 

@@ -337,3 +337,35 @@ def test_assembly_paths_agree():
     numpy.testing.assert_allclose(jac_split, jac_fused, rtol=1e-12, atol=1e-14)
     numpy.testing.assert_allclose(r_scan, r_fused, rtol=1e-12, atol=1e-13)
     numpy.testing.assert_allclose(jac_scan, jac_fused, rtol=1e-12, atol=1e-13)
+
+
+def test_grid_plan_slice_paths_match_gather():
+    '''The structured slice-form gather/scatter fast paths (solver._grid_plan
+    and friends) must fire for tensor-product bases and reproduce the generic
+    gather path exactly.'''
+    import nutils_tpu.solver as S
+    from nutils_tpu import solver
+    for btype, degree in [('std', 1), ('std', 2), ('spline', 3)]:
+        topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 9)] * 2)
+        u = topo.field('u', btype=btype, degree=degree)
+        v = function.replace_arguments(u, 'u:v')
+        J = function.J(geom)
+        res = topo.integral(((function.grad(v, geom) @ function.grad(u, geom))
+                             + v * u ** 3 - v) * J, degree=2 * degree)
+        sys_ = solver.System(res, trial='u', test='v')
+        n = sys_.trial_shapes[0][0]
+        args = {'u': numpy.linspace(-1, 1, n)}
+        jac, r = sys_.assemble_jacobian_residual(args)
+        assert any(getattr(l, '_gplan', None) not in (None, '?')
+                   for ll in sys_._locs.values() for l in ll), f'{btype}{degree}: no slice gather'
+        assert any(getattr(c, '_row_plan', (None, None))[1] is not None
+                   for chunks in sys_._blocks for c in chunks), f'{btype}{degree}: no slice scatter'
+        orig = S._grid_plan
+        S._grid_plan = lambda *a, **k: None
+        try:
+            sys2 = solver.System(res, trial='u', test='v')
+            jac2, r2 = sys2.assemble_jacobian_residual(args)
+        finally:
+            S._grid_plan = orig
+        numpy.testing.assert_allclose(numpy.asarray(r), numpy.asarray(r2), rtol=0, atol=1e-14)
+        numpy.testing.assert_allclose(jac.export('dense'), jac2.export('dense'), rtol=0, atol=1e-14)
