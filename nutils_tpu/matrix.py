@@ -145,10 +145,10 @@ class Matrix:
     def __matmul__(self, vec):
         return self._scipy() @ numpy.asarray(vec)
 
-    @classmethod
-    def _from_scipy(cls, m):
+    @staticmethod
+    def _from_scipy(m):
         m = m.tocsr()
-        return cls(m.indptr, m.indices, m.data, m.shape)
+        return Matrix(m.indptr, m.indices, m.data, m.shape)
 
     def __add__(self, other):
         if not isinstance(other, Matrix):
@@ -183,8 +183,21 @@ class Matrix:
         return self._scipy().diagonal()
 
     def submatrix(self, rows, cols):
-        '''Restrict to boolean-masked rows/cols (reference: matrix/_base.py:261).'''
-        m = self._scipy()[numpy.asarray(rows)][:, numpy.asarray(cols)].tocsr()
+        '''Restrict to boolean-masked rows/cols (reference: matrix/_base.py:261).
+
+        All-true masks return the matrix itself; the symmetric square case
+        returns a lazy view whose ``solve`` runs as a masked solve on the
+        FULL operator — Dirichlet-constrained structured systems keep their
+        stencil form and multigrid preconditioner this way, where an eager
+        submatrix would collapse them to unstructured CSR.'''
+        rows = numpy.asarray(rows)
+        cols = numpy.asarray(cols)
+        if rows.dtype == bool and cols.dtype == bool:
+            if rows.all() and cols.all():
+                return self
+            if self.shape[0] == self.shape[1] and numpy.array_equal(rows, cols):
+                return _SubMatrix(self, rows)
+        m = self._scipy()[rows][:, cols].tocsr()
         return Matrix(m.indptr, m.indices, m.data, m.shape)
 
     def _device_op(self):
@@ -257,14 +270,22 @@ class Matrix:
             # build the masked operator M A M + (I - M) explicitly: identity
             # rows keep the matrix inside the stencil window, so constrained
             # structured systems retain the roofline matvec AND the multigrid
-            # preconditioner (a submatrix would destroy the grid)
-            import scipy.sparse
-            mf = isfree.astype(float)
-            Dm = scipy.sparse.diags(mf)
-            Am = (Dm @ self._scipy() @ Dm + scipy.sparse.diags(1.0 - mf)).tocsr()
-            Am.sum_duplicates()
-            Mm = Matrix(Am.indptr, Am.indices,
-                        Am.data.astype(numpy.asarray(self.data).dtype), Am.shape)
+            # preconditioner (a submatrix would destroy the grid).  Cached per
+            # mask so repeated solves (Newton iterations) reuse the stencil
+            # detection and MG hierarchy.
+            key = isfree.tobytes()
+            cached = getattr(self, '_masked_solve_cache', None)
+            if cached is not None and cached[0] == key:
+                Mm = cached[1]
+            else:
+                import scipy.sparse
+                mf = isfree.astype(float)
+                Dm = scipy.sparse.diags(mf)
+                Am = (Dm @ self._scipy() @ Dm + scipy.sparse.diags(1.0 - mf)).tocsr()
+                Am.sum_duplicates()
+                Mm = Matrix(Am.indptr, Am.indices,
+                            Am.data.astype(numpy.asarray(self.data).dtype), Am.shape)
+                self._masked_solve_cache = (key, Mm)
             b = numpy.where(isfree, rhs - (self @ xfix), 0.0)
             try:
                 fn = Mm._solve_cg if eff == 'cg' else Mm._solve_gmres
@@ -572,6 +593,36 @@ class Matrix:
         if info != 0:
             raise ToleranceNotReached(x)
         return x
+
+
+class _SubMatrix(Matrix):
+    '''Lazy symmetric-mask submatrix view: ``solve`` runs as a masked solve
+    on the parent (keeping stencil structure and the MG preconditioner);
+    CSR arrays materialize only when some other operation needs them.'''
+
+    def __init__(self, parent, mask):
+        self._parent = parent
+        self._mask = numpy.asarray(mask, dtype=bool)
+        nf = int(self._mask.sum())
+        self.shape = (nf, nf)
+
+    def __getattr__(self, name):
+        if name in ('indptr', 'indices', 'data'):
+            m = self._parent._scipy()[self._mask][:, self._mask].tocsr()
+            self.indptr = m.indptr
+            self.indices = m.indices
+            self.data = m.data
+            return getattr(self, name)
+        raise AttributeError(name)
+
+    def solve(self, rhs=None, *, constrain=None, **kwargs):
+        if constrain is None:
+            full = numpy.zeros(self._parent.shape[0])
+            if rhs is not None:
+                full[self._mask] = numpy.asarray(rhs, dtype=float)
+            x = self._parent.solve(full, constrain=~self._mask, **kwargs)
+            return x[self._mask]
+        return super().solve(rhs, constrain=constrain, **kwargs)
 
 
 class _Precon:
