@@ -625,6 +625,41 @@ class _SubMatrix(Matrix):
         return super().solve(rhs, constrain=constrain, **kwargs)
 
 
+class _StencilMatrix(Matrix):
+    '''Matrix whose device payload is a verified grid-stencil weight array
+    w[(2k+1)^2 * nyd * nxd] (solver stencil-form jacobian assembly): the
+    device solvers consume the stencil directly with zero copies, and the
+    CSR data array materializes lazily (host gather) only when some other
+    operation needs it.'''
+
+    def __init__(self, pattern, w_flat, k, nyd, nxd, csr_map):
+        self.indptr = pattern.indptr
+        self.indices = pattern.indices
+        self.shape = tuple(pattern.shape)
+        self._w = w_flat
+        self._k = int(k)
+        self._nyd = int(nyd)
+        self._nxd = int(nxd)
+        self._csr_map = csr_map
+
+    def __getattr__(self, name):
+        if name == 'data':
+            self.data = numpy.asarray(self._w)[self._csr_map]
+            return self.data
+        raise AttributeError(name)
+
+    def _device_op(self):
+        cached = getattr(self, '_device_op_cache', None)
+        if cached is not None:
+            return cached
+        import jax.numpy as jnp
+        m = 2 * self._k + 1
+        out = (('stencil', self._k, self._nyd, self._nxd),
+               (jnp.asarray(self._w).reshape(m * m, self._nyd, self._nxd),))
+        self._device_op_cache = out
+        return out
+
+
 class _Precon:
     '''Preconditioner handle: device kinds carry an ``minv`` array consumed by
     the jitted Krylov drivers; host kind carries an apply callable.'''

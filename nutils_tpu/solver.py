@@ -783,6 +783,7 @@ class System:
         chunk_meta = []
         rows_all = []
         cols_all = []
+        segs2d = []
         for bi, chunks in enumerate(self._blocks):
             row_off = self._test_slices[bi].start
             for ci, c in enumerate(chunks):
@@ -810,17 +811,79 @@ class System:
                         cols_k = numpy.broadcast_to(cols_b, vshape)[sel]
                         rows_all.append((rows_k + row_off).ravel())
                         cols_all.append((cols_k + col_off).ravel())
+                        segs2d.append(((rows_k + row_off).reshape(rows_k.shape[0], -1),
+                                       (cols_k + col_off).reshape(cols_k.shape[0], -1)))
                         chunk_meta.append((bi, ci, u, li, reduce_axes, rows_k.size))
         rows_cat = numpy.concatenate(rows_all) if rows_all else numpy.zeros(0, dtype=numpy.int64)
         cols_cat = numpy.concatenate(cols_all) if cols_all else numpy.zeros(0, dtype=numpy.int64)
         pattern = matrix.SparsePattern(rows_cat, cols_cat, (self._ntest, self._ntrial))
-        return chunk_meta, pattern
+        jplan = self._plan_stencil_jacobian(segs2d, pattern)
+        return chunk_meta, pattern, jplan
+
+    def _plan_stencil_jacobian(self, segs2d, pattern):
+        '''Try to assemble the jacobian directly in stencil form
+        w[(2k+1)^2, nyd, nxd]: every (row, col) entry must decompose as
+        col - row = a*nxd + b with |a|,|b| <= k and no grid-row wrap, and the
+        dof pitch nxd must be consistent across all (chunk, loc) segments.
+        Segments whose target tables are grid-affine scatter through static
+        slices (solver._slice_scatter_add); the few that are not (boundary
+        batches etc.) keep an element-granular add into the same w buffer.
+        Replaces the per-iteration CSR value scatter — the last
+        element-granular device op of structured assembly.'''
+        n = self._ntest
+        if n != self._ntrial or not segs2d:
+            return None
+        # dof pitch from the 2-D-affine (volume-batch) row tables
+        nxd = None
+        for rowsT, colsT in segs2d:
+            rp = _grid_plan(rowsT, n)
+            if rp is not None and rp[0] > 1:
+                ny_e, nx_e, sx, pitch, _bases = rp
+                if pitch % sx == 0:
+                    cand = pitch // sx
+                    if nxd is None:
+                        nxd = cand
+                    elif nxd != cand:
+                        return None
+        if nxd is None or n % nxd:
+            return None
+        # window radius and per-segment plans
+        k = 0
+        deltas = []
+        for rowsT, colsT in segs2d:
+            d = colsT - rowsT
+            a = numpy.floor_divide(d + (nxd >> 1), nxd)
+            b = d - a * nxd
+            if numpy.abs(a).max(initial=0) > 3 or numpy.abs(b).max(initial=0) > 3:
+                return None
+            jx = rowsT % nxd + b
+            jy = rowsT // nxd + a
+            if (jx < 0).any() or (jx >= nxd).any() or (jy < 0).any() or (jy >= n // nxd).any():
+                return None
+            k = max(k, int(numpy.abs(a).max(initial=0)), int(numpy.abs(b).max(initial=0)))
+            deltas.append((a, b))
+        m = 2 * k + 1
+        segs = []
+        for (rowsT, colsT), (a, b) in zip(segs2d, deltas):
+            widx = (a + k) * m + (b + k)
+            tgt = widx.astype(numpy.int64) * n + rowsT
+            plan = _grid_plan(tgt, m * m * n) if (widx == widx[:1]).all() else None
+            if plan is not None:
+                segs.append(('slice', plan))
+            else:
+                segs.append(('scatter', tgt.ravel()))
+        # CSR materialization map: slot l holds w[widx_l * n + row_l]
+        d = pattern.indices.astype(numpy.int64) - pattern.urows
+        a = numpy.floor_divide(d + (nxd >> 1), nxd)
+        b = d - a * nxd
+        csr_map = ((a + k) * m + (b + k)) * n + pattern.urows
+        return dict(k=k, m=m, nxd=nxd, nyd=n // nxd, n=n, segs=segs, csr_map=csr_map)
 
     def _jacobian_trace(self, args, tables):
         import jax
         import jax.numpy as jnp
         from .utils import config
-        chunk_meta, pattern = self._jac_layout
+        chunk_meta, pattern, _jplan = self._jac_layout
         vals = []
         for bi, ci, u, li, reduce_axes, _size in chunk_meta:
             c = self._blocks[bi][ci]
@@ -851,8 +914,19 @@ class System:
             V = jnp.moveaxis(V, 0, -1)       # [*cshape, S]
             if reduce_axes:
                 V = V.sum(axis=reduce_axes)
-            vals.append(V.ravel())
-        flat = jnp.concatenate(vals) if len(vals) > 1 else vals[0]
+            vals.append(V)
+        if _jplan is not None:
+            # direct stencil-form assembly: values land in w[(2k+1)^2 * n]
+            # through static slice adds (grid-affine segments) or small
+            # constant-table adds — no CSR value scatter in the jit
+            w = jnp.zeros(_jplan['m'] * _jplan['m'] * _jplan['n'], dtype=config.float_dtype())
+            for (skind, payload), V in zip(_jplan['segs'], vals):
+                if skind == 'slice':
+                    w = _slice_scatter_add(w, payload, V.reshape(V.shape[0], -1))
+                else:
+                    w = w.at[jnp.asarray(payload)].add(V.ravel())
+            return w
+        flat = jnp.concatenate([V.ravel() for V in vals]) if len(vals) > 1 else vals[0].ravel()
         return pattern.scatter(flat)
 
     # ------------------------------------------- element-chunked assembly
@@ -929,7 +1003,7 @@ class System:
         if cached is not None:
             return cached
         E, ce, nc = plan['E'], plan['ce'], plan['nc']
-        chunk_meta, pattern = self._jac_layout
+        chunk_meta, pattern, _jplan = self._jac_layout
         xs = {}
         fixed = {}
         for key, val in self._tables().items():
@@ -990,7 +1064,7 @@ class System:
         from .utils import config
         plan = self._scan_plan()
         sx = dict(self._cache['scanxs'], xs=xs, fixed=fixed)
-        chunk_meta, pattern = self._jac_layout
+        chunk_meta, pattern, _jplan = self._jac_layout
         comp_big, comp_small = plan['comp_big'], plan['comp_small']
         fdt = config.float_dtype()
         flats = {name: jnp.asarray(args[name], dtype=fdt).reshape(-1) for name in self.argshapes}
@@ -1142,7 +1216,7 @@ class System:
                 jf = jax.jit(lambda args, tables, _c=c: _c.fn(args, {}, tables))
                 res_fns.append((jf, np.broadcast_to(c.rows, c.shape).ravel() + sl.start, c.shape))
 
-        chunk_meta, pattern = self._jac_layout
+        chunk_meta, pattern, _jplan = self._jac_layout
         offs = np.cumsum([0] + [m[-1] for m in chunk_meta])
 
         jac_fns = []  # (jitted, slot segment)
@@ -1200,10 +1274,12 @@ class System:
                 self._cache[which] = fn
                 return fn
             if plan is None and not config.fuse_assembly.value and jax.default_backend() == 'cpu':
+                self._jacform = 'csr'
                 fn = self._compiled_split(which)
                 self._cache[which] = fn
                 return fn
             if plan is not None:
+                self._jacform = 'csr'
                 sx = self._scan_xs(plan)
                 trace = {
                     'residual': lambda args, xs, fx: self._scan_assemble(args, xs, fx, False, True)[1],
@@ -1214,6 +1290,7 @@ class System:
                 jitted = jax.jit(trace)
                 fn = lambda args: jitted(args, sx['xs'], sx['fixed'])
             else:
+                self._jacform = 'stencil' if self._jac_layout[2] is not None else 'csr'
                 trace = {'residual': self._residual_trace,
                          'jacobian': self._jacobian_trace,
                          'value': self._value_trace,
@@ -1239,12 +1316,18 @@ class System:
     def _jac_matrix(self, clean):
         if self.is_constant_matrix and 'jacmat' in self._cache:
             return self._cache['jacmat']
-        _, pattern = self._jac_layout
+        _, pattern, jplan = self._jac_layout
         data = self._compiled('jacobian')(clean)
-        jac = matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
+        jac = self._wrap_matrix(pattern, jplan, data)
         if self.is_constant_matrix:
             self._cache['jacmat'] = jac
         return jac
+
+    def _wrap_matrix(self, pattern, jplan, data):
+        if jplan is not None and getattr(self, '_jacform', 'csr') == 'stencil':
+            return matrix._StencilMatrix(pattern, data, jplan['k'], jplan['nyd'],
+                                         jplan['nxd'], jplan['csr_map'])
+        return matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
 
     @log.withcontext
     def assemble_jacobian_residual(self, arguments, x=None):
@@ -1255,8 +1338,8 @@ class System:
             r = numpy.asarray(self._compiled('residual')(clean))
         else:
             data, r = self._compiled('jacres')(clean)
-            _, pattern = self._jac_layout
-            jac = matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
+            _, pattern, jplan = self._jac_layout
+            jac = self._wrap_matrix(pattern, jplan, data)
             r = numpy.asarray(r)
             if self.is_constant_matrix:
                 self._cache['jacmat'] = jac

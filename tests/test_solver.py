@@ -287,7 +287,7 @@ def test_vector_residual_bare_basis():
     res -= topo.integral('basis_k dV' @ ns, degree=4)
     sys_vec = solver.System([res], trial='u')
     # the localized layout must be element-batched, not dense: one pair
-    chunk_meta, pattern = sys_vec._jac_layout
+    chunk_meta, pattern, _jplan = sys_vec._jac_layout
     assert pattern.nnz < 16 * 81, 'jacobian pattern is dense: localization failed'
     args_vec = sys_vec.solve(constrain={'u': cons})
 
