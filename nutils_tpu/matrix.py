@@ -482,14 +482,27 @@ class Matrix:
         '''
         import jax.numpy as jnp
         from .ops.sparse import cg_op, gmres_op
-        kind, minv = self._device_precon(precon, preconargs)
         b64 = numpy.asarray(rhs, dtype=numpy.float64)
         target = max(atol, rtol * float(numpy.linalg.norm(b64)))
-        dt = numpy.asarray(self.data).dtype
         mv_kind, op = self._device_op()
-        minv = numpy.asarray(minv, dtype=dt)
+        dt = numpy.asarray(op[0]).dtype if mv_kind[0] == 'stencil' else numpy.asarray(self.data).dtype
+        # symmetric stencil operators get a geometric-multigrid V-cycle
+        # preconditioner by default: f32 Krylov alone stagnates at O(1) true
+        # residual for cond >~1e4 (measured: scipy f32 CG at 263k dofs ends
+        # at 0.63 relative), while MG-preconditioned CG converges in O(10)
+        # iterations independent of size (ops/mg.py)
+        kind = minv = None
+        if method == 'cg' and precon is None and mv_kind[0] == 'stencil' and _isfree is None:
+            mg = self._mg()
+            if mg is not None:
+                kind = ('mg', mg.shapes, mg.k)
+                minv = (mg.ws, mg.dinvs, mg.coarse_inv)
+        if kind is None:
+            kind, minv = self._device_precon(precon, preconargs)
+            minv = numpy.asarray(minv, dtype=dt)
+            if _isfree is not None and kind == 'diag':
+                minv = numpy.where(_isfree, minv, 1.0)
         if _isfree is not None:
-            minv = numpy.where(_isfree, minv, 1.0) if kind == 'diag' else minv
             mv_kind, op = self._masked_op(mv_kind, op, _isfree, dt)
         A64 = self._scipy().astype(numpy.float64)
 
@@ -497,17 +510,6 @@ class Matrix:
             if _isfree is None:
                 return A64 @ x
             return numpy.where(_isfree, A64 @ numpy.where(_isfree, x, 0.0), x)
-
-        # symmetric stencil operators get a geometric-multigrid V-cycle
-        # preconditioner by default: f32 Krylov alone stagnates at O(1) true
-        # residual for cond >~1e4 (measured: scipy f32 CG at 263k dofs ends
-        # at 0.63 relative), while MG-preconditioned CG converges in O(10)
-        # iterations independent of size (ops/mg.py)
-        if method == 'cg' and precon is None and mv_kind[0] == 'stencil' and _isfree is None:
-            mg = self._mg()
-            if mg is not None:
-                kind = ('mg', mg.shapes, mg.k)
-                minv = (mg.ws, mg.dinvs, mg.coarse_inv)
 
         inner = cg_op if method == 'cg' else gmres_op
         n = self.shape[0]
