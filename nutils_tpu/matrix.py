@@ -204,28 +204,40 @@ class Matrix:
         '''(mv_kind, operands) for the device Krylov drivers, best structure
         first (cached):
 
-        * ``('stencil', k, ny, nx)`` when the pattern is a verified
-          (2k+1)^2 grid stencil — shifted-slice matvec at the HBM roofline
+        * ``('stencil', ks, shape)`` when the pattern is a verified grid
+          stencil (any rank) — shifted-slice matvec at the HBM roofline
           (measured 64 us/mv at 1M dofs f32 on a v5e);
-        * ``('ell',)`` when rows are uniformly short — gather + dense reduce,
-          measured ~2x the scatter CSR form;
-        * ``('csr',)`` scatter-add fallback.
+        * ``('bell', R)`` unstructured rows grouped into shared-column row
+          blocks — one gather per block column feeding a dense [R, Wb]
+          contraction, cutting the serializing per-element gathers ~R-fold
+          versus ELL;
+        * ``('ell',)`` per-row gather + dense reduce (config spmv='ell');
+        * ``('csr',)`` scatter-add fallback for pathologically wide rows.
         '''
         cached = getattr(self, '_device_op_cache', None)
         if cached is not None:
             return cached
         import jax.numpy as jnp
         from .ops import stencil as _stencil
+        from .utils import config
         n = self.shape[0]
         data = numpy.asarray(self.data)
         form = _stencil.from_csr(data, self.indices, self.indptr, n) \
             if self.shape[0] == self.shape[1] else None
         if form is not None:
-            out = (('stencil', form.k, form.ny, form.nx), (jnp.asarray(form.w),))
+            out = (('stencil', form.ks, form.shape), (jnp.asarray(form.w),))
         else:
             counts = numpy.diff(self.indptr)
             W = int(counts.max()) if n else 0
-            if W and n * W <= 4 * len(data):
+            spmv = config.spmv.value
+            if spmv == 'auto':
+                spmv = 'bell' if W and n * W <= 8 * len(data) else 'csr'
+            if spmv == 'bell':
+                from .ops.sparse import csr_to_bell
+                R = config.spmv_blockrows.value
+                vals, cols = csr_to_bell(data, self.indices, self.indptr, R)
+                out = (('bell', R), (jnp.asarray(vals), jnp.asarray(cols)))
+            elif spmv == 'ell' and W:
                 from .ops.sparse import csr_to_ell
                 vals, cols = csr_to_ell(data, self.indices, self.indptr)
                 out = (('ell',), (jnp.asarray(vals), jnp.asarray(cols)))
@@ -486,16 +498,20 @@ class Matrix:
         target = max(atol, rtol * float(numpy.linalg.norm(b64)))
         mv_kind, op = self._device_op()
         dt = numpy.asarray(op[0]).dtype if mv_kind[0] == 'stencil' else numpy.asarray(self.data).dtype
-        # symmetric stencil operators get a geometric-multigrid V-cycle
-        # preconditioner by default: f32 Krylov alone stagnates at O(1) true
-        # residual for cond >~1e4 (measured: scipy f32 CG at 263k dofs ends
-        # at 0.63 relative), while MG-preconditioned CG converges in O(10)
-        # iterations independent of size (ops/mg.py)
+        # stencil operators get a geometric-multigrid V-cycle preconditioner
+        # by default: f32 Krylov alone stagnates at O(1) true residual for
+        # cond >~1e4 (measured: scipy f32 CG at 263k dofs ends at 0.63
+        # relative), while MG-preconditioned CG converges in O(10) iterations
+        # independent of size (ops/mg.py).  The same (symmetric) cycle also
+        # preconditions GMRES on nonsymmetric stencil systems
+        # (convection-diffusion class); divergent cases are caught by the
+        # refinement loop's contraction test and fall through to the
+        # diagonal/host paths.
         kind = minv = None
-        if method == 'cg' and precon is None and mv_kind[0] == 'stencil' and _isfree is None:
+        if method in ('cg', 'gmres') and precon is None and mv_kind[0] == 'stencil' and _isfree is None:
             mg = self._mg()
             if mg is not None:
-                kind = ('mg', mg.shapes, mg.k)
+                kind = ('mg', mg.levels)
                 minv = (mg.ws, mg.dinvs, mg.coarse_inv)
         if kind is None:
             kind, minv = self._device_precon(precon, preconargs)
@@ -629,19 +645,18 @@ class _SubMatrix(Matrix):
 
 class _StencilMatrix(Matrix):
     '''Matrix whose device payload is a verified grid-stencil weight array
-    w[(2k+1)^2 * nyd * nxd] (solver stencil-form jacobian assembly): the
-    device solvers consume the stencil directly with zero copies, and the
-    CSR data array materializes lazily (host gather) only when some other
-    operation needs it.'''
+    w[prod(2k_i+1) * prod(shape)] (solver stencil-form jacobian assembly):
+    the device solvers consume the stencil directly with zero copies, and
+    the CSR data array materializes lazily (host gather) only when some
+    other operation needs it.'''
 
-    def __init__(self, pattern, w_flat, k, nyd, nxd, csr_map):
+    def __init__(self, pattern, w_flat, ks, grid_shape, csr_map):
         self.indptr = pattern.indptr
         self.indices = pattern.indices
         self.shape = tuple(pattern.shape)
         self._w = w_flat
-        self._k = int(k)
-        self._nyd = int(nyd)
-        self._nxd = int(nxd)
+        self._ks = tuple(int(k) for k in ks)
+        self._grid = tuple(int(s) for s in grid_shape)
         self._csr_map = csr_map
 
     def __getattr__(self, name):
@@ -655,9 +670,9 @@ class _StencilMatrix(Matrix):
         if cached is not None:
             return cached
         import jax.numpy as jnp
-        m = 2 * self._k + 1
-        out = (('stencil', self._k, self._nyd, self._nxd),
-               (jnp.asarray(self._w).reshape(m * m, self._nyd, self._nxd),))
+        W = int(numpy.prod([2 * k + 1 for k in self._ks]))
+        out = (('stencil', self._ks, self._grid),
+               (jnp.asarray(self._w).reshape((W,) + self._grid),))
         self._device_op_cache = out
         return out
 

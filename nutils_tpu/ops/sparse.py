@@ -54,6 +54,41 @@ def csr_to_ell(data, indices, indptr):
     return vals, cols
 
 
+def csr_to_bell(data, indices, indptr, blockrows=32):
+    '''Convert CSR arrays to the shared-column block-ELL layout: rows are
+    grouped into blocks of R = ``blockrows``, each block gathers its UNIQUE
+    column set once (padded to the widest block, Wb) and applies a dense
+    [R, Wb] value matrix.  FEM rows that are neighbors in dof order share
+    most of their columns, so the per-element gathers — the serializing cost
+    on this toolchain (~7 ns each, see the measurement record below) — drop
+    by roughly R/(Wb/W) while the added dense work rides the MXU/VPU at
+    roofline.  Returns (vals [nb, R, Wb], cols [nb, Wb]).'''
+    data = numpy.asarray(data)
+    indices = numpy.asarray(indices).astype(numpy.int64)
+    indptr = numpy.asarray(indptr)
+    n = len(indptr) - 1
+    R = int(blockrows)
+    nb = -(-n // R)
+    counts = numpy.diff(indptr)
+    rows = numpy.repeat(numpy.arange(n), counts)
+    rb = rows // R
+    # unique (block, column) pairs and each entry's slot within its block —
+    # one global sort instead of a per-block python loop
+    key = rb * n + indices
+    ukey, inv = numpy.unique(key, return_inverse=True)
+    ub = ukey // n
+    uc = ukey % n
+    widths = numpy.bincount(ub, minlength=nb)
+    Wb = int(widths.max()) if len(ukey) else 1
+    block_start = numpy.concatenate([[0], numpy.cumsum(widths)[:-1]])
+    pos_u = numpy.arange(len(ukey)) - block_start[ub]
+    vals = numpy.zeros((nb, R, Wb), dtype=data.dtype)
+    cols = numpy.zeros((nb, Wb), dtype=numpy.int32)
+    cols[ub, pos_u] = uc
+    vals[rb, rows % R, pos_u[inv]] = data
+    return vals, cols
+
+
 def csr_matvec(data, indices, indptr, x, row_ids=None):
     import jax.numpy as jnp
     if row_ids is None:
@@ -84,16 +119,16 @@ _PRECON_APPLY = {'diag': _apply_diag, 'block': _apply_block}
 
 
 def _precon_apply(kind):
-    '''Resolve a precon kind (a name, or ('mg', shapes, k) with static grid
-    shapes) to an apply(operand, r) callable.'''
+    '''Resolve a precon kind (a name, or ('mg', levels) with the static
+    per-level (ks, shape) tuple) to an apply(operand, r) callable.'''
     if isinstance(kind, tuple) and kind[0] == 'mg':
         from . import mg as _mg
-        shapes, k = kind[1], kind[2]
-        fn = _mg._vcycle_fn(shapes, k, 2)
-        ny, nx = shapes[0]
+        levels = kind[1]
+        fn = _mg._vcycle_fn(levels, 2)
+        shape = levels[0][1]
 
         def apply(operand, r):
-            return fn(operand, r.reshape(ny, nx)).reshape(-1)
+            return fn(operand, r.reshape(shape)).reshape(-1)
         return apply
     return _PRECON_APPLY[kind]
 
@@ -167,7 +202,11 @@ def block_jacobi_inverse(data, indices, indptr, n, blocksize):
 #
 # * ('csr',)                 op = (data, indices, row_ids)   — scatter-add
 # * ('ell',)                 op = (vals [n,W], cols [n,W])   — gather + dense
-# * ('stencil', k, ny, nx)   op = (w [(2k+1)^2, ny, nx],)    — shifted slices
+# * ('bell', R)              op = (vals [nb,R,Wb], cols [nb,Wb]) — shared-
+#                            column row blocks: one gather per block column
+#                            feeding a dense [R,Wb]@[Wb] contraction, cutting
+#                            the serializing per-element gathers ~R-fold
+# * ('stencil', ks, shape)   op = (w [prod(2k_i+1), *shape],) — shifted slices
 #
 # and each kind may be wrapped with a constraint mask: ('masked', kind) adds
 # a leading mfree [n] (1.0 = free) operand and applies m*A(m*x) + (1-m)*x,
@@ -199,14 +238,20 @@ def _make_matvec(mv_kind):
             vals, cols = op
             return (vals * jnp.take(x, cols, axis=0)).sum(1)
         return mv
+    if mv_kind[0] == 'bell':
+        def mv(op, x):
+            vals, cols = op            # [nb, R, Wb], [nb, Wb]
+            xs = jnp.take(x, cols, axis=0)   # [nb, Wb] — one gather per block col
+            return jnp.einsum('brw,bw->br', vals, xs).reshape(-1)[:x.shape[0]]
+        return mv
     if mv_kind[0] == 'stencil':
         from . import stencil as _st
-        _kind, k, ny, nx = mv_kind
-        fn = _st._matvec_fn(k, ny, nx)
+        _kind, ks, shape = mv_kind
+        fn = _st._matvec_fn(ks, shape)
 
         def mv(op, x):
             (w,) = op
-            return fn(w, x.reshape(ny, nx)).reshape(-1)
+            return fn(w, x.reshape(shape)).reshape(-1)
         return mv
     raise ValueError(f'unknown matvec kind {mv_kind!r}')
 

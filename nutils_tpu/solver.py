@@ -877,7 +877,7 @@ class System:
         a = numpy.floor_divide(d + (nxd >> 1), nxd)
         b = d - a * nxd
         csr_map = ((a + k) * m + (b + k)) * n + pattern.urows
-        return dict(k=k, m=m, nxd=nxd, nyd=n // nxd, n=n, segs=segs, csr_map=csr_map)
+        return dict(ks=(k, k), grid=(n // nxd, nxd), W=m * m, n=n, segs=segs, csr_map=csr_map)
 
     def _jacobian_trace(self, args, tables):
         import jax
@@ -919,7 +919,7 @@ class System:
             # direct stencil-form assembly: values land in w[(2k+1)^2 * n]
             # through static slice adds (grid-affine segments) or small
             # constant-table adds — no CSR value scatter in the jit
-            w = jnp.zeros(_jplan['m'] * _jplan['m'] * _jplan['n'], dtype=config.float_dtype())
+            w = jnp.zeros(_jplan['W'] * _jplan['n'], dtype=config.float_dtype())
             for (skind, payload), V in zip(_jplan['segs'], vals):
                 if skind == 'slice':
                     w = _slice_scatter_add(w, payload, V.reshape(V.shape[0], -1))
@@ -1325,8 +1325,8 @@ class System:
 
     def _wrap_matrix(self, pattern, jplan, data):
         if jplan is not None and getattr(self, '_jacform', 'csr') == 'stencil':
-            return matrix._StencilMatrix(pattern, data, jplan['k'], jplan['nyd'],
-                                         jplan['nxd'], jplan['csr_map'])
+            return matrix._StencilMatrix(pattern, data, jplan['ks'], jplan['grid'],
+                                         jplan['csr_map'])
         return matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
 
     @log.withcontext

@@ -67,6 +67,15 @@ fuse_assembly = _Setting('fuse_assembly', 1, int)
 debug = _Setting('debug', frozenset(), lambda s: frozenset(s.split(':')) - {''})
 
 
+# Unstructured device SpMV layout: 'auto' (shared-column block-ELL when rows
+# are boundedly short, else scatter CSR), or force 'bell'/'ell'/'csr'.
+# Element-granular gathers serialize at ~7 ns each on this toolchain, so the
+# block form — one gather per UNIQUE column of a row block — is the default.
+spmv = _Setting('spmv', 'auto')
+# Rows per shared-column block in the 'bell' layout.
+spmv_blockrows = _Setting('spmv_blockrows', 32, int)
+
+
 def debug_enabled(flag):
     d = debug.value
     return flag in d or 'all' in d

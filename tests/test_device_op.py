@@ -93,7 +93,7 @@ def test_device_op_selection():
     B = B + scipy.sparse.eye(300, format='csr')
     M2 = matrix.Matrix(B.indptr, B.indices, B.data, B.shape)
     kind2, _ = M2._device_op()
-    assert kind2[0] in ('ell', 'csr')
+    assert kind2[0] in ('bell', 'ell', 'csr')
 
 
 def test_masked_stencil_cg_matches_submatrix_direct():
@@ -164,6 +164,100 @@ def test_mg_preconditioned_cg_scaling():
         xs = M.solve(b, solver='cg', rtol=1e-10)
         rel = numpy.linalg.norm(b - A64 @ xs) / numpy.linalg.norm(b)
         assert rel < 5e-9  # floor-aware acceptance: eps64 |A| |x| slack
+
+
+def _nd_grid_matrix(shape, ks, seed=0, sym=False):
+    '''Random diagonally-dominant stencil matrix on an arbitrary-rank grid.'''
+    import itertools
+    r = numpy.random.RandomState(seed)
+    n = int(numpy.prod(shape))
+    coords = numpy.stack(numpy.meshgrid(*[numpy.arange(s) for s in shape],
+                                        indexing='ij'), -1).reshape(-1, len(shape))
+    pitches = numpy.array([int(numpy.prod(shape[i + 1:])) for i in range(len(shape))])
+    rows, cols, vals = [], [], []
+    for shifts in itertools.product(*[range(-k, k + 1) for k in ks]):
+        tgt = coords + numpy.array(shifts)
+        m = ((tgt >= 0) & (tgt < numpy.array(shape))).all(1)
+        w = r.uniform(-1, 0, n) if any(shifts) \
+            else numpy.full(n, 4.0 * numpy.prod([2 * k + 1 for k in ks]))
+        rows.append((coords @ pitches)[m])
+        cols.append((tgt @ pitches)[m])
+        vals.append(w[m])
+    A = scipy.sparse.csr_matrix((numpy.concatenate(vals),
+                                 (numpy.concatenate(rows), numpy.concatenate(cols))), shape=(n, n))
+    return (A + A.T) / 2 if sym else A
+
+
+@pytest.mark.parametrize('shape,ks', [((7, 9, 11), (1, 1, 1)), ((5, 7, 9), (2, 1, 1)),
+                                      ((9, 11), (1, 2)), ((37,), (2,))])
+def test_stencil_detection_nd(shape, ks):
+    '''Dimension-generic detection: 1-D bands, 3-D hex grids, anisotropic
+    windows (mixed per-axis degree) all round-trip exactly.'''
+    import jax.numpy as jnp
+    A = _nd_grid_matrix(shape, ks, seed=sum(shape))
+    form = st.from_csr(A.data, A.indices, A.indptr, A.shape[0])
+    assert form is not None
+    assert form.shape == shape and form.ks == ks
+    x = rng.standard_normal(A.shape[0])
+    y = numpy.asarray(st.matvec(form, jnp.asarray(form.w), jnp.asarray(x)))
+    numpy.testing.assert_allclose(y, A @ x, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize('shape,ks', [((65, 65), (2, 2)), ((17, 17, 17), (1, 1, 1))])
+def test_mg_wide_and_3d(shape, ks):
+    '''Multigrid beyond the 9-point/2-D case: 25-point (degree-2) stencils
+    and 3-D grids build a hierarchy and solve f32 data to 1e-10 true
+    residual through the refinement wrapper.'''
+    A = _nd_grid_matrix(shape, ks, seed=sum(shape), sym=True)
+    M = matrix.Matrix(A.indptr, A.indices, A.data.astype(numpy.float32), A.shape)
+    mg = M._mg()
+    assert mg is not None and len(mg.levels) >= 2
+    b = rng.standard_normal(A.shape[0])
+    x = M.solve(b, solver='cg', rtol=1e-10)
+    rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
+    assert rel < 5e-9
+
+
+def test_mg_preconditioned_gmres_nonsymmetric():
+    '''The V-cycle preconditions GMRES on nonsymmetric stencil systems
+    (convection-diffusion class) — the structured-roofline path no longer
+    requires symmetry.'''
+    A = _nd_grid_matrix((65, 65), (1, 1), seed=99)  # nonsymmetric
+    M = matrix.Matrix(A.indptr, A.indices, A.data.astype(numpy.float32), A.shape)
+    assert M._mg() is not None
+    b = rng.standard_normal(A.shape[0])
+    x = M.solve(b, solver='gmres', rtol=1e-10)
+    rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
+    assert rel < 5e-9
+
+
+def test_bell_matvec_and_selection():
+    '''Shared-column block-ELL: exact matvec and the default unstructured
+    selection (one gather per unique block column instead of one per
+    entry).'''
+    import jax.numpy as jnp
+    for n, nnz_row, R in [(150, 5, 16), (333, 9, 32), (64, 3, 32)]:
+        A = scipy.sparse.random(n, n, density=nnz_row / n, format='csr', random_state=2)
+        A = (A + scipy.sparse.eye(n)).tocsr()
+        vals, cols = dsp.csr_to_bell(A.data, A.indices, A.indptr, R)
+        assert vals.shape[0] == -(-n // R) and vals.shape[1] == R
+        mv = dsp._make_matvec(('bell', R))
+        x = rng.standard_normal(n)
+        y = numpy.asarray(mv((jnp.asarray(vals), jnp.asarray(cols)), jnp.asarray(x)))
+        numpy.testing.assert_allclose(y, A @ x, rtol=1e-10, atol=1e-12)
+
+
+def test_bell_gmres_unstructured():
+    '''Unstructured nonsymmetric system solves through the BELL device path.'''
+    n = 400
+    A = scipy.sparse.random(n, n, density=7 / n, format='csr', random_state=8)
+    A = (A + scipy.sparse.diags(numpy.full(n, 8.0))).tocsr()
+    M = matrix.Matrix(A.indptr, A.indices, A.data, A.shape)
+    assert M._device_op()[0][0] == 'bell'
+    b = rng.standard_normal(n)
+    x = M.solve(b, solver='gmres', rtol=1e-11)
+    rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
+    assert rel < 1e-9
 
 
 def test_mg_rejects_uncoarsenable():
