@@ -126,7 +126,9 @@ class Matrix:
 
     @classmethod
     def from_pattern(cls, pattern, data):
-        return cls(pattern.indptr, pattern.indices, data, pattern.shape)
+        m = cls(pattern.indptr, pattern.indices, data, pattern.shape)
+        m._pattern = pattern  # device-op structure plans cache here across
+        return m              # Newton steps (constant pattern, fresh values)
 
     def _scipy(self):
         import scipy.sparse
@@ -219,32 +221,50 @@ class Matrix:
             return cached
         import jax.numpy as jnp
         from .ops import stencil as _stencil
+        from .ops import sparse as _sparse
         from .utils import config
         n = self.shape[0]
         data = numpy.asarray(self.data)
-        form = _stencil.from_csr(data, self.indices, self.indptr, n) \
-            if self.shape[0] == self.shape[1] else None
-        if form is not None:
-            out = (('stencil', form.ks, form.shape), (jnp.asarray(form.w),))
-        else:
-            counts = numpy.diff(self.indptr)
-            W = int(counts.max()) if n else 0
-            spmv = config.spmv.value
-            if spmv == 'auto':
-                spmv = 'bell' if W and n * W <= 8 * len(data) else 'csr'
-            if spmv == 'bell':
-                from .ops.sparse import csr_to_bell
-                R = config.spmv_blockrows.value
-                vals, cols = csr_to_bell(data, self.indices, self.indptr, R)
-                out = (('bell', R), (jnp.asarray(vals), jnp.asarray(cols)))
-            elif spmv == 'ell' and W:
-                from .ops.sparse import csr_to_ell
-                vals, cols = csr_to_ell(data, self.indices, self.indptr)
-                out = (('ell',), (jnp.asarray(vals), jnp.asarray(cols)))
+        # structure plans depend only on the sparsity pattern; Newton steps
+        # reassemble fresh values on a constant pattern, so the (possibly
+        # expensive) detection caches on the SparsePattern and each new
+        # matrix only refills values
+        pat = getattr(self, '_pattern', None)
+        plan = getattr(pat, '_device_op_plan', None) if pat is not None else None
+        if plan is None:
+            form = _stencil.from_csr(data, self.indices, self.indptr, n) \
+                if self.shape[0] == self.shape[1] else None
+            if form is not None:
+                plan = ('stencil', (form.ks, form.shape, form.slot, form.rows))
             else:
-                from .ops.sparse import _row_ids
-                out = (('csr',), (jnp.asarray(data), jnp.asarray(self.indices),
-                                  jnp.asarray(_row_ids(self.indptr))))
+                counts = numpy.diff(self.indptr)
+                W = int(counts.max()) if n else 0
+                spmv = config.spmv.value
+                if spmv == 'auto':
+                    spmv = 'bell' if W and n * W <= 8 * len(data) else 'csr'
+                if spmv == 'bell':
+                    plan = ('bell', _sparse.bell_plan(self.indices, self.indptr,
+                                                      config.spmv_blockrows.value))
+                elif spmv == 'ell' and W:
+                    plan = ('ell', None)
+                else:
+                    plan = ('csr', _sparse._row_ids(self.indptr))
+            if pat is not None:
+                pat._device_op_plan = plan
+        kindname, payload = plan
+        if kindname == 'stencil':
+            ks, gshape, slot, rows = payload
+            w = _stencil.refill(ks, gshape, slot, rows, data)
+            out = (('stencil', ks, gshape), (jnp.asarray(w),))
+        elif kindname == 'bell':
+            out = (('bell', payload[4]),
+                   (jnp.asarray(_sparse.bell_fill(payload, data)), jnp.asarray(payload[0])))
+        elif kindname == 'ell':
+            vals, cols = _sparse.csr_to_ell(data, self.indices, self.indptr)
+            out = (('ell',), (jnp.asarray(vals), jnp.asarray(cols)))
+        else:
+            out = (('csr',), (jnp.asarray(data), jnp.asarray(self.indices),
+                              jnp.asarray(payload)))
         self._device_op_cache = out
         return out
 

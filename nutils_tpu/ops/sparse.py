@@ -54,16 +54,10 @@ def csr_to_ell(data, indices, indptr):
     return vals, cols
 
 
-def csr_to_bell(data, indices, indptr, blockrows=32):
-    '''Convert CSR arrays to the shared-column block-ELL layout: rows are
-    grouped into blocks of R = ``blockrows``, each block gathers its UNIQUE
-    column set once (padded to the widest block, Wb) and applies a dense
-    [R, Wb] value matrix.  FEM rows that are neighbors in dof order share
-    most of their columns, so the per-element gathers — the serializing cost
-    on this toolchain (~7 ns each, see the measurement record below) — drop
-    by roughly R/(Wb/W) while the added dense work rides the MXU/VPU at
-    roofline.  Returns (vals [nb, R, Wb], cols [nb, Wb]).'''
-    data = numpy.asarray(data)
+def bell_plan(indices, indptr, blockrows=32):
+    '''Pattern-only part of the block-ELL conversion (cacheable per sparsity
+    pattern): returns (cols [nb, Wb], rb, rmod, slotcol) where fresh CSR
+    values refill as vals[rb, rmod, slotcol] = data.'''
     indices = numpy.asarray(indices).astype(numpy.int64)
     indptr = numpy.asarray(indptr)
     n = len(indptr) - 1
@@ -82,11 +76,32 @@ def csr_to_bell(data, indices, indptr, blockrows=32):
     Wb = int(widths.max()) if len(ukey) else 1
     block_start = numpy.concatenate([[0], numpy.cumsum(widths)[:-1]])
     pos_u = numpy.arange(len(ukey)) - block_start[ub]
-    vals = numpy.zeros((nb, R, Wb), dtype=data.dtype)
     cols = numpy.zeros((nb, Wb), dtype=numpy.int32)
     cols[ub, pos_u] = uc
-    vals[rb, rows % R, pos_u[inv]] = data
-    return vals, cols
+    return cols, rb, rows % R, pos_u[inv], R
+
+
+def bell_fill(plan, data):
+    '''Value part of the block-ELL conversion: vals [nb, R, Wb].'''
+    data = numpy.asarray(data)
+    cols, rb, rmod, slotcol, R = plan
+    nb, Wb = cols.shape
+    vals = numpy.zeros((nb, R, Wb), dtype=data.dtype)
+    vals[rb, rmod, slotcol] = data
+    return vals
+
+
+def csr_to_bell(data, indices, indptr, blockrows=32):
+    '''Convert CSR arrays to the shared-column block-ELL layout: rows are
+    grouped into blocks of R = ``blockrows``, each block gathers its UNIQUE
+    column set once (padded to the widest block, Wb) and applies a dense
+    [R, Wb] value matrix.  FEM rows that are neighbors in dof order share
+    most of their columns, so the per-element gathers — the serializing cost
+    on this toolchain (~7 ns each, see the measurement record in
+    ops/stencil.py) — drop by roughly R/(Wb/W) while the added dense work
+    rides the MXU/VPU at roofline.  Returns (vals [nb, R, Wb], cols [nb, Wb]).'''
+    plan = bell_plan(indices, indptr, blockrows)
+    return bell_fill(plan, data), plan[0]
 
 
 def csr_matvec(data, indices, indptr, x, row_ids=None):

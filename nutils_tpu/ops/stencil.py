@@ -42,12 +42,14 @@ class StencilForm:
     axis is the row-major index of the window offset (a_1 + k_1, ...,
     a_d + k_d) over window dims (2k_i + 1).'''
 
-    __slots__ = ('w', 'ks', 'shape')
+    __slots__ = ('w', 'ks', 'shape', 'slot', 'rows')
 
-    def __init__(self, w, ks, shape):
+    def __init__(self, w, ks, shape, slot=None, rows=None):
         self.w = w
         self.ks = tuple(int(k) for k in ks)
         self.shape = tuple(int(s) for s in shape)
+        self.slot = slot    # per-CSR-entry window slot (value refill plan)
+        self.rows = rows    # per-CSR-entry row index
 
     # 2-D convenience accessors (legacy callers/tests)
     @property
@@ -66,22 +68,17 @@ class StencilForm:
 
 
 def _decompose(d, pitches, dims, rows):
-    '''Canonically decompose column offsets d (int64) over descending
-    ``pitches`` with grid dims ``dims`` (same order); returns (ok, A) where
-    A[axis] holds per-axis window shifts and ok flags every entry whose
-    target coordinate stays on the grid.'''
-    rem = d.astype(numpy.int64)
-    A = []
-    ok = numpy.ones(len(d), dtype=bool)
+    '''Exactly decompose column offsets d (int64) over the mixed-radix grid
+    given by descending ``pitches`` and ``dims``: both the row and the
+    column are valid grid indices, so the per-axis window shift is simply
+    the difference of their grid coordinates — no rounding, no ambiguity
+    (round-division picks the wrong representative when windows alias, e.g.
+    interleaved component axes).  Returns (ok, A) with A[axis] the per-axis
+    shifts; ok is all-true by construction (kept for interface symmetry).'''
     r = rows.astype(numpy.int64)
-    for p, dim in zip(pitches, dims):
-        a = numpy.floor_divide(rem + (p >> 1), p)
-        rem = rem - a * p
-        coord = (r // p) % dim
-        ok &= (coord + a >= 0) & (coord + a < dim)
-        A.append(a)
-    ok &= rem == 0
-    return ok, A
+    c = r + d.astype(numpy.int64)
+    A = [(c // p) % dim - (r // p) % dim for p, dim in zip(pitches, dims)]
+    return numpy.ones(len(d), dtype=bool), A
 
 
 def _pitch_dims(pitches_desc, n):
@@ -137,37 +134,59 @@ def from_csr(data, indices, indptr, n, max_k=3, max_dim=4, sample=8192):
         dims, pitches = pd
         if len(dims) > max_dim:
             return None
-        ok, _ = _decompose(d_s, pitches, dims, rows_s)
-        if not ok.all():
+        _ok, A_s = _decompose(d_s, pitches, dims, rows_s)
+        if max((int(numpy.abs(a).max(initial=0)) for a in A_s), default=0) > max_k:
             return None
-        ok, A = _decompose(d, pitches, dims, rows)
-        if not ok.all():
-            return None
+        _ok, A = _decompose(d, pitches, dims, rows)
         ks = [int(numpy.abs(a).max(initial=0)) for a in A]
         if max(ks, default=0) > max_k:
             return None
+        if int(numpy.prod([2 * k + 1 for k in ks])) > (2 * max_k + 1) ** 3:
+            return None  # window too large to slice-enumerate profitably
         return dims, pitches, ks, A
+
+    budget = [96]  # total candidate verifications across the whole search
 
     def search(pitches_desc):
         # smallest positive offset not representable with current pitches
+        # (round-division screen; the exact verify is the arbiter, so try it
+        # on the current tower first whenever the screen is in doubt)
         unc = [o for o in offs if not covered(o, pitches_desc)]
-        if not unc:
+        if not unc or pitches_desc:
+            if budget[0] <= 0:
+                return None
+            budget[0] -= 1
             res = verify(pitches_desc)
-            return (pitches_desc, res) if res is not None else None
+            if res is not None:
+                return pitches_desc, res
+            if not unc:
+                return None
         if len(pitches_desc) + 1 > max_dim:
             return None
         o = int(unc[0])
         span = max_k * sum(pitches_desc) if pitches_desc else 0
         # a new outermost pitch p satisfies o = a*p + c for some covered
-        # combination c (|c| <= span) and a in [1, max_k]
-        cands = set()
-        for a in range(1, max_k + 1):
-            for c in range(-span, span + 1):
-                if (o - c) % a == 0:
-                    p = (o - c) // a
-                    if p > 2 * span and p > (pitches_desc[0] if pitches_desc else 0):
-                        cands.add(p)
-        for p in sorted(cands):
+        # combination c (|c| <= span) and a in [1, max_k]; overlapping
+        # windows are legal (the decomposition is exact coordinate deltas),
+        # so the only structural requirements are monotone growth and the
+        # divisor-chain check inside verify
+        prev = pitches_desc[0] if pitches_desc else 0
+        cands, seen = [], set()
+        for a in range(1, max_k + 1):            # likely candidates first:
+            for ac in range(span + 1):           # a=1 and small |c| (higher
+                for c in (ac, -ac) if ac else (0,):  # a aliases the grid)
+                    if (o - c) % a == 0:
+                        p = (o - c) // a
+                        # every pitch divides the next and the outermost
+                        # divides n, so any viable pitch divides n and is a
+                        # multiple of the previous one
+                        if p > prev and n % p == 0 and (prev == 0 or p % prev == 0) \
+                                and p not in seen:
+                            seen.add(p)
+                            cands.append(p)
+        for p in cands:
+            if budget[0] <= 0:
+                return None
             hit = search([p] + pitches_desc)
             if hit is not None:
                 return hit
@@ -179,14 +198,24 @@ def from_csr(data, indices, indptr, n, max_k=3, max_dim=4, sample=8192):
     _pitches_in, (dims, pitches, ks, A) = hit
     windows = [2 * k + 1 for k in ks]
     W = int(numpy.prod(windows))
-    if W > (2 * max_k + 1) ** 3:
-        return None  # window too large to slice-enumerate profitably
     slot = numpy.zeros(len(d), dtype=numpy.int64)
     for a, k, wdim in zip(A, ks, windows):
         slot = slot * wdim + (a + k)
     w = numpy.zeros((W, n), dtype=data.dtype)
     w[slot, rows] = data
-    return StencilForm(w.reshape([W] + dims), tuple(ks), tuple(dims))
+    return StencilForm(w.reshape([W] + dims), tuple(ks), tuple(dims), slot, rows)
+
+
+def refill(ks, shape, slot, rows, data):
+    '''Rebuild the stencil weight array from fresh CSR values using a cached
+    (slot, rows) plan — the per-Newton-step path when the sparsity pattern is
+    constant and only values change (no re-detection).'''
+    data = numpy.asarray(data)
+    n = int(numpy.prod(shape))
+    W = int(numpy.prod([2 * k + 1 for k in ks]))
+    w = numpy.zeros((W, n), dtype=data.dtype)
+    w[slot, rows] = data
+    return w.reshape([W] + list(shape))
 
 
 def from_csr_grid(data, indices, indptr, shape, max_k=3):
@@ -205,9 +234,7 @@ def from_csr_grid(data, indices, indptr, shape, max_k=3):
     rows = numpy.repeat(numpy.arange(n), counts)
     d = indices.astype(numpy.int64) - rows
     pitches = [int(numpy.prod(shape[i + 1:])) for i in range(len(shape))]
-    ok, A = _decompose(d, pitches, shape, rows)
-    if not ok.all():
-        return None
+    _ok, A = _decompose(d, pitches, shape, rows)
     ks = [int(numpy.abs(a).max(initial=0)) for a in A]
     if max(ks, default=0) > max_k:
         return None
@@ -218,7 +245,7 @@ def from_csr_grid(data, indices, indptr, shape, max_k=3):
         slot = slot * wdim + (a + k)
     w = numpy.zeros((W, n), dtype=data.dtype)
     w[slot, rows] = data
-    return StencilForm(w.reshape([W] + shape), tuple(ks), tuple(shape))
+    return StencilForm(w.reshape([W] + shape), tuple(ks), tuple(shape), slot, rows)
 
 
 @functools.lru_cache(maxsize=64)
