@@ -234,8 +234,15 @@ class Matrix:
         if plan is None:
             form = _stencil.from_csr(data, self.indices, self.indptr, n) \
                 if self.shape[0] == self.shape[1] else None
+            bgform = None
+            if form is None and self.shape[0] == self.shape[1] \
+                    and getattr(self, '_field_offsets', None) is not None:
+                from .ops import blockgrid as _bg
+                bgform = _bg.detect(data, self.indices, self.indptr, self._field_offsets)
             if form is not None:
                 plan = ('stencil', (form.ks, form.shape, form.slot, form.rows))
+            elif bgform is not None:
+                plan = ('blockgrid', (bgform.meta, bgform.fill))
             else:
                 counts = numpy.diff(self.indptr)
                 W = int(counts.max()) if n else 0
@@ -256,6 +263,11 @@ class Matrix:
             ks, gshape, slot, rows = payload
             w = _stencil.refill(ks, gshape, slot, rows, data)
             out = (('stencil', ks, gshape), (jnp.asarray(w),))
+        elif kindname == 'blockgrid':
+            from .ops import blockgrid as _bg
+            meta, fill = payload
+            ws = _bg.refill(fill, data, meta)
+            out = (('blockgrid', meta), tuple(jnp.asarray(w) for w in ws))
         elif kindname == 'bell':
             out = (('bell', payload[4]),
                    (jnp.asarray(_sparse.bell_fill(payload, data)), jnp.asarray(payload[0])))
@@ -317,6 +329,8 @@ class Matrix:
                 Am.sum_duplicates()
                 Mm = Matrix(Am.indptr, Am.indices,
                             Am.data.astype(numpy.asarray(self.data).dtype), Am.shape)
+                if getattr(self, '_field_offsets', None) is not None:
+                    Mm._field_offsets = self._field_offsets
                 self._masked_solve_cache = (key, Mm)
             b = numpy.where(isfree, rhs - (self @ xfix), 0.0)
             try:
@@ -476,6 +490,55 @@ class Matrix:
         self._mg_cache = out
         return out
 
+    def _fieldsplit(self):
+        '''Cached block-diagonal (fieldsplit) preconditioner for multi-field
+        systems: each diagonal field block that is a coarsenable grid
+        stencil gets a geometric-multigrid V-cycle, the rest get the
+        Schur-aware inverse diagonal — the standard segregated precondition
+        for saddle-point systems (velocity MG + pressure scaling), built
+        from the same slice-only ingredients as ops/mg.py.  Returns
+        (kind, operands) or None when no field coarsens.'''
+        cached = getattr(self, '_fieldsplit_cache', '?')
+        if cached != '?':
+            return cached
+        import jax.numpy as jnp
+        from .ops import stencil as _st
+        from .ops import mg as _mgmod
+        from .ops.sparse import schur_diag_inverse
+        offsets = tuple(int(o) for o in self._field_offsets)
+        A = self._scipy()
+        dt = numpy.asarray(self.data).dtype
+        minv_full = schur_diag_inverse(numpy.asarray(self.data), self.indices,
+                                       self.indptr, self.shape[0])
+        # strong-diagonal test against the FULL row norm: a saddle-point
+        # pressure block (diagonal = eps-stabilization only) must keep the
+        # Schur-complement scaling — exactly inverting eps*M with MG is the
+        # wrong operator and destroys convergence (measured: 7.6k vs 300
+        # GMRES iterations on a Taylor-Hood step)
+        d_full = A.diagonal()
+        rownorm = numpy.sqrt(numpy.asarray(A.multiply(A).sum(axis=1)).ravel())
+        strong = numpy.abs(d_full) > 1e-3 * numpy.maximum(rownorm, 1e-300)
+        kinds, ops = [], []
+        any_mg = False
+        for i in range(len(offsets) - 1):
+            lo, hi = offsets[i], offsets[i + 1]
+            Ab = A[lo:hi, lo:hi].tocsr()
+            mg = None
+            if strong[lo:hi].mean() > 0.9:
+                form = _st.from_csr(Ab.data, Ab.indices, Ab.indptr, hi - lo) if Ab.nnz else None
+                if form is not None:
+                    mg = _mgmod.setup(form, Ab.data, Ab.indices, Ab.indptr, dtype=dt)
+            if mg is not None:
+                kinds.append(('mg', mg.levels))
+                ops.append((mg.ws, mg.dinvs, mg.coarse_inv))
+                any_mg = True
+            else:
+                kinds.append('diag')
+                ops.append(jnp.asarray(minv_full[lo:hi].astype(dt)))
+        out = (('fieldsplit', offsets, tuple(kinds)), tuple(ops)) if any_mg else None
+        self._fieldsplit_cache = out
+        return out
+
     def _inf_norm(self):
         cached = getattr(self, '_inf_norm_cache', None)
         if cached is None:
@@ -517,7 +580,8 @@ class Matrix:
         b64 = numpy.asarray(rhs, dtype=numpy.float64)
         target = max(atol, rtol * float(numpy.linalg.norm(b64)))
         mv_kind, op = self._device_op()
-        dt = numpy.asarray(op[0]).dtype if mv_kind[0] == 'stencil' else numpy.asarray(self.data).dtype
+        dt = numpy.asarray(op[0]).dtype if mv_kind[0] in ('stencil', 'blockgrid') \
+            else numpy.asarray(self.data).dtype
         # stencil operators get a geometric-multigrid V-cycle preconditioner
         # by default: f32 Krylov alone stagnates at O(1) true residual for
         # cond >~1e4 (measured: scipy f32 CG at 263k dofs ends at 0.63
@@ -528,11 +592,23 @@ class Matrix:
         # refinement loop's contraction test and fall through to the
         # diagonal/host paths.
         kind = minv = None
-        if method in ('cg', 'gmres') and precon is None and mv_kind[0] == 'stencil' and _isfree is None:
+        if method in ('cg', 'gmres') and precon is None and _isfree is None \
+                and mv_kind[0] == 'stencil':
             mg = self._mg()
             if mg is not None:
                 kind = ('mg', mg.levels)
                 minv = (mg.ws, mg.dinvs, mg.coarse_inv)
+        elif precon == 'fieldsplit' and getattr(self, '_field_offsets', None) is not None:
+            # opt-in segregated preconditioner (velocity-block MG + Schur
+            # diagonal): halves iteration counts on Taylor-Hood steps but a
+            # V(2,2) cycle costs ~6 matvec-equivalents, so it only pays when
+            # the diagonal blocks are stiff (viscous/steady regimes); the
+            # mass-dominant time-stepping default stays schur-diag
+            fs = self._fieldsplit()
+            if fs is not None:
+                kind, minv = fs
+            else:
+                precon = None
         if kind is None:
             kind, minv = self._device_precon(precon, preconargs)
             minv = numpy.asarray(minv, dtype=dt)
@@ -594,6 +670,18 @@ class Matrix:
             x, r = x_new, r_new
         resnorm = float(numpy.linalg.norm(r))
         if not self._accept(x, resnorm, target, numpy.float64):
+            if precon is None and _isfree is None \
+                    and getattr(self, '_field_offsets', None) is not None \
+                    and self._fieldsplit() is not None:
+                # second tier before the host-direct demotion: stiff
+                # (diffusion-dominant) multi-field systems defeat the
+                # diagonal scaling but converge under the segregated
+                # velocity-MG preconditioner (measured on Stokes: diag
+                # stalls, fieldsplit reaches 1e-8)
+                log.debug(f'{method} with diagonal scaling stalled; retrying with fieldsplit')
+                return self._device_krylov(method, rhs, atol=atol, rtol=rtol,
+                                           maxiter=maxiter, restart=restart,
+                                           precon='fieldsplit')
             raise ToleranceNotReached(numpy.where(numpy.isfinite(x), x, 0.0))
         log.debug(f'{method} converged in {total_it} device iterations / {outer + 1} '
                   f'refinement rounds (resnorm {resnorm:.1e})')

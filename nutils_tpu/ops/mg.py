@@ -64,9 +64,14 @@ def _prolong_1d(n_fine):
     return scipy.sparse.csr_matrix((vals, (rows, cols)), shape=(n_fine, nc))
 
 
-def _coarsenable(shape, min_coarse):
-    return int(numpy.prod(shape)) > min_coarse \
-        and all(s >= 5 and s % 2 == 1 for s in shape)
+def _coarsen_flags(shape, min_coarse):
+    '''Per-axis semi-coarsening flags: odd vertex axes >= 5 coarsen, short or
+    even axes (vector components, periodic pitches) are kept — returns None
+    when nothing coarsens or the level is already small.'''
+    flags = tuple(s >= 5 and s % 2 == 1 for s in shape)
+    if not any(flags) or int(numpy.prod(shape)) <= min_coarse:
+        return None
+    return flags
 
 
 def setup(form, data, indices, indptr, *, dtype=numpy.float32, min_coarse=1024, max_levels=12):
@@ -82,15 +87,18 @@ def setup(form, data, indices, indptr, *, dtype=numpy.float32, min_coarse=1024, 
                                 shape=(n, n))
     shapes = [form.shape]
     ops = [A]
-    while len(ops) < max_levels and _coarsenable(shapes[-1], min_coarse):
+    while len(ops) < max_levels:
+        flags = _coarsen_flags(shapes[-1], min_coarse)
+        if flags is None:
+            break
         P = None
-        for s in shapes[-1]:
-            P1 = _prolong_1d(s)
+        for s, f in zip(shapes[-1], flags):
+            P1 = _prolong_1d(s) if f else scipy.sparse.eye(s, format='csr')
             P = P1 if P is None else scipy.sparse.kron(P, P1)
         P = P.tocsr()
         Ac = (P.T @ ops[-1] @ P).tocsr()
         Ac.sum_duplicates()
-        shapes.append(tuple((s + 1) // 2 for s in shapes[-1]))
+        shapes.append(tuple((s + 1) // 2 if f else s for s, f in zip(shapes[-1], flags)))
         ops.append(Ac)
     if len(ops) == 1:
         return None
@@ -120,11 +128,13 @@ def _restrict_1d(f):
     return fp[1:n + 1:2] + 0.5 * (fp[0:n:2] + fp[2:n + 2:2])
 
 
-def _restrict(f):
-    '''Full weighting on every axis [*shape] -> [*(s+1)//2].'''
+def _restrict(f, cshape):
+    '''Full weighting on every coarsened axis (axes whose target size in
+    ``cshape`` differs) [*shape] -> [*cshape].'''
     import jax.numpy as jnp
     for ax in range(f.ndim):
-        f = jnp.moveaxis(_restrict_1d(jnp.moveaxis(f, ax, 0)), 0, ax)
+        if f.shape[ax] != cshape[ax]:
+            f = jnp.moveaxis(_restrict_1d(jnp.moveaxis(f, ax, 0)), 0, ax)
     return f
 
 
@@ -139,10 +149,11 @@ def _interleave_1d(a, n_fine):
 
 
 def _prolong(c, shape):
-    '''Linear interpolation [*coarse] -> [*shape].'''
+    '''Linear interpolation [*coarse] -> [*shape] on the coarsened axes.'''
     import jax.numpy as jnp
     for ax, nf in enumerate(shape):
-        c = jnp.moveaxis(_interleave_1d(jnp.moveaxis(c, ax, 0), nf), 0, ax)
+        if c.shape[ax] != nf:
+            c = jnp.moveaxis(_interleave_1d(jnp.moveaxis(c, ax, 0), nf), 0, ax)
     return c
 
 
@@ -165,7 +176,7 @@ def _vcycle_fn(levels, nu):
         x = omega * dinv * r
         for _ in range(nu - 1):
             x = x + omega * dinv * (r - mv[level](w, x))
-        rc = _restrict(r - mv[level](w, x))
+        rc = _restrict(r - mv[level](w, x), levels[level + 1][1])
         xc = cycle(level + 1, rc, ws, dinvs, coarse_inv)
         x = x + _prolong(xc, levels[level][1])
         for _ in range(nu):

@@ -134,8 +134,9 @@ _PRECON_APPLY = {'diag': _apply_diag, 'block': _apply_block}
 
 
 def _precon_apply(kind):
-    '''Resolve a precon kind (a name, or ('mg', levels) with the static
-    per-level (ks, shape) tuple) to an apply(operand, r) callable.'''
+    '''Resolve a precon kind — a name, ('mg', levels) with the static
+    per-level (ks, shape) tuple, or ('fieldsplit', offsets, subkinds) — to
+    an apply(operand, r) callable.'''
     if isinstance(kind, tuple) and kind[0] == 'mg':
         from . import mg as _mg
         levels = kind[1]
@@ -144,6 +145,15 @@ def _precon_apply(kind):
 
         def apply(operand, r):
             return fn(operand, r.reshape(shape)).reshape(-1)
+        return apply
+    if isinstance(kind, tuple) and kind[0] == 'fieldsplit':
+        import jax.numpy as jnp
+        offs, subkinds = kind[1], kind[2]
+        subs = [_precon_apply(k) for k in subkinds]
+
+        def apply(operand, r):
+            return jnp.concatenate([sub(op_i, r[lo:hi]) for sub, op_i, lo, hi
+                                    in zip(subs, operand, offs[:-1], offs[1:])])
         return apply
     return _PRECON_APPLY[kind]
 
@@ -267,6 +277,13 @@ def _make_matvec(mv_kind):
         def mv(op, x):
             (w,) = op
             return fn(w, x.reshape(shape)).reshape(-1)
+        return mv
+    if mv_kind[0] == 'blockgrid':
+        from . import blockgrid as _bg
+        fn = _bg._matvec_fn(mv_kind[1])
+
+        def mv(op, x):
+            return fn(op, x)
         return mv
     raise ValueError(f'unknown matvec kind {mv_kind!r}')
 

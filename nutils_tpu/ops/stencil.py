@@ -196,6 +196,27 @@ def from_csr(data, indices, indptr, n, max_k=3, max_dim=4, sample=8192):
     if hit is None:
         return None
     _pitches_in, (dims, pitches, ks, A) = hit
+
+    # axis-refinement pass: a flat factorization can merge a short inner
+    # axis (vector components) into a spatial one — exact for the matvec,
+    # but the merged even axis blocks multigrid coarsening.  Split even
+    # axes into (odd, short) pairs whenever the finer tower also verifies.
+    changed = True
+    while changed:
+        changed = False
+        for ax in range(len(dims)):
+            if dims[ax] % 2 == 0:
+                for s in (2, 3, 4):
+                    if dims[ax] % s == 0 and (dims[ax] // s) % 2 == 1 and dims[ax] // s > 1:
+                        rdims = dims[:ax] + [dims[ax] // s, s] + dims[ax + 1:]
+                        rpitches = [int(numpy.prod(rdims[i + 1:])) for i in range(len(rdims))]
+                        res = verify(rpitches) if len(rdims) <= max_dim else None
+                        if res is not None:
+                            dims, pitches, ks, A = res
+                            changed = True
+                            break
+                if changed:
+                    break
     windows = [2 * k + 1 for k in ks]
     W = int(numpy.prod(windows))
     slot = numpy.zeros(len(d), dtype=numpy.int64)

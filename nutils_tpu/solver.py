@@ -1327,7 +1327,13 @@ class System:
         if jplan is not None and getattr(self, '_jacform', 'csr') == 'stencil':
             return matrix._StencilMatrix(pattern, data, jplan['ks'], jplan['grid'],
                                          jplan['csr_map'])
-        return matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
+        m = matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
+        if len(self.trials) > 1:
+            # field partition of the dof vector: multi-field structured
+            # systems (Taylor-Hood etc.) become block-grid operators with a
+            # fieldsplit MG preconditioner (matrix._device_op/_fieldsplit)
+            m._field_offsets = (0,) + tuple(sl.stop for sl in self._trial_slices)
+        return m
 
     @log.withcontext
     def assemble_jacobian_residual(self, arguments, x=None):

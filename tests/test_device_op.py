@@ -260,6 +260,94 @@ def test_bell_gmres_unstructured():
     assert rel < 1e-9
 
 
+def _taylor_hood_system(nelems=12, dtype=numpy.float64, mass=0.01, nu=1.0):
+    '''Stokes-class mixed system (P2 velocity / P1 pressure) with a small
+    mass regularization; returns (jac, field offsets).'''
+    from nutils_tpu import function, mesh
+    from nutils_tpu.expression import Namespace
+    from nutils_tpu.solver import System
+    from nutils_tpu.utils import config
+    with config.floatx(dtype):
+        topo, geom = mesh.unitsquare(nelems, 'square')
+        ns = Namespace()
+        ns.x = geom
+        ns.define_for('x', gradient='∇', jacobians=('dV',))
+        ns.u = topo.field('u', btype='std', degree=2, shape=[2])
+        ns.p = topo.field('p', btype='std', degree=1)
+        ns.v = function.replace_arguments(ns.u, 'u:v')
+        ns.q = function.replace_arguments(ns.p, 'p:q')
+        ns.m = mass
+        ns.nu = nu
+        ns.eps = 0.001
+        res = topo.integral('(m u_i v_i + nu ∇_j(v_i) ∇_j(u_i) - p ∇_i(v_i)'
+                            ' + q ∇_i(u_i) + eps p q) dV' @ ns, degree=5)
+        system = System(res, trial='u,p', test='v,q')
+        args = {t: numpy.zeros(shape) for t, shape in zip(system.trials, system.trial_shapes)}
+        jac, _ = system.assemble_jacobian_residual(args)
+    return jac
+
+
+def test_blockgrid_detection_and_matvec():
+    '''A Taylor-Hood (P2/P1) saddle-point matrix decomposes into a grid of
+    inter-grid stencils — including the 2:1 phased velocity-pressure
+    couplings — with an exact slice-only matvec (ops/blockgrid.py).'''
+    import jax.numpy as jnp
+    from nutils_tpu.ops import blockgrid as bg
+    jac = _taylor_hood_system(8)
+    assert jac._device_op()[0][0] == 'blockgrid'
+    offsets = jac._field_offsets
+    form = bg.detect(numpy.asarray(jac.data), jac.indices, jac.indptr, offsets)
+    assert form is not None
+    kinds = {(b[0], b[1]): (b[4], b[5]) for b in form.meta[2]}
+    assert kinds[(0, 1)] != kinds[(0, 0)]  # u-p coupling is a 2:1 phased stencil
+    x = rng.standard_normal(jac.shape[0])
+    ws = [jnp.asarray(w) for w in form.ws]
+    y = numpy.asarray(bg.matvec(form, ws, jnp.asarray(x)))
+    numpy.testing.assert_allclose(y, jac._scipy() @ x, rtol=1e-10, atol=1e-12)
+    # value refill (constant pattern, fresh values) reproduces the weights
+    ws2 = bg.refill(form, numpy.asarray(jac.data))
+    for a, b2 in zip(form.ws, ws2):
+        assert numpy.array_equal(a, b2)
+
+
+def test_blockgrid_gmres_matches_direct():
+    jac = _taylor_hood_system(8)
+    b = rng.standard_normal(jac.shape[0])
+    x = jac.solve(b, solver='gmres', rtol=1e-11)
+    xd = jac.solve(b, solver='direct')
+    numpy.testing.assert_allclose(x, xd, rtol=1e-6, atol=1e-8)
+
+
+def test_fieldsplit_preconditioner_stiff_stokes():
+    '''Diffusion-dominant Stokes defeats the diagonal scaling but converges
+    under the segregated velocity-MG preconditioner; the automatic
+    second-tier retry engages it without user action.'''
+    jac = _taylor_hood_system(12, dtype=numpy.float32, mass=0.01, nu=1.0)
+    fs = jac._fieldsplit()
+    assert fs is not None
+    kinds = [k if isinstance(k, str) else k[0] for k in fs[0][2]]
+    assert kinds == ['mg', 'diag']  # velocity MG, pressure Schur scaling
+    b = rng.standard_normal(jac.shape[0])
+    x = jac.solve(b, solver='gmres', rtol=1e-8)  # engages the retry tier
+    A64 = jac._scipy().astype(numpy.float64)
+    rel = numpy.linalg.norm(b - A64 @ x) / numpy.linalg.norm(b)
+    assert rel < 1e-6
+
+
+def test_mg_semicoarsening_vector_grid():
+    '''Grids with an uncoarsenable component axis (vector fields) coarsen
+    the spatial axes only.'''
+    A = _nd_grid_matrix((33, 33, 2), (1, 1, 1), seed=4, sym=True)
+    M = matrix.Matrix(A.indptr, A.indices, A.data.astype(numpy.float32), A.shape)
+    mg = M._mg()
+    assert mg is not None and len(mg.levels) >= 2
+    assert all(shape[-1] == 2 for _ks, shape in mg.levels)
+    b = rng.standard_normal(A.shape[0])
+    x = M.solve(b, solver='cg', rtol=1e-10)
+    rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
+    assert rel < 5e-9
+
+
 def test_mg_rejects_uncoarsenable():
     # even grid pitch cannot vertex-coarsen: setup returns None, solve still
     # works through the diag-preconditioned path
