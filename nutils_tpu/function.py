@@ -1523,6 +1523,27 @@ def field(name, *arrays, shape=(), dtype=float):
     return dotarg(name, *arrays, shape=shape, dtype=dtype)
 
 
+# Structured dof-grid layouts of named field arguments, recorded by
+# topology.field for bases with a tensor-product dof numbering: the solver
+# hands them to the matrix layer, where they replace pattern INFERENCE of
+# the grid (exact, alias-free) for the stencil/block-grid device operators
+# and the multigrid setup.  Keyed by (name, flat size); a re-registration
+# with a conflicting layout poisons the key (the hint is dropped).
+_FIELD_GRIDS = {}
+
+
+def register_field_grid(name, size, grid, periodic=()):
+    key = (name, int(size))
+    periodic = tuple(bool(p) for p in periodic) + (False,) * (len(grid) - len(periodic))
+    val = (tuple(int(g) for g in grid), periodic)
+    _FIELD_GRIDS[key] = val if _FIELD_GRIDS.get(key, val) == val else None
+
+
+def field_grid(name, size):
+    '''(grid shape, per-axis periodicity) of a registered field, or None.'''
+    return _FIELD_GRIDS.get((name, int(size)))
+
+
 def eye(n):
     return _Constant(numpy.eye(n))
 

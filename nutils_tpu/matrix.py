@@ -232,15 +232,22 @@ class Matrix:
         pat = getattr(self, '_pattern', None)
         plan = getattr(pat, '_device_op_plan', None) if pat is not None else None
         if plan is None:
-            form = _stencil.from_csr(data, self.indices, self.indptr, n) \
-                if self.shape[0] == self.shape[1] else None
+            grids = getattr(self, '_field_grids', None)
+            form = None
+            if self.shape[0] == self.shape[1]:
+                if grids is not None and len(grids) == 1 and grids[0] is not None:
+                    # exact dof-grid hint from the solver: no inference
+                    form = _stencil.from_csr_grid(data, self.indices, self.indptr, grids[0][0])
+                if form is None:
+                    form = _stencil.from_csr(data, self.indices, self.indptr, n)
             bgform = None
             if form is None and self.shape[0] == self.shape[1] \
                     and getattr(self, '_field_offsets', None) is not None:
                 from .ops import blockgrid as _bg
-                bgform = _bg.detect(data, self.indices, self.indptr, self._field_offsets)
+                bgform = _bg.detect(data, self.indices, self.indptr, self._field_offsets,
+                                    grids=grids)
             if form is not None:
-                plan = ('stencil', (form.ks, form.shape, form.slot, form.rows))
+                plan = ('stencil', (form.ks, form.shape, form.slot, form.rows, form.periodic))
             elif bgform is not None:
                 plan = ('blockgrid', (bgform.meta, bgform.fill))
             else:
@@ -260,9 +267,9 @@ class Matrix:
                 pat._device_op_plan = plan
         kindname, payload = plan
         if kindname == 'stencil':
-            ks, gshape, slot, rows = payload
+            ks, gshape, slot, rows, per = payload
             w = _stencil.refill(ks, gshape, slot, rows, data)
-            out = (('stencil', ks, gshape), (jnp.asarray(w),))
+            out = (('stencil', ks, gshape, per), (jnp.asarray(w),))
         elif kindname == 'blockgrid':
             from .ops import blockgrid as _bg
             meta, fill = payload
@@ -331,6 +338,8 @@ class Matrix:
                             Am.data.astype(numpy.asarray(self.data).dtype), Am.shape)
                 if getattr(self, '_field_offsets', None) is not None:
                     Mm._field_offsets = self._field_offsets
+                if getattr(self, '_field_grids', None) is not None:
+                    Mm._field_grids = self._field_grids
                 self._masked_solve_cache = (key, Mm)
             b = numpy.where(isfree, rhs - (self @ xfix), 0.0)
             try:
@@ -518,14 +527,19 @@ class Matrix:
         d_full = A.diagonal()
         rownorm = numpy.sqrt(numpy.asarray(A.multiply(A).sum(axis=1)).ravel())
         strong = numpy.abs(d_full) > 1e-3 * numpy.maximum(rownorm, 1e-300)
+        grids = getattr(self, '_field_grids', None)
         kinds, ops = [], []
         any_mg = False
         for i in range(len(offsets) - 1):
             lo, hi = offsets[i], offsets[i + 1]
             Ab = A[lo:hi, lo:hi].tocsr()
             mg = None
-            if strong[lo:hi].mean() > 0.9:
-                form = _st.from_csr(Ab.data, Ab.indices, Ab.indptr, hi - lo) if Ab.nnz else None
+            if strong[lo:hi].mean() > 0.9 and Ab.nnz:
+                hint = grids[i] if grids is not None else None
+                form = _st.from_csr_grid(Ab.data, Ab.indices, Ab.indptr, hint[0]) \
+                    if hint is not None else None
+                if form is None:
+                    form = _st.from_csr(Ab.data, Ab.indices, Ab.indptr, hi - lo)
                 if form is not None:
                     mg = _mgmod.setup(form, Ab.data, Ab.indices, Ab.indptr, dtype=dt)
             if mg is not None:
@@ -779,7 +793,7 @@ class _StencilMatrix(Matrix):
             return cached
         import jax.numpy as jnp
         W = int(numpy.prod([2 * k + 1 for k in self._ks]))
-        out = (('stencil', self._ks, self._grid),
+        out = (('stencil', self._ks, self._grid, (False,) * len(self._grid)),
                (jnp.asarray(self._w).reshape((W,) + self._grid),))
         self._device_op_cache = out
         return out

@@ -64,25 +64,45 @@ def _align(gr, gc):
     return [(gr, pad + gc), (gr, gc + pad)]
 
 
-def _axis_ratio(r_ax, c_ax, max_shift):
+def _axis_shift(r_ax, c_ax, qr, qc, dimc, max_shift):
+    '''Per-axis shifts a = c - qc*(r//qr), retried with periodic wrap (the
+    column grid is read modulo its size) when the plain form exceeds the
+    window; returns (a, wrap) or None.'''
+    a = c_ax - qc * (r_ax // qr)
+    if len(a) and int(numpy.abs(a).max(initial=0)) > max_shift:
+        # periodic wrap: the read position qc*m + a is taken modulo the
+        # column-grid size, so canonicalize the shift modulo dimc
+        if dimc > 2 * max_shift + 3:
+            aw = (a + dimc // 2) % dimc - dimc // 2
+            if int(numpy.abs(aw).max(initial=0)) <= max_shift:
+                return aw, True
+        return None
+    return a, False
+
+
+def _axis_ratio(r_ax, c_ax, dimc, max_shift):
     '''Pick the (qr, qc) pitch ratio for one axis by minimizing the observed
-    shift window; returns (qr, qc, amin, amax) or None.'''
+    shift window; returns (qr, qc, a, amin, amax, wrap) or None.'''
     best = None
     for qr, qc in _RATIOS:
-        a = c_ax - qc * (r_ax // qr)
-        amin, amax = int(a.min(initial=0)), int(a.max(initial=0))
-        if max(abs(amin), abs(amax)) > max_shift:
+        hit = _axis_shift(r_ax, c_ax, qr, qc, dimc, max_shift)
+        if hit is None:
             continue
+        a, wrap = hit
+        amin, amax = int(a.min(initial=0)), int(a.max(initial=0))
         width = amax - amin
-        if best is None or (qr * qc, width) < (best[0] * best[1], best[4] - best[3]):
-            best = (qr, qc, a, amin, amax)
+        if best is None or (wrap, qr * qc, width) < (best[5], best[0] * best[1], best[4] - best[3]):
+            best = (qr, qc, a, amin, amax, wrap)
     return best
 
 
-def detect(data, indices, indptr, offsets, max_shift=4, max_phase_terms=128):
+def detect(data, indices, indptr, offsets, grids=None, max_shift=4, max_phase_terms=128):
     '''Detect the block-grid form of an n x n CSR matrix whose dof vector is
     partitioned at ``offsets`` (field boundaries); returns a BlockGridForm
-    or None.  O(nnz) vectorized host work.'''
+    or None.  ``grids`` optionally carries per-field (shape, periodic)
+    layout hints registered by the solver (exact, alias-free); fields
+    without a hint infer their grid from the diagonal block.  O(nnz)
+    vectorized host work.'''
     from . import stencil as _stencil
     data = numpy.asarray(data)
     indices = numpy.asarray(indices).astype(numpy.int64)
@@ -95,11 +115,15 @@ def detect(data, indices, indptr, offsets, max_shift=4, max_phase_terms=128):
     counts = numpy.diff(indptr)
     rows = numpy.repeat(numpy.arange(n), counts)
 
-    # field grids from the diagonal blocks
+    # field grids: solver hints, else inferred from the diagonal blocks
     import scipy.sparse
     A = scipy.sparse.csr_matrix((data, indices, indptr), shape=(n, n))
     fieldshapes = []
     for i in range(F):
+        hint = grids[i] if grids is not None and i < len(grids) else None
+        if hint is not None:
+            fieldshapes.append(tuple(hint[0]))
+            continue
         lo, hi = offsets[i], offsets[i + 1]
         Ab = A[lo:hi, lo:hi].tocsr()
         form = _stencil.from_csr(Ab.data, Ab.indices, Ab.indptr, hi - lo) \
@@ -127,7 +151,7 @@ def detect(data, indices, indptr, offsets, max_shift=4, max_phase_terms=128):
             for gr, gc in _align(fieldshapes[i], fieldshapes[j]):
                 pr = [int(numpy.prod(gr[ax + 1:])) for ax in range(len(gr))]
                 pc = [int(numpy.prod(gc[ax + 1:])) for ax in range(len(gc))]
-                per_axis = [_axis_ratio((r[::step] // p1) % s1, (c[::step] // p2) % s2, max_shift)
+                per_axis = [_axis_ratio((r[::step] // p1) % s1, (c[::step] // p2) % s2, s2, max_shift)
                             for p1, s1, p2, s2 in zip(pr, gr, pc, gc)]
                 if all(p is not None for p in per_axis):
                     hit = (gr, gc, pr, pc, per_axis)
@@ -143,13 +167,15 @@ def detect(data, indices, indptr, offsets, max_shift=4, max_phase_terms=128):
             cc = [(c // p) % s for p, s in zip(pc, gc)]
             per_axis = []
             for ax in range(d):
-                a = cc[ax] - qc[ax] * (rc[ax] // qr[ax])
-                amn, amx = int(a.min(initial=0)), int(a.max(initial=0))
-                if max(abs(amn), abs(amx)) > max_shift:
+                hit_ax = _axis_shift(rc[ax], cc[ax], qr[ax], qc[ax], gc[ax], max_shift)
+                if hit_ax is None:
                     return None
-                per_axis.append((qr[ax], qc[ax], a, amn, amx))
+                a, wrap_ax = hit_ax
+                per_axis.append((qr[ax], qc[ax], a, int(a.min(initial=0)),
+                                 int(a.max(initial=0)), wrap_ax))
             amin = tuple(p[3] for p in per_axis)
             awid = tuple(p[4] - p[3] + 1 for p in per_axis)
+            wrap = tuple(p[5] for p in per_axis)
             # phase id (row-major over qr) and within-phase slot (row-major
             # over the shift window)
             phase = numpy.zeros(len(sel), dtype=numpy.int64)
@@ -195,7 +221,8 @@ def detect(data, indices, indptr, offsets, max_shift=4, max_phase_terms=128):
                     phi.append(rem % q)
                     rem //= q
                 phmeta.append((tuple(phi[::-1]), pshapes[ph]))
-            blocks.append((i, j, gr, gc, qr, qc, tuple(amin), tuple(awid), tuple(phmeta)))
+            blocks.append((i, j, gr, gc, qr, qc, tuple(amin), tuple(awid), wrap,
+                           tuple(phmeta)))
     meta = (offsets, tuple(tuple(s) for s in fieldshapes), tuple(blocks))
     return BlockGridForm(meta, ws, (tuple(sizes), windex, wpos))
 
@@ -221,7 +248,7 @@ def refill(form_or_fill, data, meta=None):
 
 def _w_shapes(meta):
     shapes = []
-    for i, j, gr, gc, qr, qc, amin, awid, phmeta in meta[2]:
+    for i, j, gr, gc, qr, qc, amin, awid, wrap, phmeta in meta[2]:
         S = int(numpy.prod(awid))
         for phi, pshape in phmeta:
             shapes.append((S,) + tuple(pshape))
@@ -264,7 +291,7 @@ def _matvec_fn(meta):
         xs = [x[offsets[j]:offsets[j + 1]].reshape(fieldshapes[j]) for j in range(F)]
         ys = [jnp.zeros(fieldshapes[i], x.dtype) for i in range(F)]
         wi = 0
-        for i, j, gr, gc, qr, qc, amin, awid, phmeta in blocks:
+        for i, j, gr, gc, qr, qc, amin, awid, wrap, phmeta in blocks:
             d = len(gr)
             xg = xs[j].reshape(gc)
             shifts = list(itertools.product(*[range(a0, a0 + wd)
@@ -274,7 +301,18 @@ def _matvec_fn(meta):
             pmax = [max(pm[1][ax] for pm in phmeta) for ax in range(d)]
             padhi = [max(0, qc[ax] * (pmax[ax] - 1) + amin[ax] + awid[ax] - 1 - (gc[ax] - 1))
                      for ax in range(d)]
-            xp = jnp.pad(xg, list(zip(padlo, padhi)))
+            xp = xg
+            for ax in range(d):  # periodic axes pad with wrapped copies
+                if wrap[ax] and (padlo[ax] or padhi[ax]):
+                    sl = [slice(None)] * d
+                    sl[ax] = slice(gc[ax] - padlo[ax], gc[ax])
+                    front = xp[tuple(sl)]
+                    sl[ax] = slice(0, padhi[ax])
+                    back = xp[tuple(sl)]
+                    xp = jnp.concatenate([front, xp, back], axis=ax)
+            zpad = [(0, 0) if wrap[ax] else (padlo[ax], padhi[ax]) for ax in range(d)]
+            if any(p != (0, 0) for p in zpad):
+                xp = jnp.pad(xp, zpad)
             parts = []
             for phi, pshape in phmeta:
                 w = ws[wi]

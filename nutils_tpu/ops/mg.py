@@ -44,7 +44,7 @@ class MGData:
 
     @property
     def shapes(self):
-        return tuple(shape for _ks, shape in self.levels)
+        return tuple(lev[1] for lev in self.levels)
 
 
 def _prolong_1d(n_fine):
@@ -64,11 +64,12 @@ def _prolong_1d(n_fine):
     return scipy.sparse.csr_matrix((vals, (rows, cols)), shape=(n_fine, nc))
 
 
-def _coarsen_flags(shape, min_coarse):
-    '''Per-axis semi-coarsening flags: odd vertex axes >= 5 coarsen, short or
-    even axes (vector components, periodic pitches) are kept — returns None
-    when nothing coarsens or the level is already small.'''
-    flags = tuple(s >= 5 and s % 2 == 1 for s in shape)
+def _coarsen_flags(shape, periodic, min_coarse):
+    '''Per-axis semi-coarsening flags: odd non-periodic vertex axes >= 5
+    coarsen, short/even/periodic axes (vector components, wrapped pitches)
+    are kept — returns None when nothing coarsens or the level is already
+    small.'''
+    flags = tuple(s >= 5 and s % 2 == 1 and not per for s, per in zip(shape, periodic))
     if not any(flags) or int(numpy.prod(shape)) <= min_coarse:
         return None
     return flags
@@ -88,7 +89,7 @@ def setup(form, data, indices, indptr, *, dtype=numpy.float32, min_coarse=1024, 
     shapes = [form.shape]
     ops = [A]
     while len(ops) < max_levels:
-        flags = _coarsen_flags(shapes[-1], min_coarse)
+        flags = _coarsen_flags(shapes[-1], form.periodic, min_coarse)
         if flags is None:
             break
         P = None
@@ -111,8 +112,8 @@ def setup(form, data, indices, indptr, *, dtype=numpy.float32, min_coarse=1024, 
         d = Al.diagonal()
         d[d == 0] = 1.0
         dinvs.append(jnp.asarray((1.0 / d).reshape(shape).astype(dtype)))
-        levels.append((fl.ks, fl.shape))
-    levels.append(((0,) * len(shapes[-1]), shapes[-1]))
+        levels.append((fl.ks, fl.shape, fl.periodic))
+    levels.append(((0,) * len(shapes[-1]), shapes[-1], form.periodic))
     coarse_inv = jnp.asarray(numpy.linalg.inv(ops[-1].toarray()).astype(dtype))
     return MGData(tuple(ws), tuple(dinvs), coarse_inv, tuple(levels))
 
@@ -165,11 +166,11 @@ def _vcycle_fn(levels, nu):
     from . import stencil as _st
     omega = 0.8
     nlev = len(levels) - 1  # levels includes the coarsest
-    mv = [_st._matvec_fn(ks, shape) for ks, shape in levels[:-1]]
+    mv = [_st._matvec_fn(ks, shape, per) for ks, shape, per in levels[:-1]]
 
     def cycle(level, r, ws, dinvs, coarse_inv):
         if level == nlev:
-            _ks, cshape = levels[-1]
+            cshape = levels[-1][1]
             return (coarse_inv @ r.reshape(-1)).reshape(cshape)
         w = ws[level]
         dinv = dinvs[level]

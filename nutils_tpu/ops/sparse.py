@@ -271,8 +271,8 @@ def _make_matvec(mv_kind):
         return mv
     if mv_kind[0] == 'stencil':
         from . import stencil as _st
-        _kind, ks, shape = mv_kind
-        fn = _st._matvec_fn(ks, shape)
+        _kind, ks, shape, periodic = mv_kind
+        fn = _st._matvec_fn(ks, shape, periodic)
 
         def mv(op, x):
             (w,) = op

@@ -42,14 +42,16 @@ class StencilForm:
     axis is the row-major index of the window offset (a_1 + k_1, ...,
     a_d + k_d) over window dims (2k_i + 1).'''
 
-    __slots__ = ('w', 'ks', 'shape', 'slot', 'rows')
+    __slots__ = ('w', 'ks', 'shape', 'slot', 'rows', 'periodic')
 
-    def __init__(self, w, ks, shape, slot=None, rows=None):
+    def __init__(self, w, ks, shape, slot=None, rows=None, periodic=None):
         self.w = w
         self.ks = tuple(int(k) for k in ks)
         self.shape = tuple(int(s) for s in shape)
         self.slot = slot    # per-CSR-entry window slot (value refill plan)
         self.rows = rows    # per-CSR-entry row index
+        self.periodic = tuple(bool(p) for p in periodic) if periodic is not None \
+            else (False,) * len(self.shape)
 
     # 2-D convenience accessors (legacy callers/tests)
     @property
@@ -67,18 +69,32 @@ class StencilForm:
         return self.shape[1]
 
 
-def _decompose(d, pitches, dims, rows):
+def _decompose(d, pitches, dims, rows, max_k=None):
     '''Exactly decompose column offsets d (int64) over the mixed-radix grid
     given by descending ``pitches`` and ``dims``: both the row and the
     column are valid grid indices, so the per-axis window shift is simply
     the difference of their grid coordinates — no rounding, no ambiguity
     (round-division picks the wrong representative when windows alias, e.g.
-    interleaved component axes).  Returns (ok, A) with A[axis] the per-axis
-    shifts; ok is all-true by construction (kept for interface symmetry).'''
+    interleaved component axes).  When ``max_k`` is given, axes whose plain
+    shifts exceed it are retried with periodic wrap canonicalization
+    (shift modulo the axis size, centered) — exact either way, since the
+    matvec wrap-pads flagged axes.  Returns (ok, A, periodic).'''
     r = rows.astype(numpy.int64)
     c = r + d.astype(numpy.int64)
-    A = [(c // p) % dim - (r // p) % dim for p, dim in zip(pitches, dims)]
-    return numpy.ones(len(d), dtype=bool), A
+    A = []
+    periodic = []
+    for p, dim in zip(pitches, dims):
+        a = (c // p) % dim - (r // p) % dim
+        wrap = False
+        if max_k is not None and len(a) and int(numpy.abs(a).max(initial=0)) > max_k \
+                and dim > 2 * max_k + 1:
+            aw = (a + dim // 2) % dim - dim // 2
+            if int(numpy.abs(aw).max(initial=0)) <= max_k:
+                a = aw
+                wrap = True
+        A.append(a)
+        periodic.append(wrap)
+    return numpy.ones(len(d), dtype=bool), A, periodic
 
 
 def _pitch_dims(pitches_desc, n):
@@ -127,6 +143,8 @@ def from_csr(data, indices, indptr, n, max_k=3, max_dim=4, sample=8192):
             rem -= a * p
         return rem == 0
 
+    wrap_k = [None]  # pass 1: plain deltas only; pass 2 allows periodic wrap
+
     def verify(pitches_desc):
         pd = _pitch_dims(pitches_desc, n)
         if pd is None:
@@ -134,18 +152,24 @@ def from_csr(data, indices, indptr, n, max_k=3, max_dim=4, sample=8192):
         dims, pitches = pd
         if len(dims) > max_dim:
             return None
-        _ok, A_s = _decompose(d_s, pitches, dims, rows_s)
+        _ok, A_s, _per = _decompose(d_s, pitches, dims, rows_s, wrap_k[0])
         if max((int(numpy.abs(a).max(initial=0)) for a in A_s), default=0) > max_k:
             return None
-        _ok, A = _decompose(d, pitches, dims, rows)
+        _ok, A, periodic = _decompose(d, pitches, dims, rows, wrap_k[0])
         ks = [int(numpy.abs(a).max(initial=0)) for a in A]
         if max(ks, default=0) > max_k:
             return None
         if int(numpy.prod([2 * k + 1 for k in ks])) > (2 * max_k + 1) ** 3:
             return None  # window too large to slice-enumerate profitably
-        return dims, pitches, ks, A
+        return dims, pitches, ks, A, periodic
 
     budget = [96]  # total candidate verifications across the whole search
+    hits = []      # all verified towers; the best by quality() wins
+
+    def quality(dims_, ks_, per_):
+        ncoarsen = sum(1 for s, p in zip(dims_, per_) if s >= 5 and s % 2 == 1 and not p)
+        W_ = int(numpy.prod([2 * k + 1 for k in ks_]))
+        return (ncoarsen, -W_)
 
     def search(pitches_desc):
         # smallest positive offset not representable with current pitches
@@ -154,15 +178,15 @@ def from_csr(data, indices, indptr, n, max_k=3, max_dim=4, sample=8192):
         unc = [o for o in offs if not covered(o, pitches_desc)]
         if not unc or pitches_desc:
             if budget[0] <= 0:
-                return None
+                return
             budget[0] -= 1
             res = verify(pitches_desc)
             if res is not None:
-                return pitches_desc, res
+                hits.append(res)
             if not unc:
-                return None
-        if len(pitches_desc) + 1 > max_dim:
-            return None
+                return
+        if len(pitches_desc) + 1 > max_dim or len(hits) >= 6:
+            return
         o = int(unc[0])
         span = max_k * sum(pitches_desc) if pitches_desc else 0
         # a new outermost pitch p satisfies o = a*p + c for some covered
@@ -185,22 +209,35 @@ def from_csr(data, indices, indptr, n, max_k=3, max_dim=4, sample=8192):
                             seen.add(p)
                             cands.append(p)
         for p in cands:
-            if budget[0] <= 0:
-                return None
-            hit = search([p] + pitches_desc)
-            if hit is not None:
-                return hit
-        return None
+            if budget[0] <= 0 or len(hits) >= 6:
+                return
+            search([p] + pitches_desc)
 
-    hit = search([])
-    if hit is None:
+    # prefer non-wrapped factorizations: a periodic reading can rescue an
+    # aliased tower, so wrap is only allowed once the plain pass fails;
+    # among verified towers the best hierarchy (most coarsenable axes, then
+    # smallest window) wins — aliased factorizations are exact but bloat
+    # the window and defeat multigrid
+    search([])
+    if not hits:
+        wrap_k[0] = max_k
+        budget[0] = 96
+        search([])
+    if not hits:
         return None
-    _pitches_in, (dims, pitches, ks, A) = hit
+    dims, pitches, ks, A, periodic = max(hits, key=lambda h: quality(h[0], h[2], h[4]))
 
     # axis-refinement pass: a flat factorization can merge a short inner
     # axis (vector components) into a spatial one — exact for the matvec,
     # but the merged even axis blocks multigrid coarsening.  Split even
-    # axes into (odd, short) pairs whenever the finer tower also verifies.
+    # axes into (odd, short) pairs when the finer tower also verifies AND
+    # actually improves the hierarchy (more coarsenable axes, or the same
+    # with a smaller window).
+    def quality(dims_, ks_, per_):
+        ncoarsen = sum(1 for s, p in zip(dims_, per_) if s >= 5 and s % 2 == 1 and not p)
+        W_ = int(numpy.prod([2 * k + 1 for k in ks_]))
+        return (ncoarsen, -W_)
+
     changed = True
     while changed:
         changed = False
@@ -211,8 +248,9 @@ def from_csr(data, indices, indptr, n, max_k=3, max_dim=4, sample=8192):
                         rdims = dims[:ax] + [dims[ax] // s, s] + dims[ax + 1:]
                         rpitches = [int(numpy.prod(rdims[i + 1:])) for i in range(len(rdims))]
                         res = verify(rpitches) if len(rdims) <= max_dim else None
-                        if res is not None:
-                            dims, pitches, ks, A = res
+                        if res is not None and quality(res[0], res[2], res[4]) \
+                                > quality(dims, ks, periodic):
+                            dims, pitches, ks, A, periodic = res
                             changed = True
                             break
                 if changed:
@@ -224,7 +262,8 @@ def from_csr(data, indices, indptr, n, max_k=3, max_dim=4, sample=8192):
         slot = slot * wdim + (a + k)
     w = numpy.zeros((W, n), dtype=data.dtype)
     w[slot, rows] = data
-    return StencilForm(w.reshape([W] + dims), tuple(ks), tuple(dims), slot, rows)
+    return StencilForm(w.reshape([W] + dims), tuple(ks), tuple(dims), slot, rows,
+                       tuple(periodic))
 
 
 def refill(ks, shape, slot, rows, data):
@@ -255,7 +294,7 @@ def from_csr_grid(data, indices, indptr, shape, max_k=3):
     rows = numpy.repeat(numpy.arange(n), counts)
     d = indices.astype(numpy.int64) - rows
     pitches = [int(numpy.prod(shape[i + 1:])) for i in range(len(shape))]
-    _ok, A = _decompose(d, pitches, shape, rows)
+    _ok, A, periodic = _decompose(d, pitches, shape, rows, max_k)
     ks = [int(numpy.abs(a).max(initial=0)) for a in A]
     if max(ks, default=0) > max_k:
         return None
@@ -266,17 +305,31 @@ def from_csr_grid(data, indices, indptr, shape, max_k=3):
         slot = slot * wdim + (a + k)
     w = numpy.zeros((W, n), dtype=data.dtype)
     w[slot, rows] = data
-    return StencilForm(w.reshape([W] + shape), tuple(ks), tuple(shape), slot, rows)
+    return StencilForm(w.reshape([W] + shape), tuple(ks), tuple(shape), slot, rows,
+                       tuple(periodic))
 
 
 @functools.lru_cache(maxsize=64)
-def _matvec_fn(ks, shape):
+def _matvec_fn(ks, shape, periodic=None):
     import jax.numpy as jnp
     from jax import lax
     windows = [2 * k + 1 for k in ks]
+    periodic = periodic or (False,) * len(ks)
 
     def matvec(w, x):          # w [W, *shape], x [*shape]
-        xp = jnp.pad(x, [(k, k) for k in ks]) if any(ks) else x
+        xp = x
+        for ax, (k, per) in enumerate(zip(ks, periodic)):
+            if k and per:
+                # wrap-pad: periodic couplings read across the seam
+                sl = [slice(None)] * x.ndim
+                sl[ax] = slice(shape[ax] - k, shape[ax])
+                front = xp[tuple(sl)]
+                sl[ax] = slice(0, k)
+                back = xp[tuple(sl)]
+                xp = jnp.concatenate([front, xp, back], axis=ax)
+        zpad = [(0, 0) if per else (k, k) for k, per in zip(ks, periodic)]
+        if any(p != (0, 0) for p in zpad):
+            xp = jnp.pad(xp, zpad)
         acc = jnp.zeros_like(x)
         for s, shifts in enumerate(itertools.product(*[range(m) for m in windows])):
             acc = acc + w[s] * lax.dynamic_slice(xp, shifts, shape)
@@ -289,5 +342,5 @@ def matvec(form, w_dev, x):
     out.'''
     flat = x.ndim == 1
     xg = x.reshape(form.shape) if flat else x
-    y = _matvec_fn(form.ks, form.shape)(w_dev, xg)
+    y = _matvec_fn(form.ks, form.shape, form.periodic)(w_dev, xg)
     return y.reshape(-1) if flat else y

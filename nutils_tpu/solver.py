@@ -1328,10 +1328,14 @@ class System:
             return matrix._StencilMatrix(pattern, data, jplan['ks'], jplan['grid'],
                                          jplan['csr_map'])
         m = matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
+        # field partition + registered dof-grid layouts: multi-field
+        # structured systems (Taylor-Hood etc.) become block-grid operators
+        # with a fieldsplit MG preconditioner, and single-field CSR
+        # fallbacks skip grid inference (matrix._device_op/_fieldsplit)
+        sizes = [sl.stop - sl.start for sl in self._trial_slices]
+        m._field_grids = tuple(function.field_grid(t, s)
+                               for t, s in zip(self.trials, sizes))
         if len(self.trials) > 1:
-            # field partition of the dof vector: multi-field structured
-            # systems (Taylor-Hood etc.) become block-grid operators with a
-            # fieldsplit MG preconditioner (matrix._device_op/_fieldsplit)
             m._field_offsets = (0,) + tuple(sl.stop for sl in self._trial_slices)
         return m
 

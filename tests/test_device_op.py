@@ -334,6 +334,63 @@ def test_fieldsplit_preconditioner_stiff_stokes():
     assert rel < 1e-6
 
 
+def test_periodic_stencil_detection():
+    '''Periodic grids: wrapped couplings canonicalize modulo the axis size
+    and the matvec wrap-pads — 1-D bands and tori detect exactly.'''
+    import jax.numpy as jnp
+    n = 36
+    diags = [numpy.full(n, 4.0), numpy.full(n - 1, -1.0), numpy.full(n - 1, -1.0),
+             numpy.full(1, -1.0), numpy.full(1, -1.0)]
+    P = scipy.sparse.diags(diags, [0, 1, -1, n - 1, -(n - 1)], format='csr')
+    f = st.from_csr(P.data, P.indices, P.indptr, n)
+    assert f is not None and f.shape == (n,) and f.periodic == (True,)
+    x = rng.standard_normal(n)
+    y = numpy.asarray(st.matvec(f, jnp.asarray(f.w), jnp.asarray(x)))
+    numpy.testing.assert_allclose(y, P @ x, rtol=1e-12)
+
+
+def test_field_grid_hints_periodic_mixed():
+    '''topology.field registers the exact dof-grid layout (incl. periodic
+    axes); a periodic-channel Taylor-Hood system then becomes a block-grid
+    operator with wrapped couplings, no grid inference.'''
+    import jax.numpy as jnp
+    from nutils_tpu import function, mesh
+    from nutils_tpu.expression import Namespace
+    from nutils_tpu.solver import System
+    from nutils_tpu.utils import config
+    from nutils_tpu.ops import sparse as dsp2
+    with config.floatx(numpy.float64):
+        topo, geom = mesh.rectilinear([numpy.linspace(0, 2 * numpy.pi, 17),
+                                       numpy.linspace(0, 1, 9)], periodic=[0])
+        ns = Namespace()
+        ns.x = geom
+        ns.define_for('x', gradient='∇', jacobians=('dV',))
+        ns.u = topo.field('u', btype='spline', degree=2, shape=[2])
+        ns.p = topo.field('p', btype='spline', degree=1)
+        ns.v = function.replace_arguments(ns.u, 'u:v')
+        ns.q = function.replace_arguments(ns.p, 'p:q')
+        ns.nu = 0.1
+        ns.eps = 0.001
+        res = topo.integral('(u_i v_i + nu ∇_j(v_i) ∇_j(u_i) - p ∇_i(v_i)'
+                            ' + q ∇_i(u_i) + eps p q) dV' @ ns, degree=5)
+        system = System(res, trial='u,p', test='v,q')
+        args = {t: numpy.zeros(s) for t, s in zip(system.trials, system.trial_shapes)}
+        jac, _r = system.assemble_jacobian_residual(args)
+    assert jac._field_grids[0] == ((16, 10, 2), (True, False, False))
+    assert jac._field_grids[1] == ((16, 9), (True, False))
+    kind, op = jac._device_op()
+    assert kind[0] == 'blockgrid'
+    assert any(b[8][0] for b in kind[1][2])  # wrapped x axis in some block
+    x = rng.standard_normal(jac.shape[0])
+    mv = dsp2._make_matvec(kind)
+    y = numpy.asarray(mv(op, jnp.asarray(x)))
+    numpy.testing.assert_allclose(y, jac._scipy() @ x, rtol=1e-10, atol=1e-12)
+    b = rng.standard_normal(jac.shape[0])
+    xs = jac.solve(b, solver='gmres', rtol=1e-10)
+    rel = numpy.linalg.norm(b - jac._scipy() @ xs) / numpy.linalg.norm(b)
+    assert rel < 5e-9
+
+
 def test_mg_semicoarsening_vector_grid():
     '''Grids with an uncoarsenable component axis (vector fields) coarsen
     the spatial axes only.'''
@@ -341,7 +398,7 @@ def test_mg_semicoarsening_vector_grid():
     M = matrix.Matrix(A.indptr, A.indices, A.data.astype(numpy.float32), A.shape)
     mg = M._mg()
     assert mg is not None and len(mg.levels) >= 2
-    assert all(shape[-1] == 2 for _ks, shape in mg.levels)
+    assert all(lev[1][-1] == 2 for lev in mg.levels)
     b = rng.standard_normal(A.shape[0])
     x = M.solve(b, solver='cg', rtol=1e-10)
     rel = numpy.linalg.norm(b - A @ x) / numpy.linalg.norm(b)
