@@ -639,8 +639,76 @@ class HierarchicalTopology(Topology):
 
     # ------------------------------------------------------------ locate
 
-    def locate(self, geom, coords, **kwargs):
-        raise NotImplementedError('locate on hierarchical topologies pending')
+    def locate(self, geom, coords, *, tol=None, eps=0, arguments=None, maxiter=None,
+               maxdist=None, skip_missing=False, weights=None):
+        '''Sample at the active (level, element) cells containing the given
+        physical points (reference: topology.py:777 ``Topology.locate``,
+        which resolves hierarchical membership through
+        ``transforms.index_with_tail``).
+
+        Root coordinates are recovered once through the base structured
+        topology's affine-probe/Newton machinery; hierarchical membership is
+        then pure integer arithmetic — at level l the candidate cell is
+        floor(xi * 2^l), active iff it belongs to this topology's per-level
+        index set (the active cells partition the domain, so exactly one
+        level matches per point).'''
+        fam = self.family
+        if not fam.structured:
+            raise NotImplementedError('locate on hierarchical refinements of '
+                                      'unstructured topologies')
+        base = fam.base
+        coords = numpy.asarray(coords, dtype=float)
+        if coords.ndim == 1:
+            coords = coords[:, None]
+        xi = base._locate_rootcoords(geom, coords, tol=tol, eps=eps, arguments=arguments,
+                                     maxiter=maxiter, skip_missing=skip_missing,
+                                     maxdist=maxdist)
+        valid = ~numpy.isnan(xi[:, 0])
+        npts = len(coords)
+        out_level = numpy.full(npts, -1, dtype=int)
+        out_elem = numpy.zeros(npts, dtype=int)
+        out_local = numpy.zeros((npts, self.ndims))
+        for l, idx in enumerate(self._ipl):
+            if not len(idx):
+                continue
+            shape_l = numpy.array(fam.shape(l))
+            xl = xi * (1 << l)
+            em = numpy.minimum(numpy.maximum(
+                numpy.floor(numpy.where(numpy.isnan(xl), 0.0, xl)).astype(int), 0), shape_l - 1)
+            flat = numpy.ravel_multi_index(tuple(em.T), tuple(shape_l))
+            hit = numpy.isin(flat, idx) & valid & (out_level == -1)
+            out_level[hit] = l
+            out_elem[hit] = flat[hit]
+            out_local[hit] = xl[hit] - em[hit]
+        found = out_level >= 0
+        if not found.all() and not skip_missing:
+            raise ValueError(f'failed to locate {int((~found).sum())}/{npts} points')
+        # per-level point samples, reordered back to the input point order
+        samples, row_order = [], []
+        for l in sorted(set(out_level[found])):
+            rows = numpy.nonzero(out_level == l)[0]
+            sel = out_elem[rows]
+            flin, foff = fam._level_frame(l, sel)
+            local = out_local[rows]
+            coords_s = (numpy.einsum('eij,ej->ei', flin, local) + foff)[:, None, :]
+            p_lin, p_off = fam._level_to_local(l, sel)
+            w = None if weights is None else numpy.asarray(weights)[rows][:, None]
+            ref = fam.levels[l].ref if fam.structured else None
+            samples.append(_sample.Sample(
+                self.space, coords_s, w, sel, p_lin, p_off, flin,
+                None, None, None,
+                part_ids=numpy.zeros(len(rows), dtype=int), part_topos=[self],
+                batch_key=type(ref).__name__, origin_topo=fam.levels[l],
+                lineage=(fam, numpy.full(len(rows), l), sel)))
+            row_order.append(rows)
+        if not samples:
+            return base._point_sample(numpy.zeros((0, self.ndims)), None)
+        if len(samples) == 1:
+            return samples[0]
+        order = numpy.concatenate(row_order)   # parent row k holds input row order[k]
+        perm = numpy.empty_like(order)
+        perm[order] = numpy.arange(len(order))  # perm[i] = parent row of input row i
+        return _sample.ReorderedSample(_sample.ChainedSample(samples), perm)
 
 
 class _HierBoundaryPart(Topology):

@@ -13,16 +13,40 @@ class _RectilinearGeom(function.Array):
     x_i = v_i[e_i] + (root_i - e_i) * (v_i[e_i+1] - v_i[e_i]), with constant
     per-element tables (differentiable in the root coordinates).'''
 
-    def __init__(self, space, verts, shape):
+    def __init__(self, space, verts, shape, topo=None):
         self.space = space
         self.verts = [numpy.asarray(v, dtype=float) for v in verts]
         self.grid_shape = tuple(shape)
+        self._topo = topo
         super().__init__((len(verts),), float, frozenset({space}), {})
+
+    def _base_cells(self, chart):
+        '''Base-grid cell multi-index [E, d] of the chart's elements: element
+        indices directly for base-topology charts, ancestor lookup through
+        the refinement lineage for refined/hierarchical charts (the analogue
+        of the reference's transform-chain head resolution,
+        transformseq.py:15 ``index_with_tail``), centroid binning of the
+        constant root-coordinate table as a last resort (locate samples).'''
+        if self._topo is None or chart.origin_topo is self._topo or chart.origin_topo is None:
+            return numpy.stack(numpy.unravel_index(chart.index, self.grid_shape), axis=1)
+        lineage = getattr(chart, 'lineage', None)
+        if lineage is not None and lineage[0].base is self._topo:
+            fam, levels, elems = lineage
+            levels = numpy.asarray(levels)
+            elems = numpy.asarray(elems)
+            base = numpy.empty(len(elems), dtype=int)
+            for l in numpy.unique(levels):
+                m = levels == l
+                base[m] = fam.base_ancestor(int(l), elems[m])
+            return numpy.stack(numpy.unravel_index(base, self.grid_shape), axis=1)
+        cent = numpy.asarray(chart.X.value).mean(axis=1)  # [E, d] root centroids
+        return numpy.minimum(numpy.maximum(numpy.floor(cent).astype(int), 0),
+                             numpy.array(self.grid_shape) - 1)
 
     def lower(self, args):
         from . import evaluable as ev
         chart = args.chart(self.space)
-        multi = numpy.stack(numpy.unravel_index(chart.index, self.grid_shape), axis=1)  # [E, d]
+        multi = self._base_cells(chart)  # [E, d]
         c0 = numpy.empty(multi.shape, dtype=float)
         c1 = numpy.empty(multi.shape, dtype=float)
         for i, v in enumerate(self.verts):
@@ -43,7 +67,7 @@ def rectilinear(richshape, periodic=(), space='X', bnames=None):
     if all(numeric.isint(v) for v in richshape):
         geom = function._RootCoords(space, len(shape))
     else:
-        geom = _RectilinearGeom(space, verts, shape)
+        geom = _RectilinearGeom(space, verts, shape, topo)
     return topo, geom
 
 

@@ -538,6 +538,20 @@ class StructuredTopology(Topology):
         coords = numpy.asarray(coords, dtype=float)
         if coords.ndim == 1:
             coords = coords[:, None]
+        xi = self._locate_rootcoords(geom, coords, tol=tol, eps=eps, arguments=arguments,
+                                     maxiter=maxiter, skip_missing=skip_missing,
+                                     maxdist=maxdist)
+        valid = ~numpy.isnan(xi[:, 0])
+        xi = xi[valid]
+        if weights is not None:
+            weights = numpy.asarray(weights)[valid]
+        return self._point_sample(xi, weights)
+
+    def _locate_rootcoords(self, geom, coords, *, tol=None, eps=0, arguments=None,
+                           maxiter=None, skip_missing=False, maxdist=None):
+        '''Element-unit root coordinates xi [N, d] of the physical points
+        ``coords`` (NaN rows mark unlocated points under ``skip_missing``);
+        shared by the structured and hierarchical ``locate``.'''
         d = self.ndims
         assert coords.shape[1] == d
         geom = function.asarray(geom)
@@ -556,6 +570,7 @@ class StructuredTopology(Topology):
         if tol is None:
             tol = 1e-12
         xi = (coords - off) @ numpy.linalg.inv(lin) / self.root_h  # element units
+        bad = numpy.zeros(len(coords), dtype=bool)
         if fit_err > max(tol, 1e-10):
             # curved geometry: per-point Newton on the affine initial guess,
             # re-evaluating geometry and root-gradient at the moving points
@@ -574,23 +589,18 @@ class StructuredTopology(Topology):
                 xi = xi + delta / self.root_h
                 xi = numpy.clip(xi, -2 * eps - 1e-9, numpy.array(self.shape, dtype=float) + 2 * eps + 1e-9)
             resid = numpy.abs(r).max(axis=1)
-            ok = resid < (maxdist if maxdist is not None else max(tol, 1e-9) * 1e3) \
-                if skip_missing else resid < numpy.inf
             if not skip_missing and not converged:
                 raise ValueError(f'failed to locate points (max residual {resid.max():.1e})')
-            xi = xi[ok]
-            if weights is not None:
-                weights = numpy.asarray(weights)[ok]
-        ielem = numpy.minimum(numpy.maximum(numpy.floor(xi).astype(int), 0), numpy.array(self.shape) - 1)
+            if skip_missing:
+                bad |= resid >= (maxdist if maxdist is not None else max(tol, 1e-9) * 1e3)
         inside = (xi > -eps - 1e-10).all(1) & (xi < numpy.array(self.shape) + eps + 1e-10).all(1)
-        if not inside.all():
+        if not (inside | bad).all():
             if not skip_missing:
                 raise ValueError(f'failed to locate {int((~inside).sum())}/{len(coords)} points')
-            xi = xi[inside]
-            ielem = ielem[inside]
-            if weights is not None:
-                weights = numpy.asarray(weights)[inside]
-        return self._point_sample(xi, weights)
+        bad |= ~inside
+        xi = xi.copy()
+        xi[bad] = numpy.nan
+        return xi
 
     def _point_sample(self, xi, weights=None):
         '''One-point-per-row sample at element-unit root coordinates [N, d].'''
