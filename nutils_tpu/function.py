@@ -1520,6 +1520,14 @@ def dotarg(name, *arrays, shape=(), dtype=float):
 
 
 def field(name, *arrays, shape=(), dtype=float):
+    for a in arrays:
+        grid = getattr(a, '_ndofs_per_dim', None)
+        if grid is not None:
+            topo = getattr(a, '_topo', None)
+            per = tuple(i in getattr(topo, 'periodic', ()) for i in range(len(grid)))
+            size = int(numpy.prod(tuple(grid) + tuple(shape), dtype=numpy.int64))
+            register_field_grid(name, size, tuple(grid) + tuple(shape), per)
+            break
     return dotarg(name, *arrays, shape=shape, dtype=dtype)
 
 

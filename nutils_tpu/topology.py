@@ -62,15 +62,9 @@ class Topology:
         return method(degree, **kwargs)
 
     def field(self, name, *, btype='std', degree=1, shape=(), dtype=float, **kwargs):
+        # function.field records the structured dof-grid layout of the basis
+        # for the solver/matrix stencil and block-grid device operators
         basis = self.basis(btype, degree, **kwargs)
-        grid = getattr(basis, '_ndofs_per_dim', None)
-        if grid is not None:
-            # record the structured dof layout (plus trailing component
-            # axes) so the solver/matrix layer can use the exact grid for
-            # stencil/block-grid operators instead of inferring it
-            per = tuple(i in getattr(self, 'periodic', ()) for i in range(len(grid)))
-            size = basis.ndofs * int(numpy.prod(shape, dtype=numpy.int64)) if shape else basis.ndofs
-            function.register_field_grid(name, size, tuple(grid) + tuple(shape), per)
         return function.field(name, basis, shape=shape, dtype=dtype)
 
     def project(self, fun, onto, geometry, *, degree=None, droptol=1e-12, ptype='lsqr',
