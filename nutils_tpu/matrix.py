@@ -490,8 +490,20 @@ class Matrix:
             return cached
         from .ops import mg as _mg
         from .ops import stencil as _stencil
-        form = _stencil.from_csr(numpy.asarray(self.data), self.indices, self.indptr,
-                                 self.shape[0]) if self.shape[0] == self.shape[1] else None
+        form = None
+        if getattr(self, '_ks', None) is not None:
+            # stencil-form assembled matrix: exact metadata, zero inference
+            W = int(numpy.prod([2 * k + 1 for k in self._ks]))
+            form = _stencil.StencilForm(numpy.asarray(self._w).reshape((W,) + self._grid),
+                                        self._ks, self._grid, None, None, self._periodic)
+        elif self.shape[0] == self.shape[1]:
+            grids = getattr(self, '_field_grids', None)
+            if grids is not None and len(grids) == 1 and grids[0] is not None:
+                form = _stencil.from_csr_grid(numpy.asarray(self.data), self.indices,
+                                              self.indptr, grids[0][0])
+            if form is None:
+                form = _stencil.from_csr(numpy.asarray(self.data), self.indices,
+                                         self.indptr, self.shape[0])
         out = None
         if form is not None:
             dt = numpy.asarray(self.data).dtype
@@ -772,7 +784,7 @@ class _StencilMatrix(Matrix):
     the CSR data array materializes lazily (host gather) only when some
     other operation needs it.'''
 
-    def __init__(self, pattern, w_flat, ks, grid_shape, csr_map):
+    def __init__(self, pattern, w_flat, ks, grid_shape, csr_map, periodic=None):
         self.indptr = pattern.indptr
         self.indices = pattern.indices
         self.shape = tuple(pattern.shape)
@@ -780,6 +792,8 @@ class _StencilMatrix(Matrix):
         self._ks = tuple(int(k) for k in ks)
         self._grid = tuple(int(s) for s in grid_shape)
         self._csr_map = csr_map
+        self._periodic = tuple(bool(p) for p in periodic) if periodic is not None \
+            else (False,) * len(self._grid)
 
     def __getattr__(self, name):
         if name == 'data':
@@ -793,7 +807,7 @@ class _StencilMatrix(Matrix):
             return cached
         import jax.numpy as jnp
         W = int(numpy.prod([2 * k + 1 for k in self._ks]))
-        out = (('stencil', self._ks, self._grid, (False,) * len(self._grid)),
+        out = (('stencil', self._ks, self._grid, self._periodic),
                (jnp.asarray(self._w).reshape((W,) + self._grid),))
         self._device_op_cache = out
         return out

@@ -136,75 +136,117 @@ def _pack_complex(v):
 def _grid_plan(idx, N):
     '''Detect the structured-grid affine layout of a constant index table:
 
-        idx[e, t...] == base[t] + (e // nx_e) * pitch + (e % nx_e)
+        idx[e, t...] == base[t] + sum_ax coord_ax(e) * stride_ax
 
-    — the shape of every dof table a structured (tensor-product) basis
-    produces.  Returns (ny_e, nx_e, pitch, bases [T]) or None.  The match is
-    verified exactly over the whole table, so the slice-form fast paths it
-    enables (gathers and scatter-adds become static 2-D slices, which XLA
-    runs at the HBM roofline where element-granular gathers serialize) can
-    never change results.'''
+    with the element index e unraveled row-major over an element grid of any
+    rank — the shape of every dof table a structured (tensor-product) basis
+    produces, in 1-D through 3-D (and beyond).  Returns
+    (eshape, strides, bases [T]) or None; ``strides`` are outermost-first
+    and form a divisor chain, so gathers and scatter-adds become static
+    unit-stride slices of a nested grid view (which XLA runs at the HBM
+    roofline where element-granular gathers serialize).  The match is
+    verified exactly over the whole table, so the fast paths can never
+    change results.'''
     idx = numpy.asarray(idx)
     if idx.ndim < 2 or idx.shape[0] < 4:
         return None
     E = idx.shape[0]
     flatT = idx.reshape(E, -1)
     col = flatT[:, 0].astype(numpy.int64)
-    d = numpy.diff(col)
-    sx = int(d[0])
-    if sx < 1:
+    dims, strides = [], []   # innermost-first factorization of the e axis
+    seg = col
+    while len(seg) > 1:
+        d0 = numpy.diff(seg)
+        s = int(d0[0])
+        if s < 1:
+            return None
+        jumps = numpy.nonzero(d0 != s)[0]
+        n0 = int(jumps[0] + 1) if len(jumps) else len(seg)
+        if len(seg) % n0:
+            return None
+        dims.append(n0)
+        strides.append(s)
+        seg = seg[::n0]
+    if not dims:
         return None
-    jumps = numpy.nonzero(d != sx)[0]
-    nx_e = int(jumps[0] + 1) if len(jumps) else E
-    if E % nx_e:
-        return None
-    ny_e = E // nx_e
-    span = (nx_e - 1) * sx + 1
-    pitch = int(col[nx_e] - col[0]) if ny_e > 1 else max(int(flatT.max()) + span, span)
-    if pitch < span:
-        return None
+    eshape = tuple(reversed(dims))
+    strides_o = tuple(reversed(strides))
+    for a, b in zip(strides_o[:-1], strides_o[1:]):
+        if a % b:
+            return None  # no nested unit-stride view exists
     e = numpy.arange(E)
-    grid = (e // nx_e) * pitch + (e % nx_e) * sx
-    if not numpy.array_equal(flatT, flatT[:1] + grid[:, None] - grid[0]):
+    coords = numpy.stack(numpy.unravel_index(e, eshape), axis=1)
+    grid = coords @ numpy.array(strides_o, dtype=numpy.int64)
+    if not numpy.array_equal(flatT, flatT[:1] + (grid - grid[0])[:, None]):
         return None
     bases = (flatT[0] - grid[0]).astype(numpy.int64)
-    if bases.min() < 0 or ((bases % pitch) + span > pitch).any():
-        return None  # a slice would wrap a row
-    return ny_e, nx_e, sx, pitch, bases
+    if len(bases) and bases.min() < 0:
+        return None
+    for b in bases:  # slices must not wrap within the nested view
+        cs = _view_coords(int(b), strides_o)
+        for i in range(1, len(eshape)):
+            if cs[i] + eshape[i] > strides_o[i - 1] // strides_o[i]:
+                return None
+    return eshape, strides_o, bases
+
+
+def _view_coords(b, strides_o):
+    '''Mixed-radix coordinates of flat offset b in the nested view: one
+    coordinate per element axis plus the innermost residual.'''
+    cs = []
+    rem = b
+    for s in strides_o:
+        cs.append(rem // s)
+        rem -= cs[-1] * s
+    cs.append(rem)
+    return cs
+
+
+def _grid_view(flat, plan, jnp):
+    '''Padded nested-grid view of the flat dof vector plus its slice
+    geometry: (view, vshape, m0).'''
+    eshape, strides, bases = plan
+    s0 = strides[0]
+    top = max((int(b) // s0 for b in bases), default=0) + eshape[0]
+    m0 = max(top, -(-flat.shape[0] // s0))
+    pad = m0 * s0 - flat.shape[0]
+    v = (jnp.pad(flat, (0, pad)) if pad else flat)
+    vshape = (m0,) + tuple(strides[i - 1] // strides[i] for i in range(1, len(strides))) \
+        + (strides[-1],)
+    return v.reshape(vshape), vshape, m0
 
 
 def _slice_gather(flat, plan, trailing_shape):
-    '''[N] -> [E, *trailing] through static 2-D slices of the padded grid
-    view (the slice-form counterpart of flat[idx]).'''
+    '''[N] -> [E, *trailing] through static unit-stride slices of the padded
+    nested grid view (the slice-form counterpart of flat[idx]).'''
     import jax.numpy as jnp
-    ny_e, nx_e, sx, pitch, bases = plan
-    span = (nx_e - 1) * sx + 1
-    nrows = max(int(bases.max()) // pitch + ny_e, -(-flat.shape[0] // pitch))
-    pad = nrows * pitch - flat.shape[0]
-    u2 = (jnp.pad(flat, (0, pad)) if pad else flat).reshape(nrows, pitch)
+    eshape, strides, bases = plan
+    view, vshape, m0 = _grid_view(flat, plan, jnp)
+    E = int(numpy.prod(eshape))
     parts = []
     for b in bases:
-        r0, c0 = int(b) // pitch, int(b) % pitch
-        parts.append(u2[r0:r0 + ny_e, c0:c0 + span:sx].reshape(-1))
+        cs = _view_coords(int(b), strides)
+        sl = tuple(slice(cs[i], cs[i] + eshape[i]) for i in range(len(eshape))) \
+            + (slice(cs[-1], cs[-1] + 1),)
+        parts.append(view[sl].reshape(-1))
     out = jnp.stack(parts, axis=-1) if len(parts) > 1 else parts[0][:, None]
-    return out.reshape((ny_e * nx_e,) + tuple(trailing_shape))
+    return out.reshape((E,) + tuple(trailing_shape))
 
 
 def _slice_scatter_add(r, plan, v):
-    '''r[idx] += v via static 2-D slice adds; v [E, *trailing] (C-order
-    trailing matching the plan's bases).'''
+    '''r[idx] += v via static unit-stride slice adds; v [E, *trailing]
+    (C-order trailing matching the plan's bases).'''
     import jax.numpy as jnp
-    ny_e, nx_e, sx, pitch, bases = plan
-    span = (nx_e - 1) * sx + 1
+    eshape, strides, bases = plan
     n = r.shape[0]
-    nrows = max(int(bases.max()) // pitch + ny_e, -(-n // pitch))
-    pad = nrows * pitch - n
-    r2 = (jnp.pad(r, (0, pad)) if pad else r).reshape(nrows, pitch)
+    view, vshape, m0 = _grid_view(r, plan, jnp)
     vf = v.reshape(v.shape[0], -1)
     for t, b in enumerate(bases):
-        r0, c0 = int(b) // pitch, int(b) % pitch
-        r2 = r2.at[r0:r0 + ny_e, c0:c0 + span:sx].add(vf[:, t].reshape(ny_e, nx_e))
-    return r2.reshape(-1)[:n]
+        cs = _view_coords(int(b), strides)
+        sl = tuple(slice(cs[i], cs[i] + eshape[i]) for i in range(len(eshape))) \
+            + (slice(cs[-1], cs[-1] + 1),)
+        view = view.at[sl].add(vf[:, t].reshape(tuple(eshape) + (1,)))
+    return view.reshape(-1)[:n]
 
 
 class _Loc:
@@ -833,51 +875,83 @@ class System:
         n = self._ntest
         if n != self._ntrial or not segs2d:
             return None
-        # dof pitch from the 2-D-affine (volume-batch) row tables
-        nxd = None
-        for rowsT, colsT in segs2d:
-            rp = _grid_plan(rowsT, n)
-            if rp is not None and rp[0] > 1:
-                ny_e, nx_e, sx, pitch, _bases = rp
-                if pitch % sx == 0:
-                    cand = pitch // sx
-                    if nxd is None:
-                        nxd = cand
-                    elif nxd != cand:
-                        return None
-        if nxd is None or n % nxd:
+        # dof grid: the registered layout of the single trial field (exact,
+        # any rank, periodic-aware); fall back to 2-D pitch inference from
+        # the grid-affine volume-batch row tables for unregistered fields
+        grid = per = None
+        if len(self.trials) == 1:
+            hint = function.field_grid(self.trials[0], n)
+            if hint is not None:
+                grid, per = hint
+        if grid is None:
+            nxd = None
+            for rowsT, colsT in segs2d:
+                rp = _grid_plan(rowsT, n)
+                if rp is not None and len(rp[0]) == 2 and rp[0][0] > 1:
+                    (ny_e, nx_e), (pitch, sx), _bases = rp
+                    if pitch % sx == 0:
+                        cand = pitch // sx
+                        if nxd is None:
+                            nxd = cand
+                        elif nxd != cand:
+                            return None
+            if nxd is None or n % nxd:
+                return None
+            grid, per = (n // nxd, nxd), (False, False)
+        grid = tuple(int(g) for g in grid)
+        if int(numpy.prod(grid)) != n:
             return None
-        # window radius and per-segment plans
-        k = 0
+        d = len(grid)
+        pitches = [int(numpy.prod(grid[ax + 1:])) for ax in range(d)]
+
+        def shifts_of(rowsT, colsT):
+            '''Per-axis window shifts (periodic axes wrap) or None.'''
+            A = []
+            for ax in range(d):
+                rc = (rowsT // pitches[ax]) % grid[ax]
+                cc = (colsT // pitches[ax]) % grid[ax]
+                a = cc - rc
+                if numpy.abs(a).max(initial=0) > 3:
+                    if per[ax] and grid[ax] > 9:
+                        a = (a + grid[ax] // 2) % grid[ax] - grid[ax] // 2
+                        if numpy.abs(a).max(initial=0) > 3:
+                            return None
+                    else:
+                        return None
+                A.append(a)
+            return A
+
         deltas = []
         for rowsT, colsT in segs2d:
-            d = colsT - rowsT
-            a = numpy.floor_divide(d + (nxd >> 1), nxd)
-            b = d - a * nxd
-            if numpy.abs(a).max(initial=0) > 3 or numpy.abs(b).max(initial=0) > 3:
+            A = shifts_of(rowsT, colsT)
+            if A is None:
                 return None
-            jx = rowsT % nxd + b
-            jy = rowsT // nxd + a
-            if (jx < 0).any() or (jx >= nxd).any() or (jy < 0).any() or (jy >= n // nxd).any():
-                return None
-            k = max(k, int(numpy.abs(a).max(initial=0)), int(numpy.abs(b).max(initial=0)))
-            deltas.append((a, b))
-        m = 2 * k + 1
+            deltas.append(A)
+        ks = [max(int(numpy.abs(A[ax]).max(initial=0)) for A in deltas)
+              for ax in range(d)]
+        windows = [2 * k + 1 for k in ks]
+        W = int(numpy.prod(windows))
         segs = []
-        for (rowsT, colsT), (a, b) in zip(segs2d, deltas):
-            widx = (a + k) * m + (b + k)
-            tgt = widx.astype(numpy.int64) * n + rowsT
-            plan = _grid_plan(tgt, m * m * n) if (widx == widx[:1]).all() else None
+        for (rowsT, colsT), A in zip(segs2d, deltas):
+            widx = numpy.zeros(rowsT.shape, dtype=numpy.int64)
+            for a, k, wdim in zip(A, ks, windows):
+                widx = widx * wdim + (a + k)
+            tgt = widx * n + rowsT
+            plan = _grid_plan(tgt, W * n) if (widx == widx[:1]).all() else None
             if plan is not None:
                 segs.append(('slice', plan))
             else:
                 segs.append(('scatter', tgt.ravel()))
         # CSR materialization map: slot l holds w[widx_l * n + row_l]
-        d = pattern.indices.astype(numpy.int64) - pattern.urows
-        a = numpy.floor_divide(d + (nxd >> 1), nxd)
-        b = d - a * nxd
-        csr_map = ((a + k) * m + (b + k)) * n + pattern.urows
-        return dict(ks=(k, k), grid=(n // nxd, nxd), W=m * m, n=n, segs=segs, csr_map=csr_map)
+        A = shifts_of(pattern.urows.astype(numpy.int64), pattern.indices.astype(numpy.int64))
+        if A is None:
+            return None
+        widx = numpy.zeros(len(pattern.indices), dtype=numpy.int64)
+        for a, k, wdim in zip(A, ks, windows):
+            widx = widx * wdim + (a + k)
+        csr_map = widx * n + pattern.urows
+        return dict(ks=tuple(ks), grid=grid, W=W, n=n, segs=segs, csr_map=csr_map,
+                    periodic=tuple(bool(p) for p in per))
 
     def _jacobian_trace(self, args, tables):
         import jax
@@ -1326,7 +1400,7 @@ class System:
     def _wrap_matrix(self, pattern, jplan, data):
         if jplan is not None and getattr(self, '_jacform', 'csr') == 'stencil':
             return matrix._StencilMatrix(pattern, data, jplan['ks'], jplan['grid'],
-                                         jplan['csr_map'])
+                                         jplan['csr_map'], jplan.get('periodic'))
         m = matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
         # field partition + registered dof-grid layouts: multi-field
         # structured systems (Taylor-Hood etc.) become block-grid operators
