@@ -518,6 +518,10 @@ class HierarchicalTopology(Topology):
             return self._hbasis(btype[2:], degree, truncated=False, kwargs=kwargs)
         if btype.startswith('th-'):
             return self._hbasis(btype[3:], degree, truncated=True, kwargs=kwargs)
+        if btype == 'discont':
+            # per-element blocks need no inter-level gluing (reference:
+            # topology.py:365 generic dispatch handles hierarchical discont)
+            return self.basis_discont(degree)
         if self.nlevels == 1 and len(self._ipl[0]) == len(self.family.base):
             return _plain(self.basetopo).basis(btype, degree, **kwargs)
         raise ValueError(f'basis type {btype!r} requires an h- or th- prefix on hierarchical topologies')
@@ -635,7 +639,35 @@ class HierarchicalTopology(Topology):
         return basis
 
     def basis_discont(self, degree):
-        raise NotImplementedError
+        '''Fully discontinuous per-active-element basis (reference:
+        topology.py:365 basis dispatch + function.py:2916 DiscontBasis):
+        every (level, element) leaf carries its own (degree+1)^d block of
+        dofs, numbered consecutively in hierarchical row order.'''
+        levels, elems = self._row_level_elem(numpy.arange(len(self)))
+        fam = self.family
+        dofs, coeffs = [], []
+        start = 0
+        if fam.structured:
+            from .ops.spline import splinebasis_1d, tensor_tables
+            o1, c1, n1 = splinebasis_1d(1, degree)
+            mi = numpy.zeros((1, self.ndims), dtype=int)
+            _, coeffs1 = tensor_tables([o1] * self.ndims, [c1] * self.ndims,
+                                       [n1] * self.ndims, mi)
+            cell = coeffs1[0]
+            L = cell.shape[0]
+            for _row in range(len(self)):
+                dofs.append(numpy.arange(start, start + L))
+                coeffs.append(cell)
+                start += L
+        else:
+            for l, e in zip(levels, elems):
+                ref = fam.ref_of(int(l), int(e))
+                cell = element.bernstein_coeffs(ref, degree)
+                L = cell.shape[0]
+                dofs.append(numpy.arange(start, start + L))
+                coeffs.append(cell)
+                start += L
+        return HierarchicalBasis(self, dofs, coeffs, start)
 
     # ------------------------------------------------------------ locate
 

@@ -76,3 +76,25 @@ def test_transforms_refined_by():
     marked = ref.transforms[[0, 1]]
     dom2 = dom.refined_by(marked)
     assert len(dom2) == len(dom) + 3  # one parent replaced by 4 children
+
+
+def test_hierarchical_discont_basis():
+    '''Per-active-element discontinuous basis on hierarchical topologies:
+    L2 projection reproduces polynomials of the basis degree exactly
+    (reference: generic 'discont' dispatch, topology.py:365).'''
+    import numpy
+    from nutils_tpu import mesh, function
+    from nutils_tpu.solver import System
+    topo, geom = mesh.rectilinear([4, 4])
+    h = topo.refined_by([0, 1]).refined_by([0])
+    for deg in (1, 2):
+        b = h.basis('discont', degree=deg)
+        assert b.ndofs == len(h) * (deg + 1) ** 2
+        u = function.field('u', b)
+        v = function.replace_arguments(u, 'u:v')
+        f = geom[0] ** deg
+        res = h.integral((u - f) * v * function.J(geom), degree=2 * deg + 2)
+        sol = System(res, trial='u', test='v').solve()
+        err = h.integral((function.replace_arguments(u, {'u': sol['u']}) - f) ** 2
+                         * function.J(geom), degree=2 * deg + 2).eval()
+        assert float(err) < 1e-20
