@@ -1031,7 +1031,16 @@ class MaskedBasis(Basis):
     def get_tables(self, elem_indices):
         pd, pc = self._parent.get_tables(elem_indices)
         keep = self._mask[pd]
-        dofs = numpy.where(keep, self._renumber[pd], 0)
+        ren = self._renumber[pd]
+        # removed functions carry zero coefficients; point their dof slot at
+        # a kept dof OF THE SAME ELEMENT (the first one) rather than dof 0,
+        # so the structurally-zero pattern entries stay inside the stencil
+        # window of the dof grid instead of linking every boundary element
+        # to dof 0 (which would defeat the slice-form device operators)
+        has = keep.any(axis=1)
+        firstk = keep.argmax(axis=1)
+        fallback = numpy.where(has, numpy.take_along_axis(ren, firstk[:, None], 1)[:, 0], 0)
+        dofs = numpy.where(keep, ren, fallback[:, None])
         coeffs = numpy.where(keep.reshape(keep.shape + (1,) * (pc.ndim - 2)), pc, 0.0)
         return dofs, coeffs
 
@@ -1521,6 +1530,11 @@ def dotarg(name, *arrays, shape=(), dtype=float):
 
 def field(name, *arrays, shape=(), dtype=float):
     for a in arrays:
+        parts = getattr(a, '_field_parts', None)
+        if parts is not None and not shape:
+            total = sum(p[0] for p in parts)
+            register_field_parts(name, total, parts)
+            break
         grid = getattr(a, '_ndofs_per_dim', None)
         if grid is not None:
             topo = getattr(a, '_topo', None)
@@ -1532,24 +1546,42 @@ def field(name, *arrays, shape=(), dtype=float):
 
 
 # Structured dof-grid layouts of named field arguments, recorded by
-# topology.field for bases with a tensor-product dof numbering: the solver
-# hands them to the matrix layer, where they replace pattern INFERENCE of
-# the grid (exact, alias-free) for the stencil/block-grid device operators
-# and the multigrid setup.  Keyed by (name, flat size); a re-registration
-# with a conflicting layout poisons the key (the hint is dropped).
+# topology.field / function.vectorize for bases with a tensor-product dof
+# numbering: the solver hands them to the matrix layer, where they replace
+# pattern INFERENCE of the grid (exact, alias-free) for the stencil/
+# block-grid device operators and the multigrid setup.  Values are lists of
+# (size, grid, periodic) parts — one for plain fields, several for
+# composite (vectorized) fields whose dof vector concatenates sub-bases on
+# different grids.  Keyed by (name, flat size); a re-registration with a
+# conflicting layout poisons the key (the hint is dropped).
 _FIELD_GRIDS = {}
 
 
-def register_field_grid(name, size, grid, periodic=()):
+def register_field_parts(name, size, parts):
     key = (name, int(size))
-    periodic = tuple(bool(p) for p in periodic) + (False,) * (len(grid) - len(periodic))
-    val = (tuple(int(g) for g in grid), periodic)
+    val = tuple((int(s), tuple(int(g) for g in grid),
+                 tuple(bool(p) for p in per) + (False,) * (len(grid) - len(per)))
+                for s, grid, per in parts)
     _FIELD_GRIDS[key] = val if _FIELD_GRIDS.get(key, val) == val else None
 
 
-def field_grid(name, size):
-    '''(grid shape, per-axis periodicity) of a registered field, or None.'''
+def register_field_grid(name, size, grid, periodic=()):
+    register_field_parts(name, size, [(size, grid, periodic)])
+
+
+def field_parts(name, size):
+    '''List of (size, grid shape, per-axis periodicity) parts of a
+    registered field, or None.'''
     return _FIELD_GRIDS.get((name, int(size)))
+
+
+def field_grid(name, size):
+    '''(grid shape, per-axis periodicity) of a single-part registered
+    field, or None.'''
+    parts = _FIELD_GRIDS.get((name, int(size)))
+    if parts is not None and len(parts) == 1:
+        return parts[0][1], parts[0][2]
+    return None
 
 
 def eye(n):
@@ -1684,7 +1716,22 @@ def vectorize(bases):
         unit = numpy.zeros((1, n))
         unit[0, k] = 1.0
         parts.append(multiply(_InsertAxis(b, 1, 1), _Constant(unit)))
-    return concatenate(parts, axis=0)
+    out = concatenate(parts, axis=0)
+    # composite dof-grid layout: when every component basis is structured,
+    # a field over this array concatenates their grids (consumed by the
+    # solver's block-grid device operators, see register_field_parts)
+    meta = []
+    for b in bases:
+        grid = getattr(b, '_ndofs_per_dim', None)
+        if grid is None:
+            meta = None
+            break
+        topo = getattr(b, '_topo', None)
+        per = tuple(i in getattr(topo, 'periodic', ()) for i in range(len(grid)))
+        meta.append((int(b.shape[0]), tuple(grid), per))
+    if meta:
+        out._field_parts = meta
+    return out
 
 
 class _Opposite(Array):

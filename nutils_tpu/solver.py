@@ -1405,12 +1405,24 @@ class System:
         # field partition + registered dof-grid layouts: multi-field
         # structured systems (Taylor-Hood etc.) become block-grid operators
         # with a fieldsplit MG preconditioner, and single-field CSR
-        # fallbacks skip grid inference (matrix._device_op/_fieldsplit)
-        sizes = [sl.stop - sl.start for sl in self._trial_slices]
-        m._field_grids = tuple(function.field_grid(t, s)
-                               for t, s in zip(self.trials, sizes))
-        if len(self.trials) > 1:
-            m._field_offsets = (0,) + tuple(sl.stop for sl in self._trial_slices)
+        # fallbacks skip grid inference (matrix._device_op/_fieldsplit).
+        # Composite fields (vectorized sub-bases, e.g. Raviart-Thomas
+        # velocity components on staggered grids) expand into their parts.
+        offsets = [0]
+        grids = []
+        for t, sl in zip(self.trials, self._trial_slices):
+            size = sl.stop - sl.start
+            parts = function.field_parts(t, size)
+            if parts is None:
+                offsets.append(offsets[-1] + size)
+                grids.append(None)
+            else:
+                for psize, grid, per in parts:
+                    offsets.append(offsets[-1] + psize)
+                    grids.append((grid, per))
+        m._field_grids = tuple(grids)
+        if len(grids) > 1:
+            m._field_offsets = tuple(offsets)
         return m
 
     @log.withcontext

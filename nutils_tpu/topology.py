@@ -440,7 +440,16 @@ class StructuredTopology(Topology):
             mask = mask[..., None].repeat(nd, axis=-1)
             if idofs:
                 mask[..., [d % nd for d in idofs]] = False
-        return function.MaskedBasis(basis, mask.ravel())
+        mb = function.MaskedBasis(basis, mask.ravel())
+        # removing whole dof planes keeps a tensor-product numbering: the
+        # kept dofs renumber row-major over the per-dim kept counts, so the
+        # masked basis still carries an exact grid layout — unless a
+        # periodic axis loses planes (renumbering shifts its wrap offsets)
+        if not any(idofs and i in self.periodic for i, idofs in enumerate(removedofs)):
+            mb._ndofs_per_dim = [nd - len({d % nd for d in idofs}) if idofs else nd
+                                 for idofs, nd in zip(removedofs, ndofs)]
+            mb._topo = self
+        return mb
 
     def basis_std(self, degree, **kwargs):
         return self.basis_spline(degree, continuity=0, **kwargs)
