@@ -405,6 +405,53 @@ def test_mg_semicoarsening_vector_grid():
     assert rel < 5e-9
 
 
+def test_stencil_detection_fuzz():
+    '''Property test: random grids (rank 1-3, mixed windows, optional
+    periodic axes, random sparsification) must either detect with an EXACT
+    matvec or return None — never a wrong operator.'''
+    import itertools
+    import jax.numpy as jnp
+    r = numpy.random.RandomState(7)
+    for trial in range(20):
+        d = r.randint(1, 4)
+        shape = tuple(int(s) for s in r.randint(3, 9, d))
+        ks = tuple(int(k) for k in r.randint(0, 3, d))
+        if not any(ks):
+            ks = (1,) + ks[1:]
+        periodic = tuple(bool(r.rand() < 0.3) and shape[ax] > 2 * ks[ax] + 1
+                         for ax in range(d))
+        n = int(numpy.prod(shape))
+        coords = numpy.stack(numpy.meshgrid(*[numpy.arange(s) for s in shape],
+                                            indexing='ij'), -1).reshape(-1, d)
+        pitches = numpy.array([int(numpy.prod(shape[i + 1:])) for i in range(d)])
+        rows, cols, vals = [], [], []
+        for sh in itertools.product(*[range(-k, k + 1) for k in ks]):
+            tgt = coords + numpy.array(sh)
+            m = numpy.ones(n, dtype=bool)
+            for ax in range(d):
+                if periodic[ax]:
+                    tgt[:, ax] %= shape[ax]
+                else:
+                    m &= (tgt[:, ax] >= 0) & (tgt[:, ax] < shape[ax])
+            m &= r.rand(n) < 0.9  # random sparsification
+            w = r.uniform(-1, 1, n) if any(sh) else numpy.full(n, 10.0)
+            rows.append((coords @ pitches)[m])
+            cols.append((tgt @ pitches)[m])
+            vals.append(w[m])
+        A = scipy.sparse.csr_matrix((numpy.concatenate(vals),
+                                     (numpy.concatenate(rows), numpy.concatenate(cols))),
+                                    shape=(n, n))
+        A.sum_duplicates()
+        form = st.from_csr(A.data, A.indices, A.indptr, n)
+        if form is None:
+            continue
+        x = r.standard_normal(n)
+        y = numpy.asarray(st.matvec(form, jnp.asarray(form.w), jnp.asarray(x)))
+        numpy.testing.assert_allclose(y, A @ x, rtol=1e-10, atol=1e-12,
+                                      err_msg=f'trial {trial}: {shape} {ks} {periodic} '
+                                              f'-> {form.shape} {form.ks} {form.periodic}')
+
+
 def test_mg_rejects_uncoarsenable():
     # even grid pitch cannot vertex-coarsen: setup returns None, solve still
     # works through the diag-preconditioned path
