@@ -813,6 +813,46 @@ class _StencilMatrix(Matrix):
         return out
 
 
+class _BlockGridMatrix(Matrix):
+    '''Matrix whose device payload is the concatenated block-grid weight
+    buffer (solver blockgrid-form jacobian assembly of multi-field
+    structured systems): the device solvers consume the per-(block, phase)
+    weight arrays directly with zero copies, and the CSR data array
+    materializes lazily (host gather) only when some other operation needs
+    it.'''
+
+    def __init__(self, pattern, w_flat, meta, sizes, csr_map, woff=None):
+        self.indptr = pattern.indptr
+        self.indices = pattern.indices
+        self.shape = tuple(pattern.shape)
+        self._w = w_flat
+        self._meta = meta
+        self._sizes = tuple(int(s) for s in sizes)
+        self._woff = tuple(int(o) for o in woff) if woff is not None \
+            else tuple(numpy.concatenate([[0], numpy.cumsum(self._sizes)[:-1]]))
+        self._csr_map = csr_map
+
+    def __getattr__(self, name):
+        if name == 'data':
+            self.data = numpy.asarray(self._w)[self._csr_map]
+            return self.data
+        raise AttributeError(name)
+
+    def _device_op(self):
+        cached = getattr(self, '_device_op_cache', None)
+        if cached is not None:
+            return cached
+        import jax.numpy as jnp
+        from .ops import blockgrid as _bg
+        w = jnp.asarray(self._w)
+        shapes = _bg._w_shapes(self._meta)
+        ws = [w[o:o + s].reshape(shp)
+              for o, s, shp in zip(self._woff, self._sizes, shapes)]
+        out = (('blockgrid', self._meta), tuple(ws))
+        self._device_op_cache = out
+        return out
+
+
 class _Precon:
     '''Preconditioner handle: device kinds carry an ``minv`` array consumed by
     the jitted Krylov drivers; host kind carries an apply callable.'''

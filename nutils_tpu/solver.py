@@ -860,6 +860,8 @@ class System:
         cols_cat = numpy.concatenate(cols_all) if cols_all else numpy.zeros(0, dtype=numpy.int64)
         pattern = matrix.SparsePattern(rows_cat, cols_cat, (self._ntest, self._ntrial))
         jplan = self._plan_stencil_jacobian(segs2d, pattern)
+        if jplan is None:
+            jplan = self._plan_blockgrid_jacobian(segs2d, pattern)
         return chunk_meta, pattern, jplan
 
     def _plan_stencil_jacobian(self, segs2d, pattern):
@@ -950,8 +952,85 @@ class System:
         for a, k, wdim in zip(A, ks, windows):
             widx = widx * wdim + (a + k)
         csr_map = widx * n + pattern.urows
-        return dict(ks=tuple(ks), grid=grid, W=W, n=n, segs=segs, csr_map=csr_map,
-                    periodic=tuple(bool(p) for p in per))
+        return dict(form='stencil', ks=tuple(ks), grid=grid, total=W * n, segs=segs,
+                    csr_map=csr_map, periodic=tuple(bool(p) for p in per))
+
+    def _plan_blockgrid_jacobian(self, segs2d, pattern):
+        '''Assemble the jacobian of a multi-field structured system directly
+        in block-grid form (ops/blockgrid.py): values land in the
+        concatenated per-(block, phase) weight buffers through static slice
+        adds — no CSR value scatter in the jit, and the device Krylov
+        operands come out of assembly with zero copies (the multi-field
+        counterpart of the single-field stencil-form assembly above).'''
+        from .ops import blockgrid as bg
+        if self._ntest != self._ntrial or not segs2d:
+            return None
+        offsets = [0]
+        grids = []
+        for t, sl in zip(self.trials, self._trial_slices):
+            size = sl.stop - sl.start
+            parts = function.field_parts(t, size)
+            if parts is None:
+                return None
+            for psize, grid, per in parts:
+                offsets.append(offsets[-1] + psize)
+                grids.append((grid, per))
+        if len(grids) < 2:
+            return None
+        form = bg.detect(numpy.ones(pattern.nnz), pattern.indices, pattern.indptr,
+                         offsets, grids=grids)
+        if form is None:
+            return None
+        sizes, windex, wpos = form.fill
+        # buffer offsets aligned to each buffer's own grid size, so the
+        # mixed-radix slice layouts of the nested views start at a grid-row
+        # boundary (a mid-row base defeats the no-wrap check of _grid_plan)
+        shapes = bg._w_shapes(form.meta)
+        woff = numpy.zeros(len(sizes) + 1, dtype=numpy.int64)
+        for i, (s, shp) in enumerate(zip(sizes, shapes)):
+            npix = int(numpy.prod(shp[1:]))
+            woff[i] = -(-woff[i] // npix) * npix if npix else woff[i]
+            woff[i + 1] = woff[i] + s
+        tgt_slot = woff[windex] + wpos          # per CSR slot
+        tgt_entry = tgt_slot[pattern.slot]      # per original assembly entry
+        wind_entry = windex[pattern.slot]
+        total = int(woff[-1])
+        segs = []
+        pos = 0
+        for rowsT, colsT in segs2d:
+            m = rowsT.size
+            tseg = tgt_entry[pos:pos + m].reshape(rowsT.shape[0], -1)
+            wseg = wind_entry[pos:pos + m].reshape(rowsT.shape[0], -1)
+            pos += m
+            plan = _grid_plan(tseg, total)
+            if plan is not None:
+                segs.append(('slice', plan))
+                continue
+            # phased blocks scatter into per-(block, phase) buffers with
+            # different row pitches, so no single affine layout exists —
+            # but the buffer is constant per table COLUMN (the phase of a
+            # local dof pair is element-independent), so group columns per
+            # buffer and plan each group separately
+            if (wseg == wseg[:1]).all():
+                groups = {}
+                for j in range(wseg.shape[1]):
+                    groups.setdefault(int(wseg[0, j]), []).append(j)
+                gsegs = []
+                for wi, cols in sorted(groups.items()):
+                    p = _grid_plan(tseg[:, cols], total)
+                    if p is None:
+                        gsegs = None
+                        break
+                    gsegs.append((numpy.asarray(cols), p))
+                if gsegs is not None:
+                    segs.append(('grouped', gsegs))
+                    continue
+            segs.append(('scatter', tseg.ravel()))
+        assert pos == len(tgt_entry)
+        return dict(form='blockgrid', meta=form.meta, sizes=tuple(int(s) for s in sizes),
+                    woff=tuple(int(o) for o in woff[:-1]), total=total, segs=segs,
+                    csr_map=tgt_slot, field_offsets=tuple(offsets),
+                    field_grids=tuple(grids))
 
     def _jacobian_trace(self, args, tables):
         import jax
@@ -993,10 +1072,14 @@ class System:
             # direct stencil-form assembly: values land in w[(2k+1)^2 * n]
             # through static slice adds (grid-affine segments) or small
             # constant-table adds — no CSR value scatter in the jit
-            w = jnp.zeros(_jplan['W'] * _jplan['n'], dtype=config.float_dtype())
+            w = jnp.zeros(_jplan['total'], dtype=config.float_dtype())
             for (skind, payload), V in zip(_jplan['segs'], vals):
                 if skind == 'slice':
                     w = _slice_scatter_add(w, payload, V.reshape(V.shape[0], -1))
+                elif skind == 'grouped':
+                    Vf = V.reshape(V.shape[0], -1)
+                    for cols, plan in payload:
+                        w = _slice_scatter_add(w, plan, Vf[:, jnp.asarray(cols)])
                 else:
                     w = w.at[jnp.asarray(payload)].add(V.ravel())
             return w
@@ -1364,7 +1447,8 @@ class System:
                 jitted = jax.jit(trace)
                 fn = lambda args: jitted(args, sx['xs'], sx['fixed'])
             else:
-                self._jacform = 'stencil' if self._jac_layout[2] is not None else 'csr'
+                _jp = self._jac_layout[2]
+                self._jacform = _jp['form'] if _jp is not None else 'csr'
                 trace = {'residual': self._residual_trace,
                          'jacobian': self._jacobian_trace,
                          'value': self._value_trace,
@@ -1398,9 +1482,16 @@ class System:
         return jac
 
     def _wrap_matrix(self, pattern, jplan, data):
-        if jplan is not None and getattr(self, '_jacform', 'csr') == 'stencil':
+        jf = getattr(self, '_jacform', 'csr')
+        if jplan is not None and jf == 'stencil':
             return matrix._StencilMatrix(pattern, data, jplan['ks'], jplan['grid'],
                                          jplan['csr_map'], jplan.get('periodic'))
+        if jplan is not None and jf == 'blockgrid':
+            m = matrix._BlockGridMatrix(pattern, data, jplan['meta'], jplan['sizes'],
+                                        jplan['csr_map'], jplan['woff'])
+            m._field_offsets = jplan['field_offsets']
+            m._field_grids = jplan['field_grids']
+            return m
         m = matrix.Matrix.from_pattern(pattern, numpy.asarray(data))
         # field partition + registered dof-grid layouts: multi-field
         # structured systems (Taylor-Hood etc.) become block-grid operators

@@ -396,3 +396,52 @@ def test_stencil_jacobian_nd_periodic():
         x = jac.solve(res, solver='cg', rtol=1e-10, symmetric=True)
         xd = jac.solve(res, solver='direct')
         assert numpy.abs(x - xd).max() < 1e-8
+
+
+def test_blockgrid_jacobian_assembly():
+    '''Multi-field structured jacobians assemble directly in block-grid
+    form: values land in the per-(block, phase) weight buffers through
+    static slice adds (grouped per phase where row pitches differ), the
+    wrapped matrix is a zero-copy _BlockGridMatrix, and the result is
+    identical to the CSR-form assembly.'''
+    import numpy
+    from nutils_tpu import function, matrix, mesh
+    from nutils_tpu.expression import Namespace
+    import nutils_tpu.solver as S
+
+    def build():
+        topo, geom = mesh.unitsquare(12, 'square')
+        ns = Namespace()
+        ns.x = geom
+        ns.define_for('x', gradient='∇', jacobians=('dV',))
+        ns.u = topo.field('u', btype='std', degree=2, shape=[2])
+        ns.p = topo.field('p', btype='std', degree=1)
+        ns.v = function.replace_arguments(ns.u, 'u:v')
+        ns.q = function.replace_arguments(ns.p, 'p:q')
+        ns.eps = 0.001
+        res = topo.integral('(u_i v_i + 0.1 ∇_j(v_i) ∇_j(u_i) - p ∇_i(v_i)'
+                            ' + q ∇_i(u_i) + eps p q) dV' @ ns, degree=5)
+        return S.System(res, trial='u,p', test='v,q')
+
+    system = build()
+    args = {t: numpy.zeros(s) for t, s in zip(system.trials, system.trial_shapes)}
+    jac, res = system.assemble_jacobian_residual(args)
+    assert isinstance(jac, matrix._BlockGridMatrix)
+    _, _, jplan = system._jac_layout
+    kinds = [s[0] for s in jplan['segs']]
+    assert 'scatter' not in kinds, kinds  # everything slice-planned
+    orig = S.System._plan_blockgrid_jacobian
+    S.System._plan_blockgrid_jacobian = lambda self, s_, p_: None
+    try:
+        system2 = build()
+        jac2, res2 = system2.assemble_jacobian_residual(args)
+    finally:
+        S.System._plan_blockgrid_jacobian = orig
+    D = (jac._scipy() - jac2._scipy()).tocoo()
+    assert (numpy.abs(D.data).max() if D.nnz else 0.0) < 1e-14
+    numpy.testing.assert_allclose(res, res2, atol=1e-14)
+    assert jac._device_op()[0][0] == 'blockgrid'
+    b = numpy.random.RandomState(0).standard_normal(jac.shape[0])
+    x = jac.solve(b, solver='gmres', rtol=1e-10)
+    rel = numpy.linalg.norm(b - jac._scipy() @ x) / numpy.linalg.norm(b)
+    assert rel < 5e-9
