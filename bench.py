@@ -135,19 +135,21 @@ _SECTIONS = {
 }
 
 
-def _run_section_subprocess(name, nelems, ns_nelems, dtype, budget):
+def _run_section_subprocess(name, nelems, ns_nelems, dtype, budget, platform=None):
     '''Run one bench section in a subprocess under a hard timeout: the TPU
     tunnel of this environment intermittently degrades to minute-scale
     dispatch stalls inside C-level device calls, where in-process SIGALRM
     handlers never fire — only a killable subprocess guarantees the driver
     gets its JSON.  A timed-out or crashed section reports null.'''
     import subprocess
+    env = dict(os.environ, BENCH_NELEMS=str(nelems), BENCH_NS_NELEMS=str(ns_nelems),
+               BENCH_DTYPE=numpy.dtype(dtype).name)
+    if platform is not None:
+        env['JAX_PLATFORMS'] = platform
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), '--section', name],
-            env=dict(os.environ, BENCH_NELEMS=str(nelems), BENCH_NS_NELEMS=str(ns_nelems),
-                     BENCH_DTYPE=numpy.dtype(dtype).name),
-            capture_output=True, text=True, timeout=budget)
+            env=env, capture_output=True, text=True, timeout=budget)
         return json.loads(out.stdout.strip().splitlines()[-1])
     except Exception as e:
         print(f'bench section {name} failed: {type(e).__name__}', file=sys.stderr)
@@ -155,8 +157,21 @@ def _run_section_subprocess(name, nelems, ns_nelems, dtype, budget):
 
 
 def run_all(nelems, ns_nelems, dtype, budget=900):
-    return {name: _run_section_subprocess(name, nelems, ns_nelems, dtype, budget)
-            for name in _SECTIONS}
+    '''Device sections with a CPU fallback: when the TPU tunnel is down
+    (observed to hang for hours at a time) a timed-out section is re-run on
+    the host CPU and marked platform=cpu-fallback, so the driver always
+    records a real measurement — with vs_baseline honestly ~1 in that case
+    — instead of null.'''
+    out = {}
+    for name in _SECTIONS:
+        res = _run_section_subprocess(name, nelems, ns_nelems, dtype, budget)
+        if res is None:
+            res = _run_section_subprocess(name, nelems, ns_nelems, dtype, budget,
+                                          platform='cpu')
+            if res is not None:
+                res['platform'] = 'cpu-fallback'
+        out[name] = res
+    return out
 
 
 def main():
@@ -200,11 +215,14 @@ def main():
         except Exception:
             return float('nan')
 
+    def tag(sec):
+        return ' [cpu-fallback: TPU tunnel down]' if sec.get('platform') else ''
+
     lines = []
     a = dev['laplace_assembly']
     if a:
         lines.append({
-            'metric': f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, f32)',
+            'metric': f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, f32){tag(a)}',
             'value': round(a['gdofs'], 4), 'unit': 'GDOF/s',
             'vs_baseline': ratio('laplace_assembly', 't_assemble'),
         })
@@ -212,14 +230,14 @@ def main():
     if b:
         lines.append({
             'metric': (f'laplace assemble + device-CG solve ({b["ndofs"]} dofs, rtol 1e-10, '
-                       'f32 device inner + f64 iterative refinement)'),
+                       f'f32 device inner + f64 iterative refinement){tag(b)}'),
             'value': round(b['t_total'], 4), 'unit': 's',
             'vs_baseline': ratio('laplace_solve', 't_total'),
         })
     c = dev['ns_newton_step']
     if c:
         lines.append({
-            'metric': f'navier-stokes newton step, assemble + device-GMRES rtol 1e-3 ({c["ndofs"]} dofs, f32)',
+            'metric': f'navier-stokes newton step, assemble + device-GMRES rtol 1e-3 ({c["ndofs"]} dofs, f32){tag(c)}',
             'value': round(c['t_total'], 4), 'unit': 's',
             'vs_baseline': ratio('ns_newton_step', 't_total'),
         })
