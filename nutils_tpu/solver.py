@@ -955,6 +955,25 @@ class System:
         return dict(form='stencil', ks=tuple(ks), grid=grid, total=W * n, segs=segs,
                     csr_map=csr_map, periodic=tuple(bool(p) for p in per))
 
+    def _field_partition(self):
+        '''(offsets, grids): the dof vector partitioned into registered
+        field parts — one per trial for plain fields, several for composite
+        (vectorized) fields; fields without a registered layout contribute a
+        single part with grid None.'''
+        offsets = [0]
+        grids = []
+        for t, sl in zip(self.trials, self._trial_slices):
+            size = sl.stop - sl.start
+            parts = function.field_parts(t, size)
+            if parts is None:
+                offsets.append(offsets[-1] + size)
+                grids.append(None)
+            else:
+                for psize, grid, per in parts:
+                    offsets.append(offsets[-1] + psize)
+                    grids.append((grid, per))
+        return tuple(offsets), tuple(grids)
+
     def _plan_blockgrid_jacobian(self, segs2d, pattern):
         '''Assemble the jacobian of a multi-field structured system directly
         in block-grid form (ops/blockgrid.py): values land in the
@@ -965,17 +984,8 @@ class System:
         from .ops import blockgrid as bg
         if self._ntest != self._ntrial or not segs2d:
             return None
-        offsets = [0]
-        grids = []
-        for t, sl in zip(self.trials, self._trial_slices):
-            size = sl.stop - sl.start
-            parts = function.field_parts(t, size)
-            if parts is None:
-                return None
-            for psize, grid, per in parts:
-                offsets.append(offsets[-1] + psize)
-                grids.append((grid, per))
-        if len(grids) < 2:
+        offsets, grids = self._field_partition()
+        if len(grids) < 2 or any(g is None for g in grids):
             return None
         form = bg.detect(numpy.ones(pattern.nnz), pattern.indices, pattern.indptr,
                          offsets, grids=grids)
@@ -1499,18 +1509,7 @@ class System:
         # fallbacks skip grid inference (matrix._device_op/_fieldsplit).
         # Composite fields (vectorized sub-bases, e.g. Raviart-Thomas
         # velocity components on staggered grids) expand into their parts.
-        offsets = [0]
-        grids = []
-        for t, sl in zip(self.trials, self._trial_slices):
-            size = sl.stop - sl.start
-            parts = function.field_parts(t, size)
-            if parts is None:
-                offsets.append(offsets[-1] + size)
-                grids.append(None)
-            else:
-                for psize, grid, per in parts:
-                    offsets.append(offsets[-1] + psize)
-                    grids.append((grid, per))
+        offsets, grids = self._field_partition()
         m._field_grids = tuple(grids)
         if len(grids) > 1:
             m._field_offsets = tuple(offsets)
