@@ -249,6 +249,150 @@ def _slice_scatter_add(r, plan, v):
     return view.reshape(-1)[:n]
 
 
+def _grouped_plan(ts, gk, total):
+    '''Per-column-group affine plans (phased buffers with different row
+    pitches have a per-column-constant group key), or None.'''
+    if gk is None or not len(ts) or not (gk == gk[:1]).all():
+        return None
+    groups = {}
+    for j in range(gk.shape[1]):
+        groups.setdefault(int(gk[0, j]), []).append(j)
+    if len(groups) == 1:
+        return None  # single group == the whole table, already tried
+    out = []
+    for wi, cols in sorted(groups.items()):
+        p = _grid_plan(ts[:, cols], total)
+        if p is None:
+            return None
+        out.append((numpy.asarray(cols), p))
+    return out
+
+
+def _grid_row_candidates(tseg):
+    '''Candidate element-grid row lengths: jump spacings of sampled target
+    columns (the mode of the distances between stride breaks), plus the
+    exact whole-table period when one exists.'''
+    E, C = tseg.shape
+    cands = []
+    for j in range(0, C, max(1, C // 8)):
+        col = tseg[:, j]
+        d = numpy.diff(col)
+        if not len(d):
+            continue
+        vals, counts = numpy.unique(d, return_counts=True)
+        s = vals[numpy.argmax(counts)]
+        jumps = numpy.nonzero(d != s)[0]
+        if not len(jumps):
+            continue
+        spacing = numpy.diff(jumps)
+        p = int(numpy.bincount(spacing).argmax()) if len(spacing) else int(jumps[0]) + 1
+        if 2 <= p < E and E % p == 0 and p not in cands:
+            cands.append(p)
+    for p in range(2, E // 2 + 1):
+        if E % p:
+            continue
+        d = tseg[p:] - tseg[:-p]
+        if (d == d[:1]).all():
+            if p not in cands:
+                cands.append(p)
+            break
+    return cands
+
+
+def _plan_value_table(tseg, groupkey, total, depth=2):
+    '''Accumulation plan for a constant target table [E, C] into a flat
+    buffer of size ``total``: ('slice', plan) when the whole table is
+    grid-affine, ('grouped', [(cols, plan), ...]) when targets split into
+    per-column affine groups, ('banded', (ny, nx, inner?, bands)) when the
+    element grid splits into bands that plan recursively — outer bands for
+    boundary-row anomalies (e.g. masked-basis fallback dofs on edge
+    elements), inner per-column-of-the-grid bands for periodic seams (the
+    seam pattern repeats every grid row) — or ('scatter', flat) as the
+    element-granular fallback.  Bands are reached by pure reshapes/slices
+    of the value tensor; a small scatter remainder (<=1/4 of the entries)
+    is tolerated inside a banding.'''
+    E, C = tseg.shape
+    if E >= 4:
+        plan = _grid_plan(tseg, total)
+        if plan is not None:
+            return 'slice', plan
+    g = _grouped_plan(tseg, groupkey, total)
+    if g is not None:
+        return 'grouped', g
+    if depth > 0 and E >= 8:
+        for nx in _grid_row_candidates(tseg):
+            ny = E // nx
+            if ny < 2:
+                continue
+            t3 = tseg.reshape(ny, nx, C)
+            g3 = None if groupkey is None else groupkey.reshape(ny, nx, C)
+
+            def subplan(ts, gk):
+                sp = _plan_value_table(ts, gk, total, depth - 1)
+                return sp, (ts.size if sp[0] == 'scatter' else 0)
+
+            # outer bands: runs of grid rows with identical intra-row shape
+            sigs = [(t3[r] - t3[r, :1, :1]).tobytes() for r in range(ny)]
+            runs = []
+            lo = 0
+            for r in range(1, ny + 1):
+                if r == ny or sigs[r] != sigs[lo]:
+                    runs.append((lo, r))
+                    lo = r
+            if 1 < len(runs) <= 12:
+                bands, scat = [], 0
+                for rlo, rhi in runs:
+                    sp, s = subplan(t3[rlo:rhi].reshape(-1, C),
+                                    None if g3 is None else g3[rlo:rhi].reshape(-1, C))
+                    bands.append((rlo, rhi, sp))
+                    scat += s
+                if scat * 4 <= tseg.size:
+                    return 'banded', (ny, nx, False, bands)
+            elif len(runs) == 1:
+                # all grid rows alike (periodic seams): per-inner-index bands,
+                # greedily merged
+                bands, scat = [], 0
+                lo = 0
+                while lo < nx:
+                    hi = lo + 1
+                    best, s = subplan(t3[:, lo:hi].reshape(-1, C),
+                                      None if g3 is None else g3[:, lo:hi].reshape(-1, C))
+                    while hi < nx and best[0] != 'scatter':
+                        cand, cs = subplan(t3[:, lo:hi + 1].reshape(-1, C),
+                                           None if g3 is None else g3[:, lo:hi + 1].reshape(-1, C))
+                        if cand[0] == 'scatter':
+                            break
+                        best, s = cand, cs
+                        hi += 1
+                    bands.append((lo, hi, best))
+                    scat += s
+                    lo = hi
+                if scat * 4 <= tseg.size and len(bands) <= 16:
+                    return 'banded', (ny, nx, True, bands)
+    return 'scatter', tseg.ravel()
+
+
+def _apply_value_plan(w, skind, payload, V):
+    '''Apply a _plan_value_table plan inside the jit: accumulate the value
+    table V (leading element axis) into the flat buffer w.'''
+    import jax.numpy as jnp
+    Vf = V.reshape(V.shape[0], -1)
+    if skind == 'slice':
+        return _slice_scatter_add(w, payload, Vf)
+    if skind == 'grouped':
+        for cols, p in payload:
+            w = _slice_scatter_add(w, p, Vf[:, jnp.asarray(cols)])
+        return w
+    if skind == 'banded':
+        ny, nx, inner, bands = payload
+        V3 = Vf.reshape(ny, nx, -1)
+        for lo, hi, sp in bands:
+            sub = V3[:, lo:hi] if inner else V3[lo:hi]
+            w = _apply_value_plan(w, sp[0], sp[1], sub.reshape(-1, V3.shape[2]))
+        return w
+    return w.at[jnp.asarray(payload)].add(Vf.ravel())
+
+
 class _Loc:
     '''One localized appearance of an argument in an expression.
 
@@ -763,17 +907,22 @@ class System:
                 if plan == '?':
                     rows_np = numpy.asarray(c.rows)
                     # sum v over axes the row table broadcasts along, then
-                    # try the structured slice-scatter layout
+                    # plan the structured slice-scatter layout (whole-affine,
+                    # phase-grouped, or seam-banded for periodic meshes)
                     bcast = tuple(ax for ax in range(len(c.shape))
                                   if rows_np.shape[ax] == 1 and c.shape[ax] > 1)
                     sq = rows_np
                     for ax in reversed(bcast):
                         sq = numpy.squeeze(sq, ax)
-                    plan = c._row_plan = (bcast, _grid_plan(sq, n)) \
-                        if sq.ndim >= 2 and sq.shape[0] > 1 else (None, None)
-                bcast, gplan = plan
-                if gplan is not None:
-                    r = _slice_scatter_add(r, gplan, v.sum(bcast) if bcast else v)
+                    if sq.ndim >= 2 and sq.shape[0] > 1:
+                        plan = c._row_plan = (bcast, _plan_value_table(
+                            sq.reshape(sq.shape[0], -1), None, n))
+                    else:
+                        plan = c._row_plan = (None, None)
+                bcast, vplan = plan
+                if vplan is not None and vplan[0] != 'scatter':
+                    vv = v.sum(bcast) if bcast else v
+                    r = _apply_value_plan(r, vplan[0], vplan[1], vv)
                 else:
                     rows = jnp.broadcast_to(jnp.asarray(c.rows), c.shape)
                     r = r.at[rows.ravel()].add(v.ravel())
@@ -939,11 +1088,7 @@ class System:
             for a, k, wdim in zip(A, ks, windows):
                 widx = widx * wdim + (a + k)
             tgt = widx * n + rowsT
-            plan = _grid_plan(tgt, W * n) if (widx == widx[:1]).all() else None
-            if plan is not None:
-                segs.append(('slice', plan))
-            else:
-                segs.append(('scatter', tgt.ravel()))
+            segs.append(_plan_value_table(tgt, widx, W * n))
         # CSR materialization map: slot l holds w[widx_l * n + row_l]
         A = shifts_of(pattern.urows.astype(numpy.int64), pattern.indices.astype(numpy.int64))
         if A is None:
@@ -1012,30 +1157,7 @@ class System:
             tseg = tgt_entry[pos:pos + m].reshape(rowsT.shape[0], -1)
             wseg = wind_entry[pos:pos + m].reshape(rowsT.shape[0], -1)
             pos += m
-            plan = _grid_plan(tseg, total)
-            if plan is not None:
-                segs.append(('slice', plan))
-                continue
-            # phased blocks scatter into per-(block, phase) buffers with
-            # different row pitches, so no single affine layout exists —
-            # but the buffer is constant per table COLUMN (the phase of a
-            # local dof pair is element-independent), so group columns per
-            # buffer and plan each group separately
-            if (wseg == wseg[:1]).all():
-                groups = {}
-                for j in range(wseg.shape[1]):
-                    groups.setdefault(int(wseg[0, j]), []).append(j)
-                gsegs = []
-                for wi, cols in sorted(groups.items()):
-                    p = _grid_plan(tseg[:, cols], total)
-                    if p is None:
-                        gsegs = None
-                        break
-                    gsegs.append((numpy.asarray(cols), p))
-                if gsegs is not None:
-                    segs.append(('grouped', gsegs))
-                    continue
-            segs.append(('scatter', tseg.ravel()))
+            segs.append(_plan_value_table(tseg, wseg, total))
         assert pos == len(tgt_entry)
         return dict(form='blockgrid', meta=form.meta, sizes=tuple(int(s) for s in sizes),
                     woff=tuple(int(o) for o in woff[:-1]), total=total, segs=segs,
@@ -1084,14 +1206,7 @@ class System:
             # constant-table adds — no CSR value scatter in the jit
             w = jnp.zeros(_jplan['total'], dtype=config.float_dtype())
             for (skind, payload), V in zip(_jplan['segs'], vals):
-                if skind == 'slice':
-                    w = _slice_scatter_add(w, payload, V.reshape(V.shape[0], -1))
-                elif skind == 'grouped':
-                    Vf = V.reshape(V.shape[0], -1)
-                    for cols, plan in payload:
-                        w = _slice_scatter_add(w, plan, Vf[:, jnp.asarray(cols)])
-                else:
-                    w = w.at[jnp.asarray(payload)].add(V.ravel())
+                w = _apply_value_plan(w, skind, payload, V)
             return w
         flat = jnp.concatenate([V.ravel() for V in vals]) if len(vals) > 1 else vals[0].ravel()
         return pattern.scatter(flat)
