@@ -46,10 +46,21 @@ class Dimension(type):
     @classmethod
     def from_powers(mcls, powers):
         powers = {b: fractions.Fraction(p) for b, p in powers.items() if p}
-        name = ''.join(('*' if p > 0 else '/') + b
-                       + (str(abs(p.numerator)) if abs(p.numerator) != 1 else '')
-                       + ('_' + str(abs(p.denominator)) if abs(p.denominator) != 1 else '')
-                       for b, p in sorted(powers.items(), key=lambda it: it[::-1], reverse=True)).lstrip('*')
+        # Canonical name, parseable by _factors: positive powers joined with
+        # '*', negative powers each prefixed '/', both ordered by descending
+        # power then reverse-alphabetical base; exponent rendered as
+        # [numerator][_denominator] with unit parts elided.
+        def fmt(base, p):
+            num, den = abs(p.numerator), p.denominator
+            if num != 1:
+                base += str(num)
+            if den != 1:
+                base += '_' + str(den)
+            return base
+        ordered = sorted(((p, b) for b, p in powers.items()), reverse=True)
+        numer = '*'.join(fmt(b, p) for p, b in ordered if p > 0)
+        denom = ''.join('/' + fmt(b, p) for p, b in ordered if p < 0)
+        name = numer + denom
         cls = mcls._registry.get(name)
         if cls is None:
             cls = mcls(f'[{name}]', (Quantity,), {})

@@ -38,7 +38,11 @@ def pack(a, atol, rtol, dtype):
     assert iinfo.kind == 'i', 'dtype must be a signed integer type'
     amax = numpy.sinh(iinfo.max * rtol) * (atol / rtol)
     a = numpy.asarray(a)
-    n = numpy.asarray((numpy.arcsinh(a.clip(-amax, amax) * (rtol / atol)) / rtol).round().astype(iinfo.dtype))
+    # NaN lanes survive clip/arcsinh and would warn on the integer cast; the
+    # cast result there is discarded (overwritten with iinfo.min below), so
+    # silence the invalid-cast warning deliberately.
+    with numpy.errstate(invalid='ignore'):
+        n = numpy.asarray((numpy.arcsinh(a.clip(-amax, amax) * (rtol / atol)) / rtol).round().astype(iinfo.dtype))
     n[numpy.isnan(a)] = iinfo.min
     return n[()]
 
