@@ -1,7 +1,7 @@
 '''Benchmarks: assembly and assemble+solve throughput at ~1M dof.
 
-Prints one JSON line per metric, then a final summary line (the driver's
-headline) carrying all metrics in a "sub" dict:
+Prints one JSON line per metric as soon as it is measured, then a final
+summary line (the driver's headline) carrying all metrics in a "sub" dict:
 
 a. laplace_assembly   — fused residual+jacobian assembly, GDOF/s, f32 device.
 b. laplace_solve      — assembly + device-CG solve (Jacobi precon) of an SPD
@@ -18,11 +18,22 @@ c. ns_newton_step     — one Newton step of a cylinderflow-class nonsymmetric
                         reference's Newton rtol 1e-3 (reference:
                         solver.py:657), wall-clock seconds.
 
+Wall-clock discipline (the TPU tunnel of this environment intermittently
+degrades to minute-scale stalls inside C-level device calls, which killed the
+round-2 bench at the driver's budget): a <=90 s subprocess *health probe*
+decides device-vs-CPU once up front; every section runs in a killable
+subprocess under a share of BENCH_TOTAL_BUDGET (default 20 min); each
+section's JSON line is flushed the moment it completes so a kill still leaves
+partial numbers on record.
+
 vs_baseline = speedup over the same pipeline jitted on the host CPU (the
 reference, evalf/nutils, is a CPU/numpy framework with no published numbers —
 BASELINE.md — so the CPU run of this same code stands in as the baseline).
-The headline keeps round-1's f32-device vs f64-CPU assembly ratio for
-continuity; each sub-metric also carries a dtype-matched f32-CPU ratio.
+The CPU baseline is persisted in the committed file bench_baseline.json (it
+does not change between runs); regenerate with `python bench.py
+--make-baseline`.  The headline keeps round-1's f32-device vs f64-CPU
+assembly ratio for continuity; each sub-metric also carries a dtype-matched
+f32-CPU ratio.
 '''
 
 import json
@@ -31,6 +42,8 @@ import sys
 import time
 
 import numpy
+
+_BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'bench_baseline.json')
 
 
 def build_laplace(nelems, dtype, reaction=False):
@@ -92,7 +105,7 @@ def _mintime(fn, repeats):
     return min(times), out
 
 
-def bench_laplace_assembly(nelems, dtype, repeats=5):
+def bench_laplace_assembly(nelems, dtype, repeats=10):
     system = build_laplace(nelems, dtype)
     ndofs = system.trial_shapes[0][0]
     clean = system._clean({'u': numpy.zeros(ndofs)})
@@ -135,12 +148,27 @@ _SECTIONS = {
 }
 
 
+def _probe_device(budget=90):
+    '''Health-check the TPU tunnel: a tiny matmul in a killable subprocess.
+    jax.devices() itself hangs for minutes when the tunnel is down, and
+    in-process SIGALRM never fires inside C-level device calls, so only a
+    subprocess under a hard timeout gives a reliable verdict.'''
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--probe'],
+            env=dict(os.environ), capture_output=True, text=True, timeout=budget)
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        return bool(res.get('ok')) and res.get('platform') not in ('cpu',)
+    except Exception as e:
+        print(f'device probe failed: {type(e).__name__}', file=sys.stderr)
+        return False
+
+
 def _run_section_subprocess(name, nelems, ns_nelems, dtype, budget, platform=None):
-    '''Run one bench section in a subprocess under a hard timeout: the TPU
-    tunnel of this environment intermittently degrades to minute-scale
-    dispatch stalls inside C-level device calls, where in-process SIGALRM
-    handlers never fire — only a killable subprocess guarantees the driver
-    gets its JSON.  A timed-out or crashed section reports null.'''
+    '''Run one bench section in a subprocess under a hard timeout (see
+    _probe_device for why a subprocess).  A timed-out or crashed section
+    reports None.'''
     import subprocess
     env = dict(os.environ, BENCH_NELEMS=str(nelems), BENCH_NS_NELEMS=str(ns_nelems),
                BENCH_DTYPE=numpy.dtype(dtype).name)
@@ -156,29 +184,51 @@ def _run_section_subprocess(name, nelems, ns_nelems, dtype, budget, platform=Non
         return None
 
 
-def run_all(nelems, ns_nelems, dtype, budget=900):
-    '''Device sections with a CPU fallback: when the TPU tunnel is down
-    (observed to hang for hours at a time) a timed-out section is re-run on
-    the host CPU and marked platform=cpu-fallback, so the driver always
-    records a real measurement — with vs_baseline honestly ~1 in that case
-    — instead of null.'''
-    out = {}
+def _load_baseline(nelems, ns_nelems):
+    try:
+        with open(_BASELINE_FILE) as f:
+            base = json.load(f)
+        if base.get('nelems') == nelems and base.get('ns_nelems') == ns_nelems:
+            return base['sections']
+        print('bench_baseline.json is for different sizes; ignoring', file=sys.stderr)
+    except FileNotFoundError:
+        print('bench_baseline.json missing; vs_baseline will be NaN '
+              '(regenerate: python bench.py --make-baseline)', file=sys.stderr)
+    except Exception as e:
+        print(f'bench_baseline.json unreadable: {e}', file=sys.stderr)
+    return None
+
+
+def _make_baseline(nelems, ns_nelems, budget_per_section):
+    '''Measure the CPU baseline (all three sections f32 + the round-1 f64
+    assembly anchor) and persist it to bench_baseline.json.  Run offline, not
+    by the driver: the file is committed and reused.'''
+    sections = {}
     for name in _SECTIONS:
-        res = _run_section_subprocess(name, nelems, ns_nelems, dtype, budget)
-        if res is None:
-            res = _run_section_subprocess(name, nelems, ns_nelems, dtype, budget,
-                                          platform='cpu')
-            if res is not None:
-                res['platform'] = 'cpu-fallback'
-        out[name] = res
-    return out
+        sections[name] = _run_section_subprocess(
+            name, nelems, ns_nelems, numpy.float32, budget_per_section, platform='cpu')
+        print(f'baseline {name}: {json.dumps(sections[name])}', flush=True)
+    sections['laplace_assembly_f64'] = _run_section_subprocess(
+        'laplace_assembly', nelems, ns_nelems, numpy.float64, budget_per_section, platform='cpu')
+    print(f'baseline laplace_assembly_f64: {json.dumps(sections["laplace_assembly_f64"])}', flush=True)
+    with open(_BASELINE_FILE, 'w') as f:
+        json.dump({'nelems': nelems, 'ns_nelems': ns_nelems, 'platform': 'cpu',
+                   'recorded': time.strftime('%Y-%m-%d'), 'sections': sections}, f, indent=1)
+    print(f'wrote {_BASELINE_FILE}')
 
 
 def main():
     nelems = int(os.environ.get('BENCH_NELEMS', '1024'))
     ns_nelems = int(os.environ.get('BENCH_NS_NELEMS', '330'))
 
-    budget = int(os.environ.get('BENCH_SECTION_TIMEOUT', '900'))
+    if '--probe' in sys.argv:
+        import nutils_tpu  # noqa: F401 -- re-asserts JAX_PLATFORMS over the axon plugin's import-time override
+        import jax
+        import jax.numpy as jnp
+        x = jnp.ones((256, 256), jnp.float32)
+        (x @ x).block_until_ready()
+        print(json.dumps({'ok': True, 'platform': jax.devices()[0].platform}))
+        return
 
     if '--section' in sys.argv:
         name = sys.argv[sys.argv.index('--section') + 1]
@@ -186,81 +236,89 @@ def main():
         print(json.dumps(_SECTIONS[name](nelems, ns_nelems, dtype)))
         return
 
-    if '--cpu-baseline' in sys.argv:
-        out = run_all(nelems, ns_nelems, numpy.float32, budget)
-        out['laplace_assembly_f64'] = _run_section_subprocess(
-            'laplace_assembly', nelems, ns_nelems, numpy.float64, budget)
-        print(json.dumps(out))
+    if '--make-baseline' in sys.argv:
+        _make_baseline(nelems, ns_nelems,
+                       budget_per_section=int(os.environ.get('BENCH_SECTION_TIMEOUT', '5400')))
         return
 
-    dev = run_all(nelems, ns_nelems, numpy.float32, budget)
+    total_budget = int(os.environ.get('BENCH_TOTAL_BUDGET', '1200'))
+    deadline = time.monotonic() + total_budget
 
-    # CPU baseline in a subprocess (dtype-matched f32 plus the round-1 f64
-    # assembly anchor); the reference is a CPU/numpy framework with no
-    # published numbers (BASELINE.md) so this same pipeline on host CPU
-    # stands in for it.
-    cpu = None
-    try:
-        import subprocess
-        env = dict(os.environ, JAX_PLATFORMS='cpu')
-        out = subprocess.run([sys.executable, os.path.abspath(__file__), '--cpu-baseline'],
-                             env=env, capture_output=True, text=True, timeout=5400)
-        cpu = json.loads(out.stdout.strip().splitlines()[-1])
-    except Exception as e:
-        print(f'cpu baseline failed: {e}', file=sys.stderr)
+    cpu = _load_baseline(nelems, ns_nelems)
 
-    def ratio(metric, field):
+    device_ok = _probe_device(budget=min(90, total_budget // 4))
+    platform = None if device_ok else 'cpu'  # None inherits the env (TPU via tunnel)
+    if not device_ok:
+        print('TPU tunnel down (probe timed out); running all sections on host CPU',
+              file=sys.stderr)
+
+    def ratio(metric, field, sec):
         try:
-            return round(cpu[metric][field] / dev[metric][field], 2)
+            return round(cpu[metric][field] / sec[field], 2)
         except Exception:
             return float('nan')
 
     def tag(sec):
         return ' [cpu-fallback: TPU tunnel down]' if sec.get('platform') else ''
 
-    lines = []
-    a = dev['laplace_assembly']
-    if a:
-        lines.append({
+    _LINE = {
+        'laplace_assembly': lambda a: {
             'metric': f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, f32){tag(a)}',
             'value': round(a['gdofs'], 4), 'unit': 'GDOF/s',
-            'vs_baseline': ratio('laplace_assembly', 't_assemble'),
-        })
-    b = dev['laplace_solve']
-    if b:
-        lines.append({
+            'vs_baseline': ratio('laplace_assembly', 't_assemble', a)},
+        'laplace_solve': lambda b: {
             'metric': (f'laplace assemble + device-CG solve ({b["ndofs"]} dofs, rtol 1e-10, '
                        f'f32 device inner + f64 iterative refinement){tag(b)}'),
             'value': round(b['t_total'], 4), 'unit': 's',
-            'vs_baseline': ratio('laplace_solve', 't_total'),
-        })
-    c = dev['ns_newton_step']
-    if c:
-        lines.append({
+            'vs_baseline': ratio('laplace_solve', 't_total', b)},
+        'ns_newton_step': lambda c: {
             'metric': f'navier-stokes newton step, assemble + device-GMRES rtol 1e-3 ({c["ndofs"]} dofs, f32){tag(c)}',
             'value': round(c['t_total'], 4), 'unit': 's',
-            'vs_baseline': ratio('ns_newton_step', 't_total'),
-        })
-    for line in lines:
-        print(json.dumps(line))
+            'vs_baseline': ratio('ns_newton_step', 't_total', c)},
+    }
 
+    results = {}
+    names = list(_SECTIONS)
+    for i, name in enumerate(names):
+        remaining = deadline - time.monotonic()
+        if remaining < 30:
+            print(f'bench budget exhausted before {name}', file=sys.stderr)
+            results[name] = None
+            continue
+        budget = max(60, remaining / (len(names) - i))
+        res = _run_section_subprocess(name, nelems, ns_nelems, numpy.float32,
+                                      budget, platform=platform)
+        if res is None and platform is None:
+            # tunnel degraded mid-run: fall back to CPU for this section if
+            # the remaining budget allows
+            remaining = deadline - time.monotonic()
+            if remaining > 60:
+                res = _run_section_subprocess(name, nelems, ns_nelems, numpy.float32,
+                                              max(60, remaining / (len(names) - i)),
+                                              platform='cpu')
+                if res is not None:
+                    res['platform'] = 'cpu-fallback'
+        results[name] = res
+        if res is not None:
+            print(json.dumps(_LINE[name](res)), flush=True)
+
+    a = results.get('laplace_assembly')
     try:
         vs_f64 = round(cpu['laplace_assembly_f64']['t_assemble'] / a['t_assemble'], 2)
     except Exception:
         vs_f64 = float('nan')
     print(json.dumps({
         'metric': (f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, '
-                   'f32 TPU vs f64 CPU)') if a else 'bench timed out (degraded TPU tunnel)',
+                   f'f32 TPU vs f64 CPU){tag(a)}') if a else 'bench timed out (degraded TPU tunnel)',
         'value': round(a['gdofs'], 4) if a else float('nan'),
         'unit': 'GDOF/s',
         'vs_baseline': vs_f64,
         'sub': {
-            'laplace_assembly': {**a, 'vs_cpu_f32': ratio('laplace_assembly', 't_assemble')} if a else None,
-            'laplace_solve': {**b, 'vs_cpu_f32': ratio('laplace_solve', 't_total')} if b else None,
-            'ns_newton_step': {**c, 'vs_cpu_f32': ratio('ns_newton_step', 't_total')} if c else None,
-            'cpu_baseline': cpu,
+            name: ({**res, 'vs_cpu_f32': ratio(name, 't_total' if 't_total' in res else 't_assemble', res)}
+                   if res else None)
+            for name, res in results.items()
         },
-    }))
+    }), flush=True)
 
 
 if __name__ == '__main__':
