@@ -216,9 +216,10 @@ class Matrix:
         * ``('ell',)`` per-row gather + dense reduce (config spmv='ell');
         * ``('csr',)`` scatter-add fallback for pathologically wide rows.
         '''
+        from . import parallel
         cached = getattr(self, '_device_op_cache', None)
-        if cached is not None:
-            return cached
+        if cached is not None and cached[0] == parallel.mesh_token():
+            return cached[1]
         import jax.numpy as jnp
         from .ops import stencil as _stencil
         from .ops import sparse as _sparse
@@ -284,7 +285,10 @@ class Matrix:
         else:
             out = (('csr',), (jnp.asarray(data), jnp.asarray(self.indices),
                               jnp.asarray(payload)))
-        self._device_op_cache = out
+        mesh = parallel.default_mesh()
+        if mesh is not None:
+            out = (out[0], parallel.shard_device_op(out[0], out[1], mesh))
+        self._device_op_cache = (parallel.mesh_token(), out)
         return out
 
     def solve(self, rhs=None, *, constrain=None, lhs0=None, solver=None, atol=0., rtol=0., symmetric=False, precon=None, **kwargs):
@@ -802,14 +806,18 @@ class _StencilMatrix(Matrix):
         raise AttributeError(name)
 
     def _device_op(self):
+        from . import parallel
         cached = getattr(self, '_device_op_cache', None)
-        if cached is not None:
-            return cached
+        if cached is not None and cached[0] == parallel.mesh_token():
+            return cached[1]
         import jax.numpy as jnp
         W = int(numpy.prod([2 * k + 1 for k in self._ks]))
         out = (('stencil', self._ks, self._grid, self._periodic),
                (jnp.asarray(self._w).reshape((W,) + self._grid),))
-        self._device_op_cache = out
+        mesh = parallel.default_mesh()
+        if mesh is not None:
+            out = (out[0], parallel.shard_device_op(out[0], out[1], mesh))
+        self._device_op_cache = (parallel.mesh_token(), out)
         return out
 
 
@@ -839,9 +847,10 @@ class _BlockGridMatrix(Matrix):
         raise AttributeError(name)
 
     def _device_op(self):
+        from . import parallel
         cached = getattr(self, '_device_op_cache', None)
-        if cached is not None:
-            return cached
+        if cached is not None and cached[0] == parallel.mesh_token():
+            return cached[1]
         import jax.numpy as jnp
         from .ops import blockgrid as _bg
         w = jnp.asarray(self._w)
@@ -849,7 +858,10 @@ class _BlockGridMatrix(Matrix):
         ws = [w[o:o + s].reshape(shp)
               for o, s, shp in zip(self._woff, self._sizes, shapes)]
         out = (('blockgrid', self._meta), tuple(ws))
-        self._device_op_cache = out
+        mesh = parallel.default_mesh()
+        if mesh is not None:
+            out = (out[0], parallel.shard_device_op(out[0], out[1], mesh))
+        self._device_op_cache = (parallel.mesh_token(), out)
         return out
 
 

@@ -862,17 +862,24 @@ class System:
     def _tables(self):
         '''Default bindings (sample coordinate / promoted constant tables) of
         the compiled functional, passed through the jit boundary as runtime
-        inputs; device-committed once and reused.'''
-        import jax
+        inputs; device-committed once and reused.  Under the multi-device
+        execution mode (``NUTILS_TPU_MESH=N``, config.mesh) the element-batch
+        axis of every table is sharded over the default mesh, turning
+        assembly into element-parallel SPMD with GSPMD-inserted collectives
+        (the reference's default-on element loop, parallel.py:21).'''
+        from . import parallel
+        mesh = parallel.default_mesh()
         cached = self._cache.get('tables')
-        if cached is None:
+        if cached is None or self._cache.get('tables_mesh', ()) != parallel.mesh_token():
+            import jax
             cached = {}
             for key, node in self._comp.leafnodes.items():
                 if node.value is not None:
                     cached[key] = node.value if not isinstance(node.value, numpy.ndarray) \
-                        else jax.device_put(node.value.astype(
-                            ev._concrete_dtype(node.dtype), copy=False))
+                        else parallel.put_table(node.value.astype(
+                            ev._concrete_dtype(node.dtype), copy=False), mesh)
             self._cache['tables'] = cached
+            self._cache['tables_mesh'] = parallel.mesh_token()
         return cached
 
     def _clean(self, arguments):

@@ -67,6 +67,15 @@ fuse_assembly = _Setting('fuse_assembly', 1, int)
 debug = _Setting('debug', frozenset(), lambda s: frozenset(s.split(':')) - {''})
 
 
+# Multi-device execution mode (NUTILS_TPU_MESH=N): assemble and solve over a
+# 1-D device mesh of N devices — System element tables shard over the mesh
+# automatically, as do the stencil/blockgrid/sparse solve operands; GSPMD
+# inserts the collectives (halo exchanges for shifted-slice matvecs,
+# all-reduces for dof scatters).  0 disables (single device), -1 uses every
+# visible device.  The TPU analogue of the reference's default-on
+# fork+shared-memory element loop (reference: parallel.py:21, NUTILS_NPROCS).
+mesh = _Setting('mesh', 0, int)
+
 # Unstructured device SpMV layout: 'auto' (shared-column block-ELL when rows
 # are boundedly short, else scatter CSR), or force 'bell'/'ell'/'csr'.
 # Element-granular gathers serialize at ~7 ns each on this toolchain, so the

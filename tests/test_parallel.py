@@ -53,6 +53,43 @@ def test_solve_on_mesh(system):
     numpy.testing.assert_allclose(sol_sh['u'], sol_ref['u'], rtol=1e-10, atol=1e-12)
 
 
+def test_mesh_execution_mode():
+    '''NUTILS_TPU_MESH (config.mesh) is multi-device as an *execution mode*
+    (VERDICT r2 item 3): unmodified user code under the setting shards its
+    element tables in System._tables and its stencil solve operands in
+    Matrix._device_op, and the solve reproduces the single-device solution.'''
+    from nutils_tpu import function, mesh, parallel
+    from nutils_tpu.solver import System
+    from nutils_tpu.utils import config
+
+    def build():
+        # periodic axis 0: the dof grid axis is then exactly nelems=16,
+        # divisible by the 8-device mesh as explicit shardings require
+        topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 17)] * 2, periodic=(0,))
+        u = topo.field('u', btype='std', degree=1)
+        g = function.grad(u, geom)
+        J = function.J(geom)
+        f = function.sin(geom[0]) * function.cos(geom[1])
+        return System(topo.integral(((g @ g) / 2 + u * u / 2 - f * u) * J, degree=2),
+                      trial='u')
+
+    sol_ref = dict(build().solve())
+    with config.mesh(8), config.device_solve_min(1):
+        assert parallel.default_mesh() is not None
+        system = build()
+        tables = system._tables()
+        assert any(hasattr(t, 'sharding') and not t.sharding.is_fully_replicated
+                   for t in tables.values()), 'element tables were not sharded'
+        ndofs = system.trial_shapes[0][0]
+        jac, res = system.assemble_jacobian_residual({'u': numpy.zeros(ndofs)})
+        kind, ops = jac._device_op()
+        assert kind[0] == 'stencil'
+        assert any(not op.sharding.is_fully_replicated for op in ops), \
+            'stencil weights were not sharded'
+        sol_sh = dict(system.solve())
+    numpy.testing.assert_allclose(sol_sh['u'], sol_ref['u'], rtol=1e-8, atol=1e-10)
+
+
 def test_sharded_stencil_matvec_and_cg():
     '''The stencil (shifted-slice) matvec partitions over the device mesh by
     GSPMD: sharding the grid rows makes XLA insert halo exchanges
