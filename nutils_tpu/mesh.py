@@ -266,9 +266,11 @@ def parsegmsh(text):
 
     nodes = {}
     elems = []  # (dim, physname, [node ids, corners first])
-    # gmsh element types: linear and quadratic (p2) simplices; node order is
-    # corners first, then edge midside nodes (gmsh reference manual 9.x)
-    typeinfo = {1: (1, 2), 8: (1, 3), 2: (2, 3), 9: (2, 6),
+    # gmsh element types (dim, nnodes): simplices up to p4 in 1-D/2-D, p2 in
+    # 3-D; node order is corners first, then per-edge interior nodes, then
+    # recursively ordered face nodes (gmsh reference manual node orderings)
+    typeinfo = {1: (1, 2), 8: (1, 3), 26: (1, 4), 27: (1, 5),
+                2: (2, 3), 9: (2, 6), 21: (2, 10), 23: (2, 15),
                 4: (3, 4), 11: (3, 10), 15: (0, 1)}
     if version < 4:
         for row in blocks['Nodes'][1:]:
@@ -281,7 +283,8 @@ def parsegmsh(text):
                 raise ValueError(f'unsupported gmsh element type {etype}')
             dim, nn = typeinfo[etype]
             ptag = parts[3] if ntags else 0
-            elems.append((dim, phys.get((dim, ptag)), parts[3 + ntags:3 + ntags + nn]))
+            nm = phys.get((dim, ptag))
+            elems.append((dim, (nm,) if nm else (), parts[3 + ntags:3 + ntags + nn]))
     else:
         # msh 4.1: entity blocks
         rows = blocks['Nodes']
@@ -305,8 +308,8 @@ def parsegmsh(text):
                     tag = int(parts[0])
                     nbox = 3 if dim == 0 else 6
                     nphys = int(parts[1 + nbox])
-                    if nphys:
-                        ent_phys[dim, tag] = int(parts[2 + nbox])
+                    if nphys:  # an entity may carry several physical groups
+                        ent_phys[dim, tag] = [int(p) for p in parts[2 + nbox:2 + nbox + nphys]]
                     i += 1
         rows = blocks['Elements']
         nblocks = int(rows[0].split()[0])
@@ -316,13 +319,20 @@ def parsegmsh(text):
             if etype not in typeinfo:
                 raise ValueError(f'unsupported gmsh element type {etype}')
             dim, nn = typeinfo[etype]
-            name = phys.get((dim, ent_phys.get((edim, etag))))
+            names = tuple(nm for p in ent_phys.get((edim, etag), ())
+                          if (nm := phys.get((dim, p))) is not None)
             for k in range(n):
                 parts = [int(x) for x in rows[i + 1 + k].split()]
-                elems.append((dim, name, parts[1:1 + nn]))
+                elems.append((dim, names, parts[1:1 + nn]))
             i += 1 + n
 
     ndims = max(d for d, _n, _v in elems)
+    # geometric dimension: keep trailing coordinate columns only where some
+    # node actually uses them (manifold meshes: 2-D simplices in 3-D space)
+    gdims = ndims
+    for g in nodes.values():
+        while gdims < 3 and abs(g[gdims]) > 1e-12:
+            gdims += 1
     # renumber nodes by first appearance in volume elements, then others
     coords_list = []
     renumber = {}
@@ -330,64 +340,92 @@ def parsegmsh(text):
     def nid(g):
         if g not in renumber:
             renumber[g] = len(renumber)
-            coords_list.append(nodes[g][:ndims])
+            coords_list.append(nodes[g][:gdims])
         return renumber[g]
 
-    vol = [(name, [nid(g) for g in verts[:ndims + 1]], verts)
-           for d, name, verts in elems if d == ndims]
+    vol = [(names, [nid(g) for g in verts[:ndims + 1]], verts)
+           for d, names, verts in elems if d == ndims]
     simplices = numpy.sort([v for _n, v, _f in vol], axis=1)
     tags = {}
-    for ielem, (name, _v, _f) in enumerate(vol):
-        if name:
+    for ielem, (names, _v, _f) in enumerate(vol):
+        for name in names:
             tags.setdefault(name, []).append(ielem)
     bedges = {}  # name -> list of sorted corner-vertex tuples
-    for d, name, verts in elems:
-        if d == ndims - 1 and name:
-            bedges.setdefault(name, []).append(
-                tuple(sorted(nid(g) for g in verts[:ndims] if g in renumber)))
+    for d, names, verts in elems:
+        if d == ndims - 1:
+            for name in names:
+                bedges.setdefault(name, []).append(
+                    tuple(sorted(nid(g) for g in verts[:ndims] if g in renumber)))
+    ptags = {}  # name -> list of renumbered vertex ids (gmsh physical points)
+    for d, names, verts in elems:
+        if d == 0 and names and verts[0] in renumber:
+            for name in names:
+                ptags.setdefault(name, []).append(renumber[verts[0]])
     out = dict(nodes=simplices, coords=numpy.asarray(coords_list),
-               tags={k: numpy.asarray(v) for k, v in tags.items()}, btags=bedges)
+               tags={k: numpy.asarray(v) for k, v in tags.items()}, btags=bedges,
+               ptags=ptags)
     if vol and len(vol[0][2]) > ndims + 1:
-        # p2 isoparametric geometry: separate numbering over ALL nodes of the
-        # volume elements (corners + midsides), aligned with the UNSORTED
-        # element node order so the nodal shape functions match
+        # isoparametric p>=2 geometry: separate numbering over ALL nodes of
+        # the volume elements (corners + edge/face nodes), aligned with the
+        # UNSORTED element node order so the nodal shape functions match
+        nn = len(vol[0][2])
+        degree = next(p for p in range(2, 8)
+                      if _binom(p + ndims, ndims) == nn)
         ho_renumber = {}
         ho_coords = []
 
         def hid(g):
             if g not in ho_renumber:
                 ho_renumber[g] = len(ho_renumber)
-                ho_coords.append(nodes[g][:ndims])
+                ho_coords.append(nodes[g][:gdims])
             return ho_renumber[g]
 
         out['geom_dofs'] = [[hid(g) for g in full] for _n, _v, full in vol]
         out['geom_corners'] = [v for _n, v, _f in vol]  # gmsh corner order
         out['geom_coords'] = numpy.asarray(ho_coords)
-        out['geom_degree'] = 2
+        out['geom_degree'] = degree
     return out
 
 
-def _p2_barycentric(ndims):
-    '''Barycentric weights [nn, ndims+1] of the gmsh p2 simplex nodes:
-    corners first, then edge midside nodes in gmsh edge order (gmsh
-    reference manual node orderings).'''
-    eye = numpy.eye(ndims + 1)
-    if ndims == 2:
-        edges = [(0, 1), (1, 2), (2, 0)]
-    elif ndims == 3:
-        edges = [(0, 1), (1, 2), (0, 2), (0, 3), (2, 3), (1, 3)]
-    else:
-        raise ValueError(f'p2 gmsh geometry: unsupported dimension {ndims}')
-    return numpy.concatenate([eye, [(eye[a] + eye[b]) / 2 for a, b in edges]])
+def _binom(n, k):
+    import math
+    return math.comb(n, k)
+
+
+_GMSH_EDGES = {1: [(0, 1)],
+               2: [(0, 1), (1, 2), (2, 0)],
+               3: [(0, 1), (1, 2), (0, 2), (0, 3), (2, 3), (1, 3)]}
+
+
+@functools.cache
+def _gmsh_simplex_nodes(ndims, degree):
+    '''Integer barycentric multi-indices [nn, ndims+1] (summing to degree) of
+    the gmsh pN simplex nodes in gmsh node order: corners, then the interior
+    nodes of each edge walked from its first to its second corner, then face
+    nodes ordered by recursing on the inset sub-simplex (gmsh reference
+    manual, "node ordering").'''
+    def rec(d, deg):
+        if deg == 0:
+            return [(0,) * (d + 1)]
+        eye = numpy.eye(d + 1, dtype=int)
+        out = [tuple(deg * eye[i]) for i in range(d + 1)]
+        if deg >= 2:
+            for a, b in _GMSH_EDGES[d]:
+                out.extend(tuple((deg - t) * eye[a] + t * eye[b]) for t in range(1, deg))
+        if deg >= 3 and d >= 2:
+            if d != 2:
+                raise NotImplementedError(f'gmsh p{deg} geometry in {d}-D')
+            out.extend(tuple(numpy.asarray(n) + 1) for n in rec(2, deg - 3))
+        return out
+    return numpy.asarray(rec(ndims, degree), dtype=int)
 
 
 @functools.cache
 def _nodal_simplex_coeffs(ndims, degree, perm):
     '''Power-basis coefficients [nn, (degree+1)^ndims box] of the nodal
-    (Lagrange) shape functions of the gmsh p2 node set, expressed in the
+    (Lagrange) shape functions of the gmsh pN node set, expressed in the
     element frame whose reference vertex j is gmsh corner ``perm[j]``.'''
-    assert degree == 2
-    lam = _p2_barycentric(ndims)              # [nn, d+1] in gmsh corner frame
+    lam = _gmsh_simplex_nodes(ndims, degree) / degree  # [nn, d+1] in gmsh corner frame
     pos = lam[:, list(perm)][:, 1:]           # cartesian coords in the element frame
     import itertools
     expos = [e for e in itertools.product(range(degree + 1), repeat=ndims) if sum(e) <= degree]
@@ -416,12 +454,12 @@ def gmsh(fname, *, space='X'):
     data = parsegmsh(text)
     simplices = data['nodes']
     coords = data['coords']
-    ndims = coords.shape[1]
+    ndims = simplices.shape[1] - 1  # topological dim (< coords.shape[1] for manifolds)
     ref = element.simplex(ndims)
     topo = UnstructuredTopology(space, [ref] * len(simplices), list(simplices), len(coords))
     if 'geom_dofs' in data:
-        # isoparametric p2 geometry: nodal quadratic basis over the full
-        # (corner + midside) node set (reference: mesh.py:540 simplex with
+        # isoparametric p>=2 geometry: nodal Lagrange basis over the full
+        # (corner + edge/face) node set (reference: mesh.py:540 simplex with
         # higher-order node tables).  The topology's element frame uses the
         # SORTED corner order, so each element's shape functions are built in
         # the corner permutation relating the two orderings.
@@ -448,8 +486,10 @@ def gmsh(fname, *, space='X'):
         if rows:
             groups[name] = btopo[numpy.asarray(rows)]
     vgroups = {name: topo.take(ielems) for name, ielems in data['tags'].items()}
-    if groups or vgroups:
-        topo = topo.withgroups(vgroups=vgroups, bgroups=groups)
+    pgroups = {name: topo.point_topology(ids[0])
+               for name, ids in data.get('ptags', {}).items() if len(ids) == 1}
+    if groups or vgroups or pgroups:
+        topo = topo.withgroups(vgroups=vgroups, bgroups=groups, pgroups=pgroups)
     return topo, geom
 
 
