@@ -53,22 +53,30 @@ def _norm_axis(axis, ndim):
 
 
 class _ArrayKey:
-    '''Hashable wrapper for numpy arrays used in node identity keys.'''
+    '''Hashable wrapper for numpy arrays used in node identity keys.
 
-    __slots__ = 'array', '_hash'
+    Identity is a sha1 content digest computed once over the raw buffer (no
+    copy for contiguous arrays): equality of multi-hundred-MB element tables
+    is O(1) instead of an ``array_equal`` scan per comparison, which
+    dominated System construction at ~1M dofs.'''
+
+    __slots__ = 'array', '_digest', '_hash'
 
     def __init__(self, array):
+        import hashlib
         self.array = array
-        self._hash = hash((array.shape, array.dtype.str, array.tobytes()))
+        a = array if array.flags['C_CONTIGUOUS'] else numpy.ascontiguousarray(array)
+        h = hashlib.sha1(str((a.shape, a.dtype.str)).encode())
+        if a.size:
+            h.update(memoryview(a).cast('B'))
+        self._digest = h.digest()
+        self._hash = hash(self._digest)
 
     def __hash__(self):
         return self._hash
 
     def __eq__(self, other):
-        return isinstance(other, _ArrayKey) and self._hash == other._hash \
-            and self.array.shape == other.array.shape \
-            and self.array.dtype == other.array.dtype \
-            and numpy.array_equal(self.array, other.array, equal_nan=True)
+        return isinstance(other, _ArrayKey) and self._digest == other._digest
 
 
 # ------------------------------------------------------------------ node base
@@ -1159,7 +1167,12 @@ def take(func, indices, axis):
     if isinstance(func, Zeros):
         return Zeros(func.shape[:axis] + indices.shape + func.shape[axis + 1:], func.dtype)
     if isinstance(func, Constant) and isinstance(indices, Constant):
-        return Constant(numpy.take(func.value, indices.value, axis=axis))
+        # fold only non-expanding gathers: folding an element-upsampling
+        # gather (few variant rows -> per-element table) would materialize
+        # the dense table the variant compression exists to avoid
+        result_size = (func.size // max(func.shape[axis], 1)) * indices.size
+        if result_size <= max(func.size, 4096):
+            return Constant(numpy.take(func.value, indices.value, axis=axis))
     if isinstance(func, InsertAxis):
         if func.axis == axis:
             out = func.func
@@ -1863,8 +1876,7 @@ def stable_digest(*roots):
     def feed(x):
         if isinstance(x, _ArrayKey):
             h.update(b'arr')
-            h.update(str(x.array.shape).encode())
-            h.update(x.array.tobytes())
+            h.update(x._digest)
         elif isinstance(x, type):
             h.update(b'typ')
             h.update(x.__name__.encode())

@@ -876,6 +876,17 @@ class Basis(Array):
     def get_tables(self, elem_indices):
         raise NotImplementedError
 
+    def get_tables_factored(self, elem_indices):
+        '''(dofs [E, L], variants [V, L, K...], vindex [E]) with
+        ``coeffs[e] == variants[vindex[e]]``: the variant-compressed form of
+        ``get_tables``.  Structured bases override this with an O(V) build —
+        on a uniform grid V is 1 and the dense per-element coefficient table
+        (hundreds of MB at ~1M dofs) never exists, neither on host nor in
+        HBM.  ``vindex is None`` marks the trivial (identity) factoring, the
+        default.'''
+        dofs, coeffs = self.get_tables(elem_indices)
+        return dofs, coeffs, None
+
     def get_dofs(self, ielem):
         dofs, _ = self.get_tables(numpy.asarray([ielem]))
         return numpy.unique(dofs[0])
@@ -924,10 +935,11 @@ class Basis(Array):
         return anc, xi
 
     def _chart_tables(self, chart, E, P):
-        '''(dofs [E, L], coeffs [E, L, K...], xi expression [E, P, d]).'''
+        '''(dofs [E, L], coeffs (variants [V, L, K...], vindex [E]) or dense
+        [E, L, K...], xi expression [E, P, d]).'''
         idx, xi = self._resolve_chart(chart, E, P)
-        dofs, coeffs = self.get_tables(idx)
-        return dofs, coeffs, xi
+        dofs, variants, vindex = self.get_tables_factored(idx)
+        return dofs, (variants, vindex), xi
 
     def lower(self, args):
         chart = args.chart(self.space)
@@ -947,11 +959,28 @@ def _affine_of_X(X, lin, off, E, P):
 
 def _lower_poly_tables(dofs, coeffs, xi, P, ndofs):
     '''Batched polynomial basis evaluation from per-element tables:
-    vals[e,p,l] = sum_k coeffs[e,l,k...] prod_i xi_i^k_i, scattered to ndofs.'''
+    vals[e,p,l] = sum_k coeffs[e,l,k...] prod_i xi_i^k_i, scattered to ndofs.
+
+    ``coeffs`` is either dense [E, L, K...] or the variant-compressed pair
+    (variants [V, L, K...], vindex [E]) from ``Basis.get_tables_factored``:
+    the per-element table is then an in-kernel gather from the tiny variant
+    table, so neither host memory, nor the jit-input transfer, nor the HBM
+    read of the assembly ever touch a dense [E, L, K...] array.'''
+    if isinstance(coeffs, tuple):
+        variants, vindex = coeffs
+        K = variants.shape[2:]
+        if vindex is None:
+            table = ev.constant(variants)  # identity factoring: already [E, L, K...]
+        elif len(variants) == 1:
+            table = ev.insertaxis(ev.constant(variants[0]), 0, len(vindex))
+        else:
+            table = ev.take(ev.constant(variants), ev.constant(vindex), 0)
+    else:
+        K = coeffs.shape[2:]
+        table = ev.constant(coeffs)
     L = dofs.shape[1]
-    K = coeffs.shape[2:]  # per-dim power counts
     dp = len(K)
-    expr = ev.insertaxis(ev.constant(coeffs), 1, P)  # [E,P,L,K...]
+    expr = ev.insertaxis(table, 1, P)  # [E,P,L,K...]
     for i in range(dp):
         xi_i = ev.take(xi, ev.constant(numpy.array(i)), 2)  # [E,P]
         mono = ev.Monomials(xi_i, K[i])  # [E,P,Ki]
@@ -991,8 +1020,16 @@ class StructuredBasis(Basis):
         super().__init__(ndofs, nelems, space)
 
     def get_tables(self, elem_indices):
-        multi = numpy.stack(numpy.unravel_index(elem_indices, self._shape), axis=1)
+        multi = numpy.stack(numpy.unravel_index(
+            numpy.asarray(elem_indices, dtype=numpy.int32), self._shape), axis=1)
         return self._tensor_tables(self._offsets, self._coeffs, self._ndofs_per_dim, multi)
+
+    def get_tables_factored(self, elem_indices):
+        from .ops import spline as _spline
+        multi = numpy.stack(numpy.unravel_index(
+            numpy.asarray(elem_indices, dtype=numpy.int32), self._shape), axis=1)
+        return _spline.tensor_tables_factored(self._offsets, self._coeffs,
+                                              self._ndofs_per_dim, multi)
 
     def _resolve_chart(self, chart, E, P):
         if self._topo is None or chart.origin_topo is self._topo:
@@ -1044,6 +1081,28 @@ class MaskedBasis(Basis):
         coeffs = numpy.where(keep.reshape(keep.shape + (1,) * (pc.ndim - 2)), pc, 0.0)
         return dofs, coeffs
 
+    def get_tables_factored(self, elem_indices):
+        pd, variants, vindex = self._parent.get_tables_factored(elem_indices)
+        keep = self._mask[pd]
+        ren = self._renumber[pd]
+        has = keep.any(axis=1)
+        firstk = keep.argmax(axis=1)
+        fallback = numpy.where(has, numpy.take_along_axis(ren, firstk[:, None], 1)[:, 0], 0)
+        dofs = numpy.where(keep, ren, fallback[:, None])
+        if vindex is None:
+            coeffs = numpy.where(keep.reshape(keep.shape + (1,) * (variants.ndim - 2)), variants, 0.0)
+            return dofs, coeffs, None
+        # the zeroing pattern joins the variant key: realized (variant,
+        # keep-row) pairs stay few because masking follows grid boundaries
+        krows, kinv = numpy.unique(keep, axis=0, return_inverse=True)
+        combo = vindex * len(krows) + kinv
+        realized, new_vindex = numpy.unique(combo, return_inverse=True)
+        v_id = realized // len(krows)
+        k_id = realized % len(krows)
+        shaped = krows[k_id].reshape((len(realized),) + krows.shape[1:] + (1,) * (variants.ndim - 2))
+        new_variants = numpy.where(shaped, variants[v_id], 0.0)
+        return dofs, new_variants, new_vindex.astype(numpy.int64)
+
 
 class PrunedBasis(Basis):
     '''Restriction of a basis to the dofs supported on a subset of elements
@@ -1073,6 +1132,25 @@ class PrunedBasis(Basis):
             rd = numpy.where(bad, 0, rd)
             pc = numpy.where(bad.reshape(bad.shape + (1,) * (pc.ndim - 2)), 0.0, pc)
         return rd, pc
+
+    def get_tables_factored(self, elem_indices):
+        pd, variants, vindex = self._parent.get_tables_factored(elem_indices)
+        rd = self._renumber[pd]
+        bad = rd < 0
+        if not bad.any():
+            return rd, variants, vindex
+        rd = numpy.where(bad, 0, rd)
+        if vindex is None:
+            pc = numpy.where(bad.reshape(bad.shape + (1,) * (variants.ndim - 2)), 0.0, variants)
+            return rd, pc, None
+        brows, binv = numpy.unique(bad, axis=0, return_inverse=True)
+        combo = vindex * len(brows) + binv
+        realized, new_vindex = numpy.unique(combo, return_inverse=True)
+        v_id = realized // len(brows)
+        b_id = realized % len(brows)
+        shaped = brows[b_id].reshape((len(realized),) + brows.shape[1:] + (1,) * (variants.ndim - 2))
+        new_variants = numpy.where(shaped, 0.0, variants[v_id])
+        return rd, new_variants, new_vindex.astype(numpy.int64)
 
 
 class PlainBasis(Basis):
@@ -1258,15 +1336,18 @@ def getitem(a, item):
     a = asarray(a)
     if not isinstance(item, tuple):
         item = (item,)
-    # expand ellipsis
+    # expand ellipsis (None entries add axes and consume none)
     if Ellipsis in item:
         i = item.index(Ellipsis)
-        nmissing = a.ndim - (len(item) - 1)
+        nmissing = a.ndim - sum(1 for x in item if x is not None and x is not Ellipsis)
         item = item[:i] + (slice(None),) * nmissing + item[i + 1:]
     out = a
     axis = 0
     for it in item:
-        if isinstance(it, slice):
+        if it is None:  # numpy.newaxis
+            out = insertaxis(out, axis, 1)
+            axis += 1
+        elif isinstance(it, slice):
             if it == slice(None):
                 axis += 1
                 continue

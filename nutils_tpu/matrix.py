@@ -321,7 +321,7 @@ class Matrix:
             auto = True
         else:
             auto = False
-        if eff in ('cg', 'gmres') and self.shape[0] == self.shape[1]:
+        if eff in ('cg', 'gmres', 'bicgstab') and self.shape[0] == self.shape[1]:
             # build the masked operator M A M + (I - M) explicitly: identity
             # rows keep the matrix inside the stencil window, so constrained
             # structured systems retain the roofline matvec AND the multigrid
@@ -347,7 +347,8 @@ class Matrix:
                 self._masked_solve_cache = (key, Mm)
             b = numpy.where(isfree, rhs - (self @ xfix), 0.0)
             try:
-                fn = Mm._solve_cg if eff == 'cg' else Mm._solve_gmres
+                fn = {'cg': Mm._solve_cg, 'gmres': Mm._solve_gmres,
+                      'bicgstab': Mm._solve_bicgstab}[eff]
                 y = fn(b, atol=atol, rtol=rtol or 1e-11, precon=precon, **kwargs)
                 return numpy.where(isfree, y, xfix)
             except ToleranceNotReached:
@@ -358,7 +359,7 @@ class Matrix:
 
         sub = self.submatrix(isfree, isfree)
         b = rhs[isfree] - (self @ xfix)[isfree]
-        xf = sub._solve_free(b, 'direct' if eff in ('cg', 'gmres') else solver,
+        xf = sub._solve_free(b, 'direct' if eff in ('cg', 'gmres', 'bicgstab') else solver,
                              atol, rtol, symmetric, precon, **kwargs)
         x = xfix.copy()
         x[isfree] = xf
@@ -443,6 +444,8 @@ class Matrix:
                 return self._solve_cg(rhs, atol=atol, rtol=rtol or 1e-11, precon=precon, **kwargs)
             if solver == 'gmres':
                 return self._solve_gmres(rhs, atol=atol, rtol=rtol or 1e-11, precon=precon, **kwargs)
+            if solver == 'bicgstab' and precon not in ('direct', 'splu', 'spilu', 'spilu0'):
+                return self._solve_bicgstab(rhs, atol=atol, rtol=rtol or 1e-11, precon=precon, **kwargs)
         except ToleranceNotReached:
             if not fallback:
                 raise
@@ -450,7 +453,7 @@ class Matrix:
             return self._solve_direct(rhs)
         if solver.startswith('scipy:'):
             return self._solver_scipy(rhs, solver[6:], atol=atol, rtol=rtol, precon=precon, **kwargs)
-        if solver in ('bicg', 'bicgstab', 'cgs', 'lgmres'):
+        if solver in ('bicg', 'bicgstab', 'cgs', 'lgmres'):  # host-precon bicgstab lands here
             return self._solver_scipy(rhs, solver, atol=atol, rtol=rtol, precon=precon, **kwargs)
         raise ValueError(f'unknown solver {solver!r}')
 
@@ -606,7 +609,7 @@ class Matrix:
         constraint handling, preserving the stencil/ell operator structure.
         '''
         import jax.numpy as jnp
-        from .ops.sparse import cg_op, gmres_op
+        from .ops.sparse import bicgstab_op, cg_op, gmres_op
         b64 = numpy.asarray(rhs, dtype=numpy.float64)
         target = max(atol, rtol * float(numpy.linalg.norm(b64)))
         mv_kind, op = self._device_op()
@@ -622,7 +625,7 @@ class Matrix:
         # refinement loop's contraction test and fall through to the
         # diagonal/host paths.
         kind = minv = None
-        if method in ('cg', 'gmres') and precon is None and _isfree is None \
+        if method in ('cg', 'gmres', 'bicgstab') and precon is None and _isfree is None \
                 and mv_kind[0] == 'stencil':
             mg = self._mg()
             if mg is not None:
@@ -644,16 +647,31 @@ class Matrix:
             minv = numpy.asarray(minv, dtype=dt)
             if _isfree is not None and kind == 'diag':
                 minv = numpy.where(_isfree, minv, 1.0)
+        base_kind, base_op = mv_kind, op
         if _isfree is not None:
             mv_kind, op = self._masked_op(mv_kind, op, _isfree, dt)
-        A64 = self._scipy().astype(numpy.float64)
+        if base_kind[0] == 'stencil':
+            # float64 refinement residual through the host stencil matvec:
+            # the CSR face of the operator is never materialized on the
+            # device solve path (ops/stencil.matvec_numpy)
+            from .ops import stencil as _st
+            w64 = numpy.asarray(base_op[0], dtype=numpy.float64)
+            _sk, _ks, _shape, _per = base_kind
+
+            def apply_raw(x):
+                return _st.matvec_numpy(w64, x, _ks, _shape, _per)
+        else:
+            A64 = self._scipy().astype(numpy.float64)
+
+            def apply_raw(x):
+                return A64 @ x
 
         def apply64(x):
             if _isfree is None:
-                return A64 @ x
-            return numpy.where(_isfree, A64 @ numpy.where(_isfree, x, 0.0), x)
+                return apply_raw(x)
+            return numpy.where(_isfree, apply_raw(numpy.where(_isfree, x, 0.0)), x)
 
-        inner = cg_op if method == 'cg' else gmres_op
+        inner = {'cg': cg_op, 'gmres': gmres_op, 'bicgstab': bicgstab_op}[method]
         n = self.shape[0]
         # per-round iteration budget: O(sqrt(n)) covers a healthy
         # Jacobi-preconditioned CG on second-order problems; anything the
@@ -730,6 +748,13 @@ class Matrix:
                                    restart=restart, precon=precon, preconargs=preconargs,
                                    _isfree=_isfree)
 
+    def _solve_bicgstab(self, rhs, *, atol, rtol, maxiter=None, precon=None, preconargs=None, _isfree=None):
+        '''Device BiCGStab + float64 iterative refinement: the
+        short-recurrence nonsymmetric alternative when restarted GMRES
+        stalls (reference scipy family: matrix/_scipy.py:67-72).'''
+        return self._device_krylov('bicgstab', rhs, atol=atol, rtol=rtol, maxiter=maxiter,
+                                   precon=precon, preconargs=preconargs, _isfree=_isfree)
+
     def _solver_scipy(self, rhs, method, *, atol, rtol, maxiter=None, precon=None, preconargs=None, **kwargs):
         '''Host scipy iterative family (reference: matrix/_scipy.py:74-92).'''
         import scipy.sparse.linalg
@@ -789,21 +814,42 @@ class _StencilMatrix(Matrix):
     other operation needs it.'''
 
     def __init__(self, pattern, w_flat, ks, grid_shape, csr_map, periodic=None):
-        self.indptr = pattern.indptr
-        self.indices = pattern.indices
+        self._pattern_src = pattern  # solver._LazyPattern or SparsePattern
         self.shape = tuple(pattern.shape)
         self._w = w_flat
         self._ks = tuple(int(k) for k in ks)
         self._grid = tuple(int(s) for s in grid_shape)
-        self._csr_map = csr_map
+        self._csr_map = csr_map  # index array, or 0-arg callable (deferred)
         self._periodic = tuple(bool(p) for p in periodic) if periodic is not None \
             else (False,) * len(self._grid)
 
     def __getattr__(self, name):
+        # the CSR face of the operator materializes on first touch only: the
+        # device solve path consumes the stencil weights directly
+        if name in ('indptr', 'indices'):
+            pat = self._pattern_src
+            self.indptr = pat.indptr
+            self.indices = pat.indices
+            return getattr(self, name)
         if name == 'data':
+            if callable(self._csr_map):
+                self._csr_map = self._csr_map()
             self.data = numpy.asarray(self._w)[self._csr_map]
             return self.data
         raise AttributeError(name)
+
+    def __matmul__(self, vec):
+        from .ops import stencil as _st
+        v = numpy.asarray(vec)
+        return _st.matvec_numpy(numpy.asarray(self._w, dtype=numpy.float64), v,
+                                self._ks, self._grid, self._periodic).astype(v.dtype, copy=False)
+
+    def diagonal(self):
+        # the center window slot (zero shift on every axis) holds the
+        # diagonal: mixed-radix digit k_i of radix 2k_i+1 per axis = (W-1)/2
+        w = numpy.asarray(self._w)
+        W = int(numpy.prod([2 * k + 1 for k in self._ks]))
+        return w.reshape(W, -1)[(W - 1) // 2][:self.shape[0]].astype(numpy.float64)
 
     def _device_op(self):
         from . import parallel

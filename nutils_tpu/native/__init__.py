@@ -38,10 +38,15 @@ def get():
         try:
             lib = ctypes.CDLL(_build())
             i64 = ctypes.POINTER(ctypes.c_int64)
+            i32 = ctypes.POINTER(ctypes.c_int32)
             lib.pattern_argsort.argtypes = [i64, i64, ctypes.c_int64, ctypes.c_int64, i64]
             lib.pattern_argsort.restype = None
+            lib.pattern_argsort32.argtypes = [i32, i32, ctypes.c_int64, ctypes.c_int64, i64]
+            lib.pattern_argsort32.restype = None
             lib.pattern_dedup.argtypes = [i64, i64, ctypes.c_int64, i64, i64, i64, i64]
             lib.pattern_dedup.restype = ctypes.c_int64
+            lib.pattern_dedup32.argtypes = [i32, i32, ctypes.c_int64, i64, i64, i64, i64]
+            lib.pattern_dedup32.restype = ctypes.c_int64
             lib.pattern_indptr.argtypes = [i64, ctypes.c_int64, ctypes.c_int64, i64]
             lib.pattern_indptr.restype = None
             _lib = lib
@@ -54,20 +59,32 @@ def _p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
 
 
+def _p32(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
 def build_pattern(rows, cols, shape):
-    '''(indptr, indices, slot, urows, nnz) via the native builder, or None.'''
+    '''(indptr, indices, slot, urows, nnz) via the native builder, or None.
+    int32 entry streams (the solver's planning dtype) stay int32 — no
+    conversion pass over the 10M-entry assembly streams.'''
     lib = get()
     if lib is None:
         return None
-    rows = numpy.ascontiguousarray(rows, dtype=numpy.int64)
-    cols = numpy.ascontiguousarray(cols, dtype=numpy.int64)
+    if rows.dtype == numpy.int32 and cols.dtype == numpy.int32:
+        rows = numpy.ascontiguousarray(rows)
+        cols = numpy.ascontiguousarray(cols)
+        argsort, dedup, rp = lib.pattern_argsort32, lib.pattern_dedup32, _p32
+    else:
+        rows = numpy.ascontiguousarray(rows, dtype=numpy.int64)
+        cols = numpy.ascontiguousarray(cols, dtype=numpy.int64)
+        argsort, dedup, rp = lib.pattern_argsort, lib.pattern_dedup, _p
     n = rows.size
     order = numpy.empty(n, dtype=numpy.int64)
-    lib.pattern_argsort(_p(rows), _p(cols), n, int(shape[1]), _p(order))
+    argsort(rp(rows), rp(cols), n, int(shape[1]), _p(order))
     slot = numpy.empty(n, dtype=numpy.int64)
     urows = numpy.empty(n, dtype=numpy.int64)
     ucols = numpy.empty(n, dtype=numpy.int64)
-    nnz = lib.pattern_dedup(_p(rows), _p(cols), n, _p(order), _p(slot), _p(urows), _p(ucols))
+    nnz = dedup(rp(rows), rp(cols), n, _p(order), _p(slot), _p(urows), _p(ucols))
     indptr = numpy.empty(shape[0] + 1, dtype=numpy.int64)
     lib.pattern_indptr(_p(urows), nnz, int(shape[0]), _p(indptr))
     return indptr, ucols[:nnz], slot, urows[:nnz], int(nnz)

@@ -145,7 +145,8 @@ def tensor_tables(offsets_per_dim, coeffs_per_dim, ndofs_per_dim, elem_multi_ind
         p1, K = coeffs_per_dim[i].shape[1:]  # p+1 local functions, p+1 powers
         nd = ndofs_per_dim[i]
         idx = elem_multi_index[:, i]
-        d_i = (offsets_per_dim[i][idx][:, None] + numpy.arange(p1)[None, :]) % nd  # [E, p+1]
+        d_i = (offsets_per_dim[i].astype(numpy.int32)[idx][:, None]
+               + numpy.arange(p1, dtype=numpy.int32)[None, :]) % numpy.int32(nd)  # [E, p+1]
         c_i = coeffs_per_dim[i][idx]  # [E, p+1, K]
         if dofs is None:
             dofs = d_i
@@ -158,3 +159,52 @@ def tensor_tables(offsets_per_dim, coeffs_per_dim, ndofs_per_dim, elem_multi_ind
             B = c_i.reshape(nelems, 1, p1, 1, K)
             coeffs = (A * B).reshape((nelems, Lprev * p1) + Kprev + (K,))
     return dofs, coeffs
+
+
+def tensor_tables_factored(offsets_per_dim, coeffs_per_dim, ndofs_per_dim, elem_multi_index):
+    '''Variant-compressed version of :func:`tensor_tables`.
+
+    On a structured grid almost every element shares the same local
+    polynomial coefficients (all of them for uniform knots; all but the
+    first/last ``p`` per dimension for clamped splines), so the dense
+    ``[nelems, L, K...]`` coefficient table is a few distinct rows repeated
+    ~nelems times.  Returns ``(dofs [E, L], variants [V, L, K...],
+    vindex [E])`` with ``coeffs[e] == variants[vindex[e]]`` — O(n) host work
+    and memory instead of O(nelems * L * prod(K)).
+    '''
+    ndims = len(offsets_per_dim)
+    nelems = elem_multi_index.shape[0]
+    dofs = None
+    uniq = []      # per-dim unique coefficient rows [v_i, p+1, K_i]
+    vcombo = numpy.zeros(nelems, dtype=numpy.int64)
+    for i in range(ndims):
+        ci = coeffs_per_dim[i]
+        n_i, p1, K = ci.shape
+        u, inv = numpy.unique(ci.reshape(n_i, p1 * K), axis=0, return_inverse=True)
+        uniq.append(u.reshape(len(u), p1, K))
+        idx = elem_multi_index[:, i]
+        vcombo = vcombo * len(u) + inv[idx]
+        nd = ndofs_per_dim[i]
+        d_i = (offsets_per_dim[i].astype(numpy.int32)[idx][:, None]
+               + numpy.arange(p1, dtype=numpy.int32)[None, :]) % numpy.int32(nd)  # [E, p+1]
+        if dofs is None:
+            dofs = d_i
+        else:
+            dofs = (dofs[:, :, None] * nd + d_i[:, None, :]).reshape(nelems, -1)
+    realized, vindex = numpy.unique(vcombo, return_inverse=True)
+    # decode each realized combo back to per-dim variant ids and build its row
+    variants = None
+    for i in range(ndims - 1, -1, -1):
+        v_i = len(uniq[i])
+        c_i = uniq[i][realized % v_i]  # [V, p+1, K_i]
+        realized = realized // v_i
+        if variants is None:
+            variants = c_i
+        else:
+            V, p1, K = c_i.shape
+            Lprev = variants.shape[1]
+            Kprev = variants.shape[2:]
+            A = c_i.reshape(V, p1, 1, K, 1)
+            B = variants.reshape(V, 1, Lprev, 1, int(numpy.prod(Kprev)))
+            variants = (A * B).reshape((V, p1 * Lprev, K) + Kprev)
+    return dofs, variants, vindex.astype(numpy.int64)

@@ -344,3 +344,35 @@ def matvec(form, w_dev, x):
     xg = x.reshape(form.shape) if flat else x
     y = _matvec_fn(form.ks, form.shape, form.periodic)(w_dev, xg)
     return y.reshape(-1) if flat else y
+
+
+def matvec_numpy(w, x, ks, shape, periodic=None):
+    '''Host (numpy, any dtype) counterpart of :func:`_matvec_fn`: exact
+    float64 stencil matvec for the iterative-refinement residual, so the
+    refinement loop never needs the CSR materialization of the operator
+    (matrix._device_krylov).  ``w`` [W, *shape], ``x`` [*shape] or flat.'''
+    w = numpy.asarray(w)
+    windows_total = int(numpy.prod([2 * k + 1 for k in ks]))
+    w = w.reshape((windows_total,) + tuple(shape))
+    x = numpy.asarray(x)
+    flat = x.ndim == 1
+    xg = x.reshape(shape) if flat else x
+    periodic = periodic or (False,) * len(ks)
+    windows = [2 * k + 1 for k in ks]
+    xp = xg
+    for ax, (k, per) in enumerate(zip(ks, periodic)):
+        if k and per:
+            sl = [slice(None)] * xp.ndim
+            sl[ax] = slice(xp.shape[ax] - k, xp.shape[ax])
+            front = xp[tuple(sl)]
+            sl[ax] = slice(0, k)
+            back = xp[tuple(sl)]
+            xp = numpy.concatenate([front, xp, back], axis=ax)
+    zpad = [(0, 0) if per else (k, k) for k, per in zip(ks, periodic)]
+    if any(p != (0, 0) for p in zpad):
+        xp = numpy.pad(xp, zpad)
+    acc = numpy.zeros(shape, dtype=numpy.result_type(w.dtype, x.dtype))
+    for s, shifts in enumerate(itertools.product(*[range(m) for m in windows])):
+        sl = tuple(slice(o, o + n) for o, n in zip(shifts, shape))
+        acc += w[s] * xp[sl]
+    return acc.reshape(-1) if flat else acc

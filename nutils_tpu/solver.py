@@ -393,6 +393,36 @@ def _apply_value_plan(w, skind, payload, V):
     return w.at[jnp.asarray(payload)].add(Vf.ravel())
 
 
+class _LazyPattern:
+    '''Deferred CSR pattern: holds the raw per-segment COO index streams and
+    builds the deduplicated :class:`matrix.SparsePattern` (a ~10M-entry sort
+    at ~1M dofs) only when some consumer actually touches a CSR attribute.
+    The stencil-form device path (assembly through slice adds, MG-CG on the
+    weight grid) never does — CSR becomes an export format, not the
+    operator.'''
+
+    def __init__(self, rows_list, cols_list, shape):
+        self.shape = tuple(shape)
+        self._rows_list = rows_list
+        self._cols_list = cols_list
+        self._pat = None
+
+    def get(self):
+        if self._pat is None:
+            rows = numpy.concatenate([r.ravel() for r in self._rows_list]) \
+                if self._rows_list else numpy.zeros(0, dtype=numpy.int64)
+            cols = numpy.concatenate([c.ravel() for c in self._cols_list]) \
+                if self._cols_list else numpy.zeros(0, dtype=numpy.int64)
+            self._pat = matrix.SparsePattern(rows, cols, self.shape)
+            self._rows_list = self._cols_list = None
+        return self._pat
+
+    def __getattr__(self, name):
+        if name.startswith('_'):
+            raise AttributeError(name)
+        return getattr(self.get(), name)
+
+
 class _Loc:
     '''One localized appearance of an argument in an expression.
 
@@ -1005,16 +1035,14 @@ class System:
                         reduce_axes = tuple(ax for ax in range(len(vshape))
                                             if rows_b.shape[ax] == 1 and cols_b.shape[ax] == 1 and vshape[ax] > 1)
                         sel = tuple(0 if ax in reduce_axes else slice(None) for ax in range(len(vshape)))
-                        rows_k = numpy.broadcast_to(rows_b, vshape)[sel]
-                        cols_k = numpy.broadcast_to(cols_b, vshape)[sel]
-                        rows_all.append((rows_k + row_off).ravel())
-                        cols_all.append((cols_k + col_off).ravel())
-                        segs2d.append(((rows_k + row_off).reshape(rows_k.shape[0], -1),
-                                       (cols_k + col_off).reshape(cols_k.shape[0], -1)))
+                        rows_k = numpy.broadcast_to(rows_b, vshape)[sel].astype(numpy.int32) + numpy.int32(row_off)
+                        cols_k = numpy.broadcast_to(cols_b, vshape)[sel].astype(numpy.int32) + numpy.int32(col_off)
+                        rows_all.append(rows_k.ravel())
+                        cols_all.append(cols_k.ravel())
+                        segs2d.append((rows_k.reshape(rows_k.shape[0], -1),
+                                       cols_k.reshape(cols_k.shape[0], -1)))
                         chunk_meta.append((bi, ci, u, li, reduce_axes, rows_k.size))
-        rows_cat = numpy.concatenate(rows_all) if rows_all else numpy.zeros(0, dtype=numpy.int64)
-        cols_cat = numpy.concatenate(cols_all) if cols_all else numpy.zeros(0, dtype=numpy.int64)
-        pattern = matrix.SparsePattern(rows_cat, cols_cat, (self._ntest, self._ntrial))
+        pattern = _LazyPattern(rows_all, cols_all, (self._ntest, self._ntrial))
         jplan = self._plan_stencil_jacobian(segs2d, pattern)
         if jplan is None:
             jplan = self._plan_blockgrid_jacobian(segs2d, pattern)
@@ -1063,7 +1091,12 @@ class System:
         pitches = [int(numpy.prod(grid[ax + 1:])) for ax in range(d)]
 
         def shifts_of(rowsT, colsT):
-            '''Per-axis window shifts (periodic axes wrap) or None.'''
+            '''Per-axis window shifts (periodic axes wrap) or None.  Index
+            arithmetic runs in int32 (dof counts < 2^31): numpy's int64
+            floor-division is scalar (~130x slower than the vectorized int32
+            path) and dominated System planning at ~1M dofs.'''
+            rowsT = rowsT.astype(numpy.int32, copy=False)
+            colsT = colsT.astype(numpy.int32, copy=False)
             A = []
             for ax in range(d):
                 rc = (rowsT // pitches[ax]) % grid[ax]
@@ -1096,14 +1129,22 @@ class System:
                 widx = widx * wdim + (a + k)
             tgt = widx * n + rowsT
             segs.append(_plan_value_table(tgt, widx, W * n))
-        # CSR materialization map: slot l holds w[widx_l * n + row_l]
-        A = shifts_of(pattern.urows.astype(numpy.int64), pattern.indices.astype(numpy.int64))
-        if A is None:
-            return None
-        widx = numpy.zeros(len(pattern.indices), dtype=numpy.int64)
-        for a, k, wdim in zip(A, ks, windows):
-            widx = widx * wdim + (a + k)
-        csr_map = widx * n + pattern.urows
+        # CSR materialization map: slot l holds w[widx_l * n + row_l].
+        # Deferred: every pattern entry comes from a seg that passed
+        # shifts_of, so the pattern-level decomposition cannot fail; building
+        # it eagerly would force the CSR pattern (a ~10M-entry sort) that the
+        # stencil-form device path otherwise never needs.
+        _cm = []  # memo: resolved once, shared by every Newton-step matrix
+
+        def csr_map():
+            if not _cm:
+                A = shifts_of(numpy.asarray(pattern.urows), numpy.asarray(pattern.indices))
+                assert A is not None, 'stencil decomposition failed on the deduplicated pattern'
+                widx = numpy.zeros(len(pattern.indices), dtype=numpy.int64)
+                for a, k, wdim in zip(A, ks, windows):
+                    widx = widx * wdim + (a + k)
+                _cm.append(widx * n + pattern.urows)
+            return _cm[0]
         return dict(form='stencil', ks=tuple(ks), grid=grid, total=W * n, segs=segs,
                     csr_map=csr_map, periodic=tuple(bool(p) for p in per))
 
