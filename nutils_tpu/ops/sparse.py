@@ -495,3 +495,95 @@ def gmres(data, indices, indptr, b, diag=None, *, atol, maxiter, restart=60,
         minv = jnp.where(diag != 0, 1.0 / diag, 1.0)
     return gmres_op(('csr',), (data, indices, row_ids), b, atol=atol,
                     maxiter=maxiter, restart=restart, minv=minv, precon=precon)
+
+
+# ------------------------------------------------------------ BiCGStab
+
+@functools.lru_cache(maxsize=32)
+def _bicgstab_driver(precon_kind, mv_kind=('csr',)):
+    '''Right-preconditioned BiCGStab under ``lax.while_loop``: the
+    short-recurrence nonsymmetric Krylov method (2 matvecs + 2 precon
+    applies per iteration, O(8 n) state) — the device counterpart of the
+    reference's scipy bicgstab (matrix/_scipy.py:67-72) and the memory-lean
+    alternative when restarted GMRES stalls.  Same true-residual refresh and
+    stagnation discipline as the CG driver above; ``rho``/``omega``
+    breakdowns restart the recurrence from the current true residual.'''
+    import jax
+    import jax.numpy as jnp
+    apply_m = _precon_apply(precon_kind)
+    matvec_op = _make_matvec(mv_kind)
+
+    def run(op, b, minv, atol, maxiter):
+        def matvec(x):
+            return matvec_op(op, x)
+
+        eps = jnp.finfo(b.dtype).tiny * 16
+
+        def body(state):
+            x, r, rhat, p, v, rho, alpha, omega, k, stall, lastres = state
+            phat = apply_m(minv, p)
+            v = matvec(phat)
+            rv = rhat @ v
+            alpha = rho / jnp.where(jnp.abs(rv) > eps, rv, 1.0)
+            s = r - alpha * v
+            shat = apply_m(minv, s)
+            t = matvec(shat)
+            tt = t @ t
+            omega = (t @ s) / jnp.where(tt > eps, tt, 1.0)
+            x = x + alpha * phat + omega * shat
+            r_rec = s - omega * t
+            claimed = jnp.linalg.norm(r_rec) <= atol
+            need = ((k + 1) % 64 == 0) | claimed
+            r = jax.lax.cond(need, lambda: b - matvec(x), lambda: r_rec)
+            rnorm = jnp.linalg.norm(r)
+            stall = jnp.where(need & (rnorm > 0.99 * lastres), stall + 1,
+                              jnp.where(need, 0, stall))
+            lastres = jnp.where(need, rnorm, lastres)
+            rho_new = rhat @ r
+            # rho/omega breakdown or refuted convergence: restart the
+            # recurrence from the true residual (rhat = r, p = r)
+            breakdown = (jnp.abs(rho_new) <= eps) | (jnp.abs(omega) <= eps) | claimed
+            beta = (rho_new / jnp.where(jnp.abs(rho) > eps, rho, 1.0)) \
+                * (alpha / jnp.where(jnp.abs(omega) > eps, omega, 1.0))
+            p_new = r + beta * (p - omega * v)
+            p = jnp.where(breakdown, r, p_new)
+            rhat = jnp.where(breakdown, r, rhat)
+            rho = jnp.where(breakdown, r @ r, rho_new)
+            return x, r, rhat, p, v, rho, alpha, omega, k + 1, stall, lastres
+
+        def cond(state):
+            x, r, rhat, p, v, rho, alpha, omega, k, stall, lastres = state
+            return (jnp.linalg.norm(r) > atol) & (k < maxiter) & (stall < 4)
+
+        x0 = jnp.zeros_like(b)
+        one = jnp.asarray(1.0, dtype=b.dtype)
+        state = (x0, b, b, b, jnp.zeros_like(b), b @ b, one, one,
+                 jnp.array(0, dtype=jnp.int32), jnp.array(0, dtype=jnp.int32),
+                 jnp.linalg.norm(b))
+        out = jax.lax.while_loop(cond, body, state)
+        x, r = out[0], out[1]
+        return x, jnp.linalg.norm(r), out[8]
+
+    return jax.jit(run, static_argnames=())
+
+
+def bicgstab_op(mv_kind, op, b, *, atol, maxiter, minv, precon='diag'):
+    '''Right-preconditioned BiCGStab over an operator-kind/operand pair;
+    returns (x, resnorm, iters).'''
+    import jax.numpy as jnp
+    run = _bicgstab_driver(precon, mv_kind)
+    m = minv if isinstance(minv, tuple) else jnp.asarray(minv)
+    return run(tuple(op), b, m, jnp.asarray(atol, dtype=b.dtype),
+               jnp.asarray(maxiter, dtype=jnp.int32))
+
+
+def bicgstab(data, indices, indptr, b, diag=None, *, atol, maxiter, minv=None,
+             precon='diag'):
+    '''Right-preconditioned BiCGStab; returns (x, resnorm, iters).  Same
+    precon conventions as :func:`cg`.'''
+    import jax.numpy as jnp
+    row_ids = jnp.asarray(_row_ids(indptr))
+    if precon == 'diag' and minv is None:
+        minv = jnp.where(diag != 0, 1.0 / diag, 1.0)
+    return bicgstab_op(('csr',), (data, indices, row_ids), b,
+                       atol=atol, maxiter=maxiter, minv=minv, precon=precon)

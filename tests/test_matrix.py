@@ -244,3 +244,36 @@ def test_navier_stokes_newton_subsolve_on_device():
     x_gmres = jac.solve(res, constrain=cons, solver='gmres', rtol=1e-10, restart=200)
     err = numpy.linalg.norm(x_gmres - x_direct) / numpy.linalg.norm(x_direct)
     assert err < 1e-4, err
+
+
+def test_device_bicgstab_nonsymmetric():
+    '''Device BiCGStab on a nonsymmetric convection-diffusion matrix matches
+    the direct solve (reference scipy family: matrix/_scipy.py:67-72).'''
+    import scipy.sparse
+    n = 400
+    main = numpy.full(n, 4.0)
+    lower = numpy.full(n - 1, -1.7)  # upwind: nonsymmetric
+    upper = numpy.full(n - 1, -0.3)
+    A = scipy.sparse.diags([lower, main, upper], [-1, 0, 1]).tocsr()
+    m = matrix.Matrix(A.indptr, A.indices, A.data, A.shape)
+    rng = numpy.random.default_rng(3)
+    b = rng.standard_normal(n)
+    x = m.solve(b, solver='bicgstab', rtol=1e-10)
+    assert numpy.linalg.norm(b - A @ x) <= 1e-9 * numpy.linalg.norm(b)
+
+
+def test_device_bicgstab_with_constraints():
+    import scipy.sparse
+    n = 300
+    A = scipy.sparse.diags([numpy.full(n - 1, -1.2), numpy.full(n, 3.0),
+                            numpy.full(n - 1, -0.8)], [-1, 0, 1]).tocsr()
+    m = matrix.Matrix(A.indptr, A.indices, A.data, A.shape)
+    rng = numpy.random.default_rng(4)
+    b = rng.standard_normal(n)
+    cons = numpy.full(n, numpy.nan)
+    cons[:5] = 1.0
+    x = m.solve(b, constrain=cons, solver='bicgstab', rtol=1e-10)
+    numpy.testing.assert_allclose(x[:5], 1.0)
+    free = numpy.isnan(cons)
+    r = (b - A @ x)[free]
+    assert numpy.linalg.norm(r) <= 1e-8 * numpy.linalg.norm(b)
