@@ -27,9 +27,10 @@ class _RectilinearGeom(function.Array):
         of the reference's transform-chain head resolution,
         transformseq.py:15 ``index_with_tail``), centroid binning of the
         constant root-coordinate table as a last resort (locate samples).'''
-        if self._topo is None or chart.origin_topo is self._topo or chart.origin_topo is None:
-            return numpy.stack(numpy.unravel_index(chart.index, self.grid_shape), axis=1)
         lineage = getattr(chart, 'lineage', None)
+        if self._topo is None or (lineage is None and (chart.origin_topo is self._topo
+                                                       or chart.origin_topo is None)):
+            return numpy.stack(numpy.unravel_index(chart.index, self.grid_shape), axis=1)
         if lineage is not None and lineage[0].base is self._topo:
             fam, levels, elems = lineage
             levels = numpy.asarray(levels)

@@ -250,6 +250,13 @@ class MultipatchTopology(Topology):
         basis._origin = self
         return basis
 
+    def basis_discont(self, degree):
+        '''Fully discontinuous per-element basis: the generic structured
+        construction applies verbatim since samples carry patch-offset global
+        element indices (reference: topology.py:1801 basis via _tensorial).'''
+        from .topology import StructuredTopology
+        return StructuredTopology.basis_discont(self, degree)
+
     def basis_std(self, degree, patchcontinuous=True):
         return self.basis_spline(degree, patchcontinuous, continuity=0)
 

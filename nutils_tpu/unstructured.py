@@ -48,7 +48,7 @@ def merge_index_map(nin, merge_sets):
 
 
 def newton_locate(topo, geom, coords, *, tol=None, eps=0, arguments=None, maxiter=None,
-                  maxdist=None, skip_missing=False, weights=None):
+                  maxdist=None, skip_missing=False, weights=None, _raw=False):
     '''Generic physical-point location: per-point Newton iteration over
     candidate elements sorted by centroid distance (reference:
     topology.py:777-897 ``Topology.locate``/``_locate``).  The topology
@@ -110,6 +110,10 @@ def newton_locate(topo, geom, coords, *, tol=None, eps=0, arguments=None, maxite
         active = active[~ok]
     if len(active) and not skip_missing:
         raise ValueError(f'failed to locate {len(active)}/{npts} points')
+    if _raw:
+        # (element id or -1, element-local coordinates) per input point —
+        # the hook the hierarchical walk-down builds on
+        return found_elem, found_xi
     sel = found_elem >= 0
     return topo._point_sample(found_elem[sel], found_xi[sel],
                               None if weights is None else numpy.asarray(weights)[sel])

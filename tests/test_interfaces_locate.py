@@ -227,3 +227,32 @@ def test_hierarchical_locate():
     # skip_missing drops exterior points, weights follow the kept rows
     smp2 = h2.locate(geom, numpy.array([[2.0, 2.0], [0.5, 0.5]]), skip_missing=True)
     assert smp2.npoints == 1
+
+
+def test_locate_hierarchical_unstructured():
+    '''Locate on a hierarchical refinement of an unstructured (triangle)
+    topology: base Newton locate + refinement-tree walk (reference:
+    transformseq.py:15 index_with_tail through topology.py:777 locate).'''
+    topo, geom = mesh.unitsquare(3, 'triangle')
+    ref = topo.refined_by([0, 1, 5])
+    rng = numpy.random.default_rng(11)
+    pts = rng.uniform(0.05, 0.95, (12, 2))
+    smp = ref.locate(geom, pts, tol=1e-12)
+    x = numpy.asarray(smp.eval(geom, {})).reshape(12, 2)
+    numpy.testing.assert_allclose(x, pts, atol=1e-10)
+    # a basis of the refined topology evaluates on the located sample
+    # (truncated family: partition of unity holds pointwise)
+    basis = ref.basis('th-std', degree=1)
+    vals = numpy.asarray(smp.eval(function.sum_(basis, 0), {}))
+    numpy.testing.assert_allclose(vals, 1.0, atol=1e-11)
+
+
+def test_locate_refined_gmsh_mesh():
+    '''Locate on a refined gmsh import (reference: VERDICT r2 item 9).'''
+    import os
+    topo, geom = mesh.gmsh(os.path.join(os.path.dirname(__file__), 'test_mesh', 'square_p1.msh'))
+    ref = topo.refined_by([0])
+    pts = numpy.array([[0.2, 0.3], [0.7, 0.6], [0.5, 0.05], [0.9, 0.9]])
+    smp = ref.locate(geom, pts, tol=1e-12)
+    x = numpy.asarray(smp.eval(geom, {})).reshape(len(pts), 2)
+    numpy.testing.assert_allclose(x, pts, atol=1e-10)
