@@ -36,6 +36,14 @@ if _os_early.environ.get('JAX_PLATFORMS'):
 # path overrides the working dtype via utils.config.
 _jax.config.update('jax_enable_x64', True)
 
+# TPU MXU matmuls default to bfloat16 inputs; FEM assembly contractions
+# (basis monomial einsums, quadrature sums) at bf16 corrupt the operator —
+# measured: stencil weights off by ~1e-3 relative with structured zeros on
+# the diagonal, which breaks every Krylov solve downstream.  Full-float32
+# passes are required for correctness and cost little here because the
+# assembly is bandwidth-bound, not MXU-bound.
+_jax.config.update('jax_default_matmul_precision', 'float32')
+
 # Persistent XLA compilation cache: FEM workflows compile many small kernels
 # (one per integral/sample); caching amortizes them across runs (the analogue
 # of the reference's compiled-evaluable caching, evaluable.py:6790).

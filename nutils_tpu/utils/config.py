@@ -48,7 +48,7 @@ matrix = _Setting('matrix', 'auto')
 device_solve_min = _Setting('device_solve_min', 25000, int)
 # Upper bound on elements per device batch during assembly; larger samples are
 # processed in chunks to bound HBM footprint of quadrature intermediates.
-assembly_chunk = _Setting('assembly_chunk', 2**18, int)
+assembly_chunk = _Setting('assembly_chunk', 2**21, int)
 # Jacobian seed passes per device step: seeds are processed in blocks of this
 # size (sequentially via lax.map) so the per-seed quadrature intermediates of
 # huge element batches do not live simultaneously; 0 vmaps all seeds at once.
