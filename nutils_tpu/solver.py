@@ -1271,8 +1271,9 @@ class System:
         time) plus the remaining small terms (evaluated once).'''
         if 'scanplan' not in self._cache:
             from .utils import config
+            chunk = getattr(self, '_chunk_override', None) or int(config.assembly_chunk.value)
             try:
-                self._cache['scanplan'] = self._build_scan_plan(int(config.assembly_chunk.value))
+                self._cache['scanplan'] = self._build_scan_plan(int(chunk))
             except Exception as e:  # pragma: no cover - conservative fallback
                 log.info(f'chunked assembly disabled: {e!r}')
                 self._cache['scanplan'] = None
@@ -1629,8 +1630,33 @@ class System:
                                                          self._residual_trace(args, tables))}[which]
                 jitted = jax.jit(trace)
                 fn = lambda args: jitted(args, self._tables())
+            fn = self._with_oom_fallback(which, fn)
             self._cache[which] = fn
         return fn
+
+    def _with_oom_fallback(self, which, fn):
+        '''Re-compile with element-chunked assembly when the full-batch
+        program exceeds device memory: the default keeps the zero-scatter
+        full-batch form (fastest, and fine up to ~1M low-order elements),
+        and high-order/high-degree systems that blow the HBM budget fall
+        back to the lax.scan pipeline instead of failing (observed: a
+        degree-6 Taylor-Hood step at ~1M dofs exceeds a v5e's 16 GB).'''
+        def wrapped(clean, _fn=fn):
+            try:
+                return _fn(clean)
+            except Exception as e:
+                msg = str(e)
+                if not any(k in msg for k in ('exceed memory', 'RESOURCE_EXHAUSTED', 'Out of memory')):
+                    raise
+                if getattr(self, '_chunk_override', None):
+                    raise  # already chunked: genuine capacity failure
+                log.warning('assembly program exceeds device memory; '
+                            're-compiling with element-chunked (lax.scan) assembly')
+                self._chunk_override = 2 ** 14
+                for key in (which, 'scanplan', 'scanxs', 'residual', 'jacobian', 'jacres', 'value'):
+                    self._cache.pop(key, None)
+                return self._compiled(which)(clean)
+        return wrapped
 
     @log.withcontext
     def assemble_residual(self, arguments, x=None):
