@@ -302,6 +302,8 @@ def main():
         budget = max(60, remaining / (len(names) - i))
         res = _run_section_subprocess(name, nelems, ns_nelems, numpy.float32,
                                       budget, platform=platform)
+        if res is not None and platform == 'cpu':
+            res['platform'] = 'cpu-fallback'
         if res is None and platform is None:
             # tunnel degraded mid-run: fall back to CPU for this section if
             # the remaining budget allows
