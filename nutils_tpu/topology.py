@@ -911,6 +911,6 @@ class _StructuredInterfaces(Topology):
                 numpy.concatenate([q['p_offset'] for q in parts]),
                 numpy.concatenate([q['tangents'] for q in parts]),
                 numpy.concatenate([q['normal_root'] for q in parts]),
-                None, None, opposite)
+                None, None, opposite, origin_topo=p)
         oppo = build(sides[1], None)
         return build(sides[0], oppo)

@@ -22,6 +22,7 @@ promoted to interface facets (element.py:994-1002).
 '''
 
 import functools
+import itertools
 
 import numpy
 
@@ -329,8 +330,36 @@ def _trim_element(ref, grid, m, nbins):
 
 def trim(topo, levelset, maxrefine, ndivisions=8, name='trimmed', *, arguments=None):
     '''Trim a topology along a levelset, keeping the positive side
-    (reference: topology.py:1603 TransformChainsTopology.trim).'''
+    (reference: topology.py:1603 TransformChainsTopology.trim).
+
+    Trimming an already-trimmed topology composes the levelsets (the kept
+    region {ls1>0} ∩ {ls2>0} is the positive region of min(ls1, ls2)) and
+    re-trims the original base; the trimmed rim is split back into the
+    per-trim named groups by which levelset vanishes on each facet
+    (reference: topology.py:2615 SubsetTopology.trim supports the same
+    sequential-trim pattern through leveltopo recursion).'''
     levelset = function.asarray(levelset)
+    if isinstance(topo, TrimmedTopology):
+        specs = topo._trim_specs + [(levelset, maxrefine, name, arguments or {})]
+        combined = specs[0][0]
+        merged_args = dict(specs[0][3])
+        for ls, _mr, _nm, ar in specs[1:]:
+            combined = function.min_(combined, ls)
+            merged_args.update(ar)
+        result = trim(topo.basetopo, combined, max(s[1] for s in specs),
+                      ndivisions, name, arguments=merged_args)
+        result._trim_specs = specs
+        # rim classification grids: each constituent levelset evaluated on
+        # the same bezier lattice the combined trim used
+        n = 2 ** max(s[1] for s in specs) + 1
+        plainbase = result.plain
+        smp = plainbase.sample('bezier', n)
+        result._rim_class = []
+        for ls, _mr, nm, _ar in specs:
+            vals = numpy.asarray(smp.eval(ls, merged_args))
+            grids = _grids_per_element(plainbase, smp, vals, n)
+            result._rim_class.append((nm, grids))
+        return result
     plain = topo
     while isinstance(plain, _WithGroupsTopology):
         plain = plain.parent
@@ -341,7 +370,20 @@ def trim(topo, levelset, maxrefine, ndivisions=8, name='trimmed', *, arguments=N
         raise Exception('levelset function evaluated to NaN values')
     nbins = 2 ** ndivisions
 
+    grids = _grids_per_element(plain, smp, vals, n)
     data = [None] * len(plain)
+    for e, grid in enumerate(grids):
+        ref = plain.ref if isinstance(plain, StructuredTopology) else plain._refs[e]
+        data[e] = _trim_element(ref, grid, maxrefine, nbins)
+    result = TrimmedTopology(topo, data, name)
+    result._trim_specs = [(levelset, maxrefine, name, arguments or {})]
+    return result
+
+
+def _grids_per_element(plain, smp, vals, n):
+    '''Per-element [n]*d lattices of levelset values over local [0,1]^d,
+    rebuilt from a bezier-n sample of the plain topology.'''
+    grids = [None] * len(plain)
     parts = smp.samples if isinstance(smp, _sample.ChainedSample) else [smp]
     pos = 0
     for s in parts:
@@ -356,8 +398,26 @@ def trim(topo, levelset, maxrefine, ndivisions=8, name='trimmed', *, arguments=N
             assert numpy.abs(pts * (n - 1) - gi).max() < 1e-9
             grid = numpy.full((n,) * d, numpy.nan)
             grid[tuple(gi.T)] = v[row]
-            data[e] = _trim_element(ref, grid, maxrefine, nbins)
-    return TrimmedTopology(topo, data, name)
+            grids[e] = grid
+    return grids
+
+
+def _interp_lattice(grid, c):
+    '''Multilinear interpolation of an [n]*d lattice over [0,1]^d at point c
+    (simplex lattices carry NaN off-simplex entries; treat NaN neighbors as
+    their cell mean so classification stays finite near the diagonal).'''
+    d = grid.ndim
+    n = grid.shape[0]
+    x = numpy.clip(numpy.asarray(c, dtype=float) * (n - 1), 0, n - 1)
+    i0 = numpy.minimum(x.astype(int), n - 2)
+    f = x - i0
+    corners = numpy.array(list(itertools.product((0, 1), repeat=d)))
+    vals = numpy.array([grid[tuple(i0 + cr)] for cr in corners])
+    finite = numpy.isfinite(vals)
+    if not finite.all():
+        vals = numpy.where(finite, vals, vals[finite].mean() if finite.any() else 0.0)
+    w = numpy.prod(numpy.where(corners, f, 1 - f), axis=1)
+    return float(w @ vals)
 
 
 class TrimmedTopology(Topology):
@@ -501,7 +561,23 @@ class TrimmedTopology(Topology):
                         nrms.append(nrm)
                         selems.append(e)
         if facets:
-            parts[self.name] = _TrimFacetPart(self, selems, facets, nrms)
+            rimclass = getattr(self, '_rim_class', None)
+            if rimclass and len(rimclass) > 1:
+                # sequential-trim rims: name each facet after the levelset
+                # that vanishes on it
+                buckets = {}
+                for e, F, nn in zip(selems, facets, nrms):
+                    c = numpy.asarray(F).mean(axis=0)
+                    scores = [abs(_interp_lattice(grids[e], c)) for _nm, grids in rimclass]
+                    nm = rimclass[int(numpy.argmin(scores))][0]
+                    b = buckets.setdefault(nm, ([], [], []))
+                    b[0].append(e)
+                    b[1].append(F)
+                    b[2].append(nn)
+                for nm, (se, fa, nr) in buckets.items():
+                    parts[nm] = _TrimFacetPart(self, se, fa, nr)
+            else:
+                parts[self.name] = _TrimFacetPart(self, selems, facets, nrms)
         # base boundary groups, restricted to kept elements and trimmed pieces
         if isinstance(self.plain, StructuredTopology):
             for name, bpart in self.plain.boundary.parts.items():

@@ -396,9 +396,10 @@ class UnstructuredTopology(Topology):
         basis._origin = self
         return basis
 
-    def basis_bubble(self):
+    def basis_bubble(self, degree=1):
         '''Linear simplex basis enriched with interior bubbles
         (reference: topology.py:2502 basis_bubble).'''
+        assert degree == 1, 'bubble basis is linear-plus-bubble by definition'
         assert all(isinstance(r, element.TriangleReference) for r in self._refs), 'bubble basis: 2-D simplex only'
         d = self.ndims
         K = d + 2
