@@ -648,8 +648,40 @@ class Matrix:
             if _isfree is not None and kind == 'diag':
                 minv = numpy.where(_isfree, minv, 1.0)
         base_kind, base_op = mv_kind, op
+        fused_x = None
+        fused_it = 0
         if _isfree is not None:
             mv_kind, op = self._masked_op(mv_kind, op, _isfree, dt)
+        else:
+            # hot path: the whole refinement contraction as ONE device
+            # program (the f32 inner Krylov nested in an on-device f64
+            # true-residual loop over the exactly-widened operator).  The
+            # host loop below moves two full-length vectors over the
+            # interconnect per round, which dominated the measured 1M-dof
+            # solve wall-clock on this environment's tunnelled TPU
+            # (ops/sparse._refined_driver).  The device f64 is an f32-pair
+            # emulation whose matvec floors ~20x above true float64
+            # (measured: 4e-15/entry vs 2e-16), so when the target sits
+            # below that floor the host loop polishes the fused iterate
+            # with genuine-f64 residuals — paying its per-round transfer
+            # cost only for the final decade.
+            n = self.shape[0]
+            cap0 = maxiter or max(1024, int(16 * numpy.sqrt(n)))
+            from .ops.sparse import refined_solve_op
+            op64_cache = getattr(self, '_op64_cache', None)
+            if op64_cache is None or op64_cache[0] != mv_kind:
+                import jax.numpy as jnp
+                op64_cache = (mv_kind, tuple(jnp.asarray(o, dtype=jnp.float64) for o in op))
+                self._op64_cache = op64_cache
+            fused_x, resnorm, fused_it, rounds = refined_solve_op(
+                method, mv_kind, op, b64, target=target, maxiter=cap0,
+                restart=restart, minv=minv, precon=kind, op64=op64_cache[1])
+            if not numpy.isfinite(fused_x).all():
+                fused_x = None
+            elif resnorm <= target:
+                log.debug(f'{method} converged in {fused_it} device iterations / {rounds} '
+                          f'refinement rounds (resnorm {resnorm:.1e}, fused)')
+                return fused_x
         if base_kind[0] == 'stencil':
             # float64 refinement residual through the host stencil matvec:
             # the CSR face of the operator is never materialized on the
@@ -685,9 +717,13 @@ class Matrix:
         if method == 'gmres':
             inner_kwargs['restart'] = restart
         eps_dt = float(numpy.finfo(dt).eps)
-        x = numpy.zeros(n)
-        r = b64
-        total_it = 0
+        if fused_x is not None:
+            x = fused_x
+            r = b64 - apply64(x)
+        else:
+            x = numpy.zeros(n)
+            r = b64
+        total_it = fused_it
         for outer in range(30):
             rn = float(numpy.linalg.norm(r))
             if rn <= target or not numpy.isfinite(rn):
