@@ -669,9 +669,16 @@ class Matrix:
             cap0 = maxiter or max(1024, int(16 * numpy.sqrt(n)))
             from .ops.sparse import refined_solve_op
             op64_cache = getattr(self, '_op64_cache', None)
-            if op64_cache is None or op64_cache[0] != mv_kind:
+            from .parallel import mesh_token
+            op64_key = (mv_kind, mesh_token())
+            if op64_cache is None or op64_cache[0] != op64_key:
                 import jax.numpy as jnp
-                op64_cache = (mv_kind, tuple(jnp.asarray(o, dtype=jnp.float64) for o in op))
+                # widen only floating operands: index arrays (csr indices,
+                # ell/bell cols, row ids) must keep their integer dtype
+                op64_cache = (op64_key, tuple(
+                    jnp.asarray(o, dtype=jnp.float64)
+                    if jnp.issubdtype(jnp.asarray(o).dtype, jnp.floating)
+                    else jnp.asarray(o) for o in op))
                 self._op64_cache = op64_cache
             fused_x, resnorm, fused_it, rounds = refined_solve_op(
                 method, mv_kind, op, b64, target=target, maxiter=cap0,
@@ -679,9 +686,12 @@ class Matrix:
             if not numpy.isfinite(fused_x).all():
                 fused_x = None
             elif resnorm <= target:
-                log.debug(f'{method} converged in {fused_it} device iterations / {rounds} '
-                          f'refinement rounds (resnorm {resnorm:.1e}, fused)')
-                return fused_x
+                # do NOT accept on the device-computed f64 residual: the
+                # emulated-f64 matvec floors ~20x above true float64, so fall
+                # through to the host loop, which recomputes the residual once
+                # via apply64 (one transfer) and routes through _accept
+                log.debug(f'{method} fused pass reached device resnorm {resnorm:.1e} '
+                          f'in {fused_it} iterations / {rounds} rounds; verifying on host')
         if base_kind[0] == 'stencil':
             # float64 refinement residual through the host stencil matvec:
             # the CSR face of the operator is never materialized on the

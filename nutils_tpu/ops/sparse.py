@@ -666,7 +666,11 @@ def refined_solve_op(method, mv_kind, op, b, *, target, maxiter, restart=100,
         restart = max(2, min(int(restart), int(len(b))))
     run = _refined_driver(method, precon, mv_kind, restart)
     if op64 is None:
-        op64 = tuple(jnp.asarray(o, dtype=jnp.float64) for o in op)
+        # widen only floating operands: csr/ell/bell index arrays must stay
+        # integer or the gathered matvec rejects them
+        op64 = tuple(jnp.asarray(o, dtype=jnp.float64)
+                     if jnp.issubdtype(jnp.asarray(o).dtype, jnp.floating)
+                     else jnp.asarray(o) for o in op)
     m = minv if isinstance(minv, tuple) else jnp.asarray(minv)
     b64 = jnp.asarray(b, dtype=jnp.float64)
     dt32 = numpy.dtype(str(numpy.asarray(op[0]).dtype)) if not hasattr(op[0], 'dtype') else numpy.dtype(str(op[0].dtype))

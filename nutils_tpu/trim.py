@@ -345,20 +345,21 @@ def trim(topo, levelset, maxrefine, ndivisions=8, name='trimmed', *, arguments=N
         merged_args = dict(specs[0][3])
         for ls, _mr, _nm, ar in specs[1:]:
             combined = function.min_(combined, ls)
-            merged_args.update(ar)
+            for key, val in ar.items():
+                if key in merged_args and not numpy.array_equal(
+                        numpy.asarray(merged_args[key]), numpy.asarray(val)):
+                    raise ValueError(f'conflicting values for argument {key!r} '
+                                     'across sequential trims: earlier levelsets '
+                                     'would be re-evaluated with the later value')
+                merged_args[key] = val
         result = trim(topo.basetopo, combined, max(s[1] for s in specs),
                       ndivisions, name, arguments=merged_args)
         result._trim_specs = specs
-        # rim classification grids: each constituent levelset evaluated on
-        # the same bezier lattice the combined trim used
-        n = 2 ** max(s[1] for s in specs) + 1
-        plainbase = result.plain
-        smp = plainbase.sample('bezier', n)
-        result._rim_class = []
-        for ls, _mr, nm, _ar in specs:
-            vals = numpy.asarray(smp.eval(ls, merged_args))
-            grids = _grids_per_element(plainbase, smp, vals, n)
-            result._rim_class.append((nm, grids))
+        # rim classification: boundary() evaluates each constituent levelset
+        # EXACTLY (the function, not a lattice interpolant) at the facet
+        # vertices+centroid, so group assignment does not degrade with coarse
+        # maxrefine the way post-hoc lattice interpolation did
+        result._rim_eval = merged_args
         return result
     plain = topo
     while isinstance(plain, _WithGroupsTopology):
@@ -400,24 +401,6 @@ def _grids_per_element(plain, smp, vals, n):
             grid[tuple(gi.T)] = v[row]
             grids[e] = grid
     return grids
-
-
-def _interp_lattice(grid, c):
-    '''Multilinear interpolation of an [n]*d lattice over [0,1]^d at point c
-    (simplex lattices carry NaN off-simplex entries; treat NaN neighbors as
-    their cell mean so classification stays finite near the diagonal).'''
-    d = grid.ndim
-    n = grid.shape[0]
-    x = numpy.clip(numpy.asarray(c, dtype=float) * (n - 1), 0, n - 1)
-    i0 = numpy.minimum(x.astype(int), n - 2)
-    f = x - i0
-    corners = numpy.array(list(itertools.product((0, 1), repeat=d)))
-    vals = numpy.array([grid[tuple(i0 + cr)] for cr in corners])
-    finite = numpy.isfinite(vals)
-    if not finite.all():
-        vals = numpy.where(finite, vals, vals[finite].mean() if finite.any() else 0.0)
-    w = numpy.prod(numpy.where(corners, f, 1 - f), axis=1)
-    return float(w @ vals)
 
 
 class TrimmedTopology(Topology):
@@ -561,15 +544,32 @@ class TrimmedTopology(Topology):
                         nrms.append(nrm)
                         selems.append(e)
         if facets:
-            rimclass = getattr(self, '_rim_class', None)
-            if rimclass and len(rimclass) > 1:
+            specs = getattr(self, '_trim_specs', None)
+            if specs is not None and len(specs) > 1:
                 # sequential-trim rims: name each facet after the levelset
-                # that vanishes on it
+                # that vanishes on it, scored by the EXACT levelset functions
+                # sampled at the facet vertices + centroid (mean |ls| per
+                # facet, argmin over constituents) — second-order accurate in
+                # the facet position rather than first-order in the combined
+                # min() lattice
+                margs = getattr(self, '_rim_eval', {})
+                d = self.ndims
+                elems = numpy.asarray(selems)
+                Fv = numpy.asarray(facets, dtype=float)              # [F, d, d]
+                pts = numpy.concatenate([Fv, Fv.mean(axis=1, keepdims=True)], axis=1)  # [F, d+1, d]
+                flin, foff = self._frame(elems)
+                coords = numpy.einsum('eij,epj->epi', flin, pts) + foff[:, None, :]
+                p_lin, p_off = self._to_local(elems)
+                smp = _sample.Sample(self.space, coords, None, elems, p_lin,
+                                     p_off, flin, origin_topo=self.plain)
+                scores = numpy.stack([
+                    numpy.abs(numpy.asarray(smp.eval(ls, margs))
+                              .reshape(len(elems), d + 1)).mean(axis=1)
+                    for ls, _mr, _nm, _ar in specs])                 # [nspec, F]
+                which = numpy.argmin(scores, axis=0)
                 buckets = {}
-                for e, F, nn in zip(selems, facets, nrms):
-                    c = numpy.asarray(F).mean(axis=0)
-                    scores = [abs(_interp_lattice(grids[e], c)) for _nm, grids in rimclass]
-                    nm = rimclass[int(numpy.argmin(scores))][0]
+                for i, (e, F, nn) in enumerate(zip(selems, facets, nrms)):
+                    nm = specs[int(which[i])][2]
                     b = buckets.setdefault(nm, ([], [], []))
                     b[0].append(e)
                     b[1].append(F)

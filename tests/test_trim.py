@@ -180,3 +180,33 @@ def test_trim_unstructured():
     assert area == pytest.approx(numpy.pi * (r / 2)**2, rel=2e-3)
     perim = _integrate(trimmed.boundary['trimmed'], geom)
     assert perim == pytest.approx(numpy.pi * r, rel=2e-3)
+
+
+# ------------------------------------------------------------- sequential trim
+
+@pytest.mark.parametrize('maxrefine,rtol', [(1, 0.05), (2, 0.02)])
+def test_sequential_trim_rim_groups(maxrefine, rtol):
+    # disc of radius .8 cut by the half-plane x < .3: the rim splits into a
+    # circular arc (group 'circle') and a chord (group 'plane'); the group
+    # measures must match the analytic arc/chord lengths even at coarse
+    # maxrefine (exact-levelset facet classification; the former lattice
+    # argmin misassigned ~20% of the chord at maxrefine=1)
+    topo, geom = mesh.rectilinear([numpy.linspace(-1, 1, 9)] * 2)
+    r, c = 0.8, 0.3
+    disc = topo.trim(r**2 - (geom**2).sum(-1), maxrefine=maxrefine, name='circle')
+    kept = disc.trim(c - geom[0], maxrefine=maxrefine, name='plane')
+    arc = _integrate(kept.boundary['circle'], geom)
+    chord = _integrate(kept.boundary['plane'], geom)
+    theta = numpy.arccos(c / r)
+    assert arc == pytest.approx(r * (2 * numpy.pi - 2 * theta), rel=rtol)
+    assert chord == pytest.approx(2 * numpy.sqrt(r**2 - c**2), rel=rtol)
+
+
+def test_sequential_trim_conflicting_arguments():
+    topo, geom = mesh.rectilinear([numpy.linspace(-1, 1, 5)] * 2)
+    basis = topo.basis('std', degree=1)
+    lvl = function.field('lvl', basis)
+    a1 = numpy.full(basis.shape[0], 0.5)
+    first = topo.trim(lvl - geom[0], maxrefine=1, name='one', arguments={'lvl': a1})
+    with pytest.raises(ValueError, match='conflicting'):
+        first.trim(lvl + 1, maxrefine=1, name='two', arguments={'lvl': a1 + 1})
