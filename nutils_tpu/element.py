@@ -26,6 +26,12 @@ class Reference:
         '''Uniform sample grid: (coords [P, d], tri [nt, d+1], hull [nh, d]).'''
         raise NotImplementedError
 
+    def uniform(self, n):
+        '''Cell-midpoint sample: (coords [P, d], weights [P]) with the weights
+        summing to the reference volume (reference: element.py:495,516 uniform
+        ischeme, points.py:134 CoordsUniformPoints).'''
+        raise NotImplementedError(f'uniform scheme not available on {self!r}')
+
     @property
     def edges(self):
         '''List of (linear [d, d-1], offset [d], normal [d], edge_reference).'''
@@ -51,6 +57,9 @@ class PointReference(Reference):
     def bezier(self, n):
         return numpy.zeros((1, 0)), numpy.zeros((1, 1), dtype=int), numpy.zeros((0, 0), dtype=int)
 
+    def uniform(self, n):
+        return numpy.zeros((1, 0)), numpy.ones(1)
+
 
 class LineReference(Reference):
 
@@ -63,6 +72,9 @@ class LineReference(Reference):
 
     def gauss(self, degree):
         return quadrature.line(degree)
+
+    def uniform(self, n):
+        return (numpy.arange(n)[:, None] + 0.5) / n, numpy.full(n, 1.0 / n)
 
     def bezier(self, n):
         coords = numpy.linspace(0, 1, n)[:, None]
@@ -88,6 +100,11 @@ class QuadReference(Reference):
 
     def gauss(self, degree):
         return quadrature.tensor(degree, 2)
+
+    def uniform(self, n):
+        x = (numpy.arange(n) + 0.5) / n
+        pts = numpy.stack(numpy.meshgrid(x, x, indexing='ij'), axis=-1).reshape(-1, 2)
+        return pts, numpy.full(len(pts), 1.0 / len(pts))
 
     def bezier(self, n):
         x = numpy.linspace(0, 1, n)
@@ -139,6 +156,11 @@ class HexReference(Reference):
 
     def gauss(self, degree):
         return quadrature.tensor(degree, 3)
+
+    def uniform(self, n):
+        x = (numpy.arange(n) + 0.5) / n
+        pts = numpy.stack(numpy.meshgrid(x, x, x, indexing='ij'), axis=-1).reshape(-1, 3)
+        return pts, numpy.full(len(pts), 1.0 / len(pts))
 
     def bezier(self, n):
         x = numpy.linspace(0, 1, n)
@@ -195,6 +217,16 @@ class TriangleReference(Reference):
 
     def gauss(self, degree):
         return quadrature.triangle(degree)
+
+    def uniform(self, n):
+        # lattice of cell points at (i + 1/3)/n, points beyond the diagonal
+        # folded back — n^2 points, each the centroid of one subtriangle of
+        # the regular n^2 subdivision (reference: element.py:516)
+        p = (numpy.arange(n) + 1.0 / 3.0) / n
+        pts = numpy.stack(numpy.meshgrid(p, p, indexing='ij'), axis=-1).reshape(-1, 2)
+        flip = pts.sum(1) > 1
+        pts[flip] = 1 - pts[flip][:, ::-1]
+        return pts, numpy.full(len(pts), self.volume / len(pts))
 
     def bezier(self, n):
         coords = []

@@ -263,9 +263,17 @@ class _Parser:
             if nt is not None and nt.kind == 'under' and not nt.spaced:
                 self.next()
                 it = self.next()
-                if it.kind not in ('name', 'number'):
+                if it.kind not in ('name', 'number') or not it.text.isalnum():
                     raise ExpressionSyntaxError(f'expected indices after underscore in {self.s!r}')
                 indices = it.text
+                # a digit-leading subscript tokenizes as number + name
+                # ('t3_0jk' -> '0', 'jk'): keep consuming adjacent runs
+                while True:
+                    ct2 = self.peek()
+                    if ct2 is None or ct2.spaced or ct2.kind not in ('name', 'number') \
+                            or not ct2.text.isalnum():
+                        break
+                    indices += self.next().text
             # function call: name or name_gen directly followed by '('
             ct = self.peek()
             if ct is not None and ct.kind == 'lpar' and not ct.spaced:

@@ -1999,7 +1999,8 @@ def replace_arguments(func, arguments):
             old, new = pair.split(':')
             old = old.strip()
             spec = func.arguments.get(old)
-            assert spec is not None, f'argument {old!r} not present'
+            if spec is None:
+                continue  # absent argument: rename is a no-op (reference semantics)
             repl[old] = _arg_from_spec(new.strip(), spec)
         arguments = repl
     if isinstance(arguments, (list, tuple)):
@@ -2008,11 +2009,19 @@ def replace_arguments(func, arguments):
         repl = {}
         for old, new in arguments:
             spec = func.arguments.get(old)
-            assert spec is not None, f'argument {old!r} not present'
+            if spec is None and isinstance(new, str):
+                continue  # absent argument: rename is a no-op (reference semantics)
             repl[old] = _arg_from_spec(new, spec) if isinstance(new, str) else new
         arguments = repl
     repl = {}
     for k, v in arguments.items():
+        if isinstance(v, str):
+            # string value = rename (reference: function.py:1906 accepts
+            # Mapping[str, Union[IntoArray, str]]); absent names are a no-op
+            spec = func.arguments.get(k)
+            if spec is None:
+                continue
+            v = _arg_from_spec(v, spec)
         v = asarray(v) if not isinstance(v, Array) else v
         if iscomplex(v):
             # complex replacement values substitute the real backing argument

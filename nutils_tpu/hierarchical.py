@@ -383,6 +383,8 @@ class HierarchicalTopology(Topology):
             elif ischeme in ('vertex', '_centroid'):
                 pts = ref.vertices if ischeme == 'vertex' else ref.vertices.mean(0, keepdims=True)
                 wts = None
+            elif ischeme == 'uniform':
+                pts, wts = ref.uniform(degree or 1)
             else:
                 raise ValueError(f'unknown sample scheme {ischeme!r}')
             E, P = len(sel), len(pts)

@@ -1271,13 +1271,52 @@ class System:
         time) plus the remaining small terms (evaluated once).'''
         if 'scanplan' not in self._cache:
             from .utils import config
-            chunk = getattr(self, '_chunk_override', None) or int(config.assembly_chunk.value)
+            chunk = getattr(self, '_chunk_override', None) or min(
+                int(config.assembly_chunk.value), self._chunk_for_hbm())
             try:
                 self._cache['scanplan'] = self._build_scan_plan(int(chunk))
             except Exception as e:  # pragma: no cover - conservative fallback
                 log.info(f'chunked assembly disabled: {e!r}')
                 self._cache['scanplan'] = None
         return self._cache['scanplan']
+
+    def _chunk_for_hbm(self):
+        '''Elements per chunk keeping the estimated largest linearization
+        intermediate under config.assembly_max_bytes on the TPU backend (the
+        remote compiler reports HBM exhaustion only as an opaque HTTP 500, so
+        high-order multi-field systems must be chunked up front; see
+        config.assembly_max_bytes).  Returns a huge sentinel when full-batch
+        assembly is fine.'''
+        import jax
+        from .utils import config
+        NOCAP = 2**62
+        max_bytes = int(config.assembly_max_bytes.value)
+        if not max_bytes or jax.default_backend() != 'tpu':
+            return NOCAP
+        leaf_nodes = list(ev.find(self._expr, lambda n: isinstance(n, ev.Leaf)))
+        sizes = [n.shape[0] for n in leaf_nodes if n.value is not None and len(n.shape)]
+        if not sizes:
+            return NOCAP
+        E = max(sizes)
+        # P from float tables only (quadrature coords/weights/jacobians):
+        # integer tables are dof/slot maps whose minor dims are not
+        # per-point quadrature intermediates
+        P = max((n.shape[1] for n in leaf_nodes
+                 if n.value is not None and len(n.shape) >= 2 and n.shape[0] == E
+                 and numpy.issubdtype(numpy.asarray(n.value).dtype, numpy.floating)), default=1)
+        S = max((loc.nseeds for u in self.trials for loc in self._trial_locs[u]), default=1)
+        C = max((loc.nseeds for t in self.tests for loc in self._locs[t]), default=1)
+        # f32 bytes of the [S, E, P, <test dofs>] jvp buffer per element, times
+        # a 4x allowance for XLA's (8, 128)-tile padding of whatever minor-dim
+        # layout the materialized intermediates end up with (measured: the
+        # 330^2 Taylor-Hood step fits at ~12k elements/chunk but not at ~36k)
+        per_elem = 4 * P * S * C
+        if per_elem * E <= max_bytes:
+            return NOCAP
+        chunk = max(1, max_bytes // per_elem // 4)
+        log.info(f'assembly pre-chunked for HBM: estimated {per_elem * E / 1e9:.1f} GB '
+                 f'full-batch linearization intermediate; {chunk} elements per chunk')
+        return chunk
 
     def _build_scan_plan(self, chunk):
         if chunk <= 0:
@@ -1610,13 +1649,33 @@ class System:
                 self._cache[which] = fn
                 return fn
             if plan is not None:
-                self._jacform = 'csr'
+                import jax.numpy as jnp
+                _jp = self._jac_layout[2]
+                if _jp is not None:
+                    # chunked assembly still lands in stencil/blockgrid
+                    # w-form: the scan scatters into CSR value slots, and one
+                    # final permutation (csr_map: slot -> w position, injective)
+                    # moves them into the zero-copy device-Krylov operand
+                    self._jacform = _jp['form']
+                    cmap = _jp['csr_map']
+                    if callable(cmap):  # stencil plans defer the slot map
+                        cmap = cmap()
+                    cmap = jnp.asarray(numpy.asarray(cmap).astype(
+                        numpy.int32 if _jp['total'] < 2**31 else numpy.int64))
+                    total = int(_jp['total'])
+
+                    def to_w(data):
+                        return jnp.zeros(total, dtype=data.dtype).at[cmap].add(data)
+                else:
+                    self._jacform = 'csr'
+                    to_w = lambda data: data
                 sx = self._scan_xs(plan)
                 trace = {
                     'residual': lambda args, xs, fx: self._scan_assemble(args, xs, fx, False, True)[1],
-                    'jacobian': lambda args, xs, fx: self._scan_assemble(args, xs, fx, True, False)[0],
+                    'jacobian': lambda args, xs, fx: to_w(self._scan_assemble(args, xs, fx, True, False)[0]),
                     'value': lambda args, xs, fx: self._scan_assemble(args, xs, fx, False, False, want_val=True)[2],
-                    'jacres': lambda args, xs, fx: self._scan_assemble(args, xs, fx, True, True)[:2],
+                    'jacres': lambda args, xs, fx: (lambda dr: (to_w(dr[0]), dr[1]))(
+                        self._scan_assemble(args, xs, fx, True, True)),
                 }[which]
                 jitted = jax.jit(trace)
                 fn = lambda args: jitted(args, sx['xs'], sx['fixed'])
@@ -1643,10 +1702,19 @@ class System:
         degree-6 Taylor-Hood step at ~1M dofs exceeds a v5e's 16 GB).'''
         def wrapped(clean, _fn=fn):
             try:
-                return _fn(clean)
+                import jax
+                # block before returning: jax dispatch is async, so a runtime
+                # HBM exhaustion otherwise surfaces at the caller's first use
+                # of the result, outside this try
+                return jax.block_until_ready(_fn(clean))
             except Exception as e:
                 msg = str(e)
-                if not any(k in msg for k in ('exceed memory', 'RESOURCE_EXHAUSTED', 'Out of memory')):
+                if not any(k in msg for k in ('exceed memory', 'RESOURCE_EXHAUSTED', 'Out of memory',
+                                              # the axon remote-compile service reports HBM
+                                              # exhaustion (and only compile-time failures)
+                                              # as an opaque HTTP 500; retrying chunked is
+                                              # cheap relative to giving up
+                                              'remote_compile', 'tpu_compile_helper')):
                     raise
                 if getattr(self, '_chunk_override', None):
                     raise  # already chunked: genuine capacity failure

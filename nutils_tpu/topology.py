@@ -690,6 +690,8 @@ class _StructuredBoundary(Topology):
         elif ischeme == '_centroid':
             pts = numpy.full((1, self.ndims), 0.5)
             wts = None
+        elif ischeme == 'uniform':
+            pts, wts = self.ref.uniform(degree or 1)
         else:
             raise ValueError(f'unknown sample scheme {ischeme!r}')
         P = len(pts)
@@ -879,6 +881,8 @@ class _StructuredInterfaces(Topology):
         elif ischeme == 'bezier':
             pts, _tri, _hull = self.ref.bezier(degree)
             wts = None
+        elif ischeme == 'uniform':
+            pts, wts = self.ref.uniform(degree or 1)
         else:
             raise ValueError(f'unknown interface scheme {ischeme!r}')
         P = len(pts)

@@ -194,6 +194,8 @@ class UnstructuredTopology(Topology):
             elif ischeme == 'vertex':
                 pts = ref.vertices
                 wts = None
+            elif ischeme == 'uniform':
+                pts, wts = ref.uniform(degree or 1)
             else:
                 raise ValueError(f'unknown sample scheme {ischeme!r}')
             E, P, d = len(ids), len(pts), self.ndims
@@ -463,6 +465,8 @@ class UnstructuredBoundary(Topology):
             elif ischeme == '_centroid':
                 pts = eref.vertices.mean(0, keepdims=True)
                 wts = None
+            elif ischeme == 'uniform':
+                pts, wts = eref.uniform(degree or 1)
             else:
                 raise ValueError(f'unknown sample scheme {ischeme!r}')
             E, P = len(items), len(pts)
@@ -631,6 +635,8 @@ class UnstructuredInterfaces(Topology):
             elif ischeme == '_centroid':
                 pts = eref.vertices.mean(0, keepdims=True)
                 wts = None
+            elif ischeme == 'uniform':
+                pts, wts = eref.uniform(degree or 1)
             else:
                 raise ValueError(f'unknown interface scheme {ischeme!r}')
             P = len(pts)

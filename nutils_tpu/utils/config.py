@@ -53,6 +53,14 @@ assembly_chunk = _Setting('assembly_chunk', 2**21, int)
 # size (sequentially via lax.map) so the per-seed quadrature intermediates of
 # huge element batches do not live simultaneously; 0 vmaps all seeds at once.
 seed_block = _Setting('seed_block', 0, int)
+# TPU only: estimated bytes of the largest linearization intermediate
+# (seeds x elements x points x test-channels, f32) above which full-batch
+# assembly is pre-emptively element-chunked.  TPU tiling pads the two minor
+# dims of any materialized buffer to (8, 128), so element-major quadrature
+# intermediates with small trailing dims can exceed HBM by a large factor
+# even when their true size fits; the remote compile service surfaces that
+# only as an opaque HTTP 500.  0 disables the estimate.
+assembly_max_bytes = _Setting('assembly_max_bytes', 2**30, int)
 # Fuse all assembly chunks into one XLA program (the default).  Setting this
 # to 0 on the CPU backend compiles each chunk separately with host-side
 # accumulation — a diagnostic mode for environments whose remote XLA compile

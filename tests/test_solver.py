@@ -339,6 +339,49 @@ def test_assembly_paths_agree():
     numpy.testing.assert_allclose(jac_scan, jac_fused, rtol=1e-12, atol=1e-13)
 
 
+def test_chunked_assembly_lands_in_blockgrid_form():
+    '''Element-chunked (lax.scan) assembly of a multi-field structured system
+    must still produce a block-grid operator (not a CSR downgrade) and agree
+    with the fused full-batch path — the csr_map permutation that moves scan-
+    assembled CSR slot values into the w-form device-Krylov operand.'''
+    from nutils_tpu import solver
+    from nutils_tpu.expression import Namespace
+    from nutils_tpu.utils import config
+    topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 9)] * 2)
+    ns = Namespace()
+    ns.x = geom
+    ns.define_for('x', gradient='∇', jacobians=('dV',))
+    ns.u = topo.field('u', btype='std', degree=2, shape=[2])
+    ns.p = topo.field('p', btype='std', degree=1)
+    ns.v = function.replace_arguments(ns.u, 'u:v')
+    ns.q = function.replace_arguments(ns.p, 'p:q')
+    ns.nu = 0.1
+    res = topo.integral('(v_i u_j ∇_j(u_i) + nu ∇_j(v_i) ∇_j(u_i)'
+                        ' - p ∇_i(v_i) + q ∇_i(u_i) + 0.01 p q) dV' @ ns, degree=6)
+    rng = numpy.random.default_rng(3)
+    sys_fused = solver.System(res, trial='u,p', test='v,q')
+    args = {t: 0.1 * rng.standard_normal(shape)
+            for t, shape in zip(sys_fused.trials, sys_fused.trial_shapes)}
+    jac_fused, r_fused = sys_fused.assemble_jacobian_residual(args)
+    assert getattr(sys_fused, '_jacform', None) == 'blockgrid'
+    old_chunk = config.assembly_chunk.value
+    config.assembly_chunk.value = 16  # force chunked scan at 64 elements
+    try:
+        sys_scan = solver.System(res, trial='u,p', test='v,q')
+        jac_scan, r_scan = sys_scan.assemble_jacobian_residual(args)
+    finally:
+        config.assembly_chunk.value = old_chunk
+    assert getattr(sys_scan, '_jacform', None) == 'blockgrid'
+    assert type(jac_scan).__name__ == type(jac_fused).__name__
+    numpy.testing.assert_allclose(numpy.asarray(r_scan), numpy.asarray(r_fused),
+                                  rtol=1e-12, atol=1e-13)
+    numpy.testing.assert_allclose(jac_scan.export('dense'), jac_fused.export('dense'),
+                                  rtol=1e-12, atol=1e-12)
+    x = rng.standard_normal(r_fused.shape)
+    numpy.testing.assert_allclose(numpy.asarray(jac_scan @ x), numpy.asarray(jac_fused @ x),
+                                  rtol=1e-11, atol=1e-12)
+
+
 def test_grid_plan_slice_paths_match_gather():
     '''The structured slice-form gather/scatter fast paths (solver._grid_plan
     and friends) must fire for tensor-product bases and reproduce the generic
