@@ -165,6 +165,23 @@ def detect(data, indices, indptr, offsets, grids=None, max_shift=4, max_phase_te
             # full exact pass with the sampled choice
             rc = [(r // p) % s for p, s in zip(pr, gr)]
             cc = [(c // p) % s for p, s in zip(pc, gc)]
+            # axis permutation: order the block's grid axes so the largest
+            # extents end up MINOR.  TPU tiles the two minor dims of every
+            # materialized buffer to (8, 128); a trailing size-2 component
+            # axis (vectorized Taylor-Hood velocity) otherwise pads the
+            # [S, *grid] weight buffers 64x (measured: 250 MB -> 15.7 GB at
+            # 983k dofs).  All downstream layout (w buffers, fill plan,
+            # csr_map, matvec slicing) is computed in the permuted order;
+            # the matvec transposes x/y at the block boundary.
+            perm = tuple(sorted(range(d), key=lambda ax: max(gr[ax], gc[ax]))) \
+                if d > 2 else tuple(range(d))
+            if perm != tuple(range(d)):
+                gr = tuple(gr[ax] for ax in perm)
+                gc = tuple(gc[ax] for ax in perm)
+                qr = tuple(qr[ax] for ax in perm)
+                qc = tuple(qc[ax] for ax in perm)
+                rc = [rc[ax] for ax in perm]
+                cc = [cc[ax] for ax in perm]
             per_axis = []
             for ax in range(d):
                 hit_ax = _axis_shift(rc[ax], cc[ax], qr[ax], qc[ax], gc[ax], max_shift)
@@ -222,7 +239,7 @@ def detect(data, indices, indptr, offsets, grids=None, max_shift=4, max_phase_te
                     rem //= q
                 phmeta.append((tuple(phi[::-1]), pshapes[ph]))
             blocks.append((i, j, gr, gc, qr, qc, tuple(amin), tuple(awid), wrap,
-                           tuple(phmeta)))
+                           tuple(phmeta), perm))
     meta = (offsets, tuple(tuple(s) for s in fieldshapes), tuple(blocks))
     return BlockGridForm(meta, ws, (tuple(sizes), windex, wpos))
 
@@ -248,7 +265,7 @@ def refill(form_or_fill, data, meta=None):
 
 def _w_shapes(meta):
     shapes = []
-    for i, j, gr, gc, qr, qc, amin, awid, wrap, phmeta in meta[2]:
+    for i, j, gr, gc, qr, qc, amin, awid, wrap, phmeta, perm in meta[2]:
         S = int(numpy.prod(awid))
         for phi, pshape in phmeta:
             shapes.append((S,) + tuple(pshape))
@@ -289,11 +306,21 @@ def _matvec_fn(meta):
 
     def mv(ws, x):
         xs = [x[offsets[j]:offsets[j + 1]].reshape(fieldshapes[j]) for j in range(F)]
-        ys = [jnp.zeros(fieldshapes[i], x.dtype) for i in range(F)]
+        # flat accumulators: a grid-shaped accumulator with a small minor
+        # axis (e.g. [661, 661, 2]) would materialize (8, 128)-tile padded
+        ys = [jnp.zeros(offsets[i + 1] - offsets[i], x.dtype) for i in range(F)]
         wi = 0
-        for i, j, gr, gc, qr, qc, amin, awid, wrap, phmeta in blocks:
+        for i, j, gr, gc, qr, qc, amin, awid, wrap, phmeta, perm in blocks:
             d = len(gr)
-            xg = xs[j].reshape(gc)
+            if perm == tuple(range(d)):
+                xg = xs[j].reshape(gc)
+            else:
+                # gc is stored in permuted axis order; reshape the flat field
+                # vector in its natural order, then transpose into it
+                gc0 = [None] * d
+                for k, ax in enumerate(perm):
+                    gc0[ax] = gc[k]
+                xg = xs[j].reshape(gc0).transpose(perm)
             shifts = list(itertools.product(*[range(a0, a0 + wd)
                                               for a0, wd in zip(amin, awid)]))
             padlo = [max(0, -amin[ax]) for ax in range(d)]
@@ -324,8 +351,13 @@ def _matvec_fn(meta):
                     acc = acc + w[s] * lax.slice(xp, starts, limits, list(qc))
                 parts.append(acc)
             yb = interleave(parts, gr, qr)
-            ys[i] = ys[i] + yb.reshape(fieldshapes[i])
-        return jnp.concatenate([y.reshape(-1) for y in ys])
+            if perm != tuple(range(d)):
+                inv = [0] * d
+                for k, ax in enumerate(perm):
+                    inv[ax] = k
+                yb = yb.transpose(inv)
+            ys[i] = ys[i] + yb.reshape(-1)
+        return jnp.concatenate(ys)
     return mv
 
 

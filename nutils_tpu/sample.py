@@ -210,6 +210,16 @@ class Sample:
             # nested integral over a disjoint space (reference: sample.py:178
             # via LowerArgs.__mul__): integrate over the product sample
             return (func.sample * self).integral(func.integrand)
+        if isinstance(func, function._Multiply):
+            # factor times a nested integral over a disjoint space: fold the
+            # factor into the inner integrand and integrate over the product
+            # sample (valid because the factor cannot depend on the inner
+            # sample's spaces; e.g. ``X.integral(J(x) * Y.integral(g))``)
+            a, b = func.operands
+            for inner, other in ((a, b), (b, a)):
+                if isinstance(inner, _Integral) and not (self.spaces & inner.sample.spaces) \
+                        and not (other.spaces & inner.sample.spaces):
+                    return (inner.sample * self).integral(function.multiply(other, inner.integrand))
         if isinstance(func, (function._Add, function._Neg)) and self._has_toplevel_disjoint_integral(func):
             # distribute over sums/negations ONLY when a nested integral over a
             # disjoint space sits at the additive top level, so it reaches the
