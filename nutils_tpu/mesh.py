@@ -267,12 +267,13 @@ def parsegmsh(text):
 
     nodes = {}
     elems = []  # (dim, physname, [node ids, corners first])
-    # gmsh element types (dim, nnodes): simplices up to p4 in 1-D/2-D, p2 in
-    # 3-D; node order is corners first, then per-edge interior nodes, then
-    # recursively ordered face nodes (gmsh reference manual node orderings)
+    # gmsh element types (dim, nnodes): simplices up to p4 in every dimension;
+    # node order is corners first, then per-edge interior nodes, then
+    # recursively ordered face nodes, then volume interior nodes (gmsh
+    # reference manual node orderings)
     typeinfo = {1: (1, 2), 8: (1, 3), 26: (1, 4), 27: (1, 5),
                 2: (2, 3), 9: (2, 6), 21: (2, 10), 23: (2, 15),
-                4: (3, 4), 11: (3, 10), 15: (0, 1)}
+                4: (3, 4), 11: (3, 10), 29: (3, 20), 30: (3, 35), 15: (0, 1)}
     if version < 4:
         for row in blocks['Nodes'][1:]:
             parts = row.split()
@@ -397,6 +398,11 @@ _GMSH_EDGES = {1: [(0, 1)],
                2: [(0, 1), (1, 2), (2, 0)],
                3: [(0, 1), (1, 2), (0, 2), (0, 3), (2, 3), (1, 3)]}
 
+# tet faces in gmsh closure order with gmsh orientation (gmsh reference
+# manual "node ordering"; MTetrahedron faces_tetra): the p>=3 interior face
+# nodes recurse on the inset sub-triangle of each face in this corner order
+_GMSH_FACES = {3: [(0, 2, 1), (0, 1, 3), (0, 3, 2), (3, 1, 2)]}
+
 
 @functools.cache
 def _gmsh_simplex_nodes(ndims, degree):
@@ -414,9 +420,18 @@ def _gmsh_simplex_nodes(ndims, degree):
             for a, b in _GMSH_EDGES[d]:
                 out.extend(tuple((deg - t) * eye[a] + t * eye[b]) for t in range(1, deg))
         if deg >= 3 and d >= 2:
-            if d != 2:
-                raise NotImplementedError(f'gmsh p{deg} geometry in {d}-D')
-            out.extend(tuple(numpy.asarray(n) + 1) for n in rec(2, deg - 3))
+            if d == 2:
+                out.extend(tuple(numpy.asarray(n) + 1) for n in rec(2, deg - 3))
+            else:
+                assert d == 3
+                for face in _GMSH_FACES[3]:
+                    for n in rec(2, deg - 3):
+                        idx = numpy.zeros(d + 1, dtype=int)
+                        for k, c in enumerate(face):
+                            idx[c] = n[k] + 1
+                        out.append(tuple(idx))
+                if deg >= 4:
+                    out.extend(tuple(numpy.asarray(n) + 1) for n in rec(3, deg - 4))
         return out
     return numpy.asarray(rec(ndims, degree), dtype=int)
 
