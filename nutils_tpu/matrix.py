@@ -652,46 +652,48 @@ class Matrix:
         fused_it = 0
         if _isfree is not None:
             mv_kind, op = self._masked_op(mv_kind, op, _isfree, dt)
-        else:
-            # hot path: the whole refinement contraction as ONE device
-            # program (the f32 inner Krylov nested in an on-device f64
-            # true-residual loop over the exactly-widened operator).  The
-            # host loop below moves two full-length vectors over the
-            # interconnect per round, which dominated the measured 1M-dof
-            # solve wall-clock on this environment's tunnelled TPU
-            # (ops/sparse._refined_driver).  The device f64 is an f32-pair
-            # emulation whose matvec floors ~20x above true float64
-            # (measured: 4e-15/entry vs 2e-16), so when the target sits
-            # below that floor the host loop polishes the fused iterate
-            # with genuine-f64 residuals — paying its per-round transfer
-            # cost only for the final decade.
-            n = self.shape[0]
-            cap0 = maxiter or max(1024, int(16 * numpy.sqrt(n)))
-            from .ops.sparse import refined_solve_op
-            op64_cache = getattr(self, '_op64_cache', None)
-            from .parallel import mesh_token
-            op64_key = (mv_kind, mesh_token())
-            if op64_cache is None or op64_cache[0] != op64_key:
-                import jax.numpy as jnp
-                # widen only floating operands: index arrays (csr indices,
-                # ell/bell cols, row ids) must keep their integer dtype
-                op64_cache = (op64_key, tuple(
-                    jnp.asarray(o, dtype=jnp.float64)
-                    if jnp.issubdtype(jnp.asarray(o).dtype, jnp.floating)
-                    else jnp.asarray(o) for o in op))
-                self._op64_cache = op64_cache
-            fused_x, resnorm, fused_it, rounds = refined_solve_op(
-                method, mv_kind, op, b64, target=target, maxiter=cap0,
-                restart=restart, minv=minv, precon=kind, op64=op64_cache[1])
-            if not numpy.isfinite(fused_x).all():
-                fused_x = None
-            elif resnorm <= target:
-                # do NOT accept on the device-computed f64 residual: the
-                # emulated-f64 matvec floors ~20x above true float64, so fall
-                # through to the host loop, which recomputes the residual once
-                # via apply64 (one transfer) and routes through _accept
-                log.debug(f'{method} fused pass reached device resnorm {resnorm:.1e} '
-                          f'in {fused_it} iterations / {rounds} rounds; verifying on host')
+        # hot path: the whole refinement contraction as ONE device
+        # program (the f32 inner Krylov nested in an on-device f64
+        # true-residual loop over the exactly-widened operator).  The
+        # host loop below moves two full-length vectors over the
+        # interconnect per round, which dominated the measured 1M-dof
+        # solve wall-clock on this environment's tunnelled TPU
+        # (ops/sparse._refined_driver).  The device f64 is an f32-pair
+        # emulation whose matvec floors ~20x above true float64
+        # (measured: 4e-15/entry vs 2e-16), so when the target sits
+        # below that floor the host loop polishes the fused iterate
+        # with genuine-f64 residuals — paying its per-round transfer
+        # cost only for the final decade.  Constrained solves run it on
+        # the masked operator (previously they skipped straight to the
+        # host loop, whose f32-only inner solves floor at the
+        # f32-operator limit — the cylinderflow div(u) gap).
+        n = self.shape[0]
+        cap0 = maxiter or max(1024, int(16 * numpy.sqrt(n)))
+        from .ops.sparse import refined_solve_op
+        op64_cache = getattr(self, '_op64_cache', None)
+        from .parallel import mesh_token
+        op64_key = (mv_kind, mesh_token())
+        if op64_cache is None or op64_cache[0] != op64_key:
+            import jax.numpy as jnp
+            # widen only floating operands: index arrays (csr indices,
+            # ell/bell cols, row ids) must keep their integer dtype
+            op64_cache = (op64_key, tuple(
+                jnp.asarray(o, dtype=jnp.float64)
+                if jnp.issubdtype(jnp.asarray(o).dtype, jnp.floating)
+                else jnp.asarray(o) for o in op))
+            self._op64_cache = op64_cache
+        fused_x, resnorm, fused_it, rounds = refined_solve_op(
+            method, mv_kind, op, b64, target=target, maxiter=cap0,
+            restart=restart, minv=minv, precon=kind, op64=op64_cache[1])
+        if not numpy.isfinite(fused_x).all():
+            fused_x = None
+        elif resnorm <= target:
+            # do NOT accept on the device-computed f64 residual: the
+            # emulated-f64 matvec floors ~20x above true float64, so fall
+            # through to the host loop, which recomputes the residual once
+            # via apply64 (one transfer) and routes through _accept
+            log.debug(f'{method} fused pass reached device resnorm {resnorm:.1e} '
+                      f'in {fused_it} iterations / {rounds} rounds; verifying on host')
         if base_kind[0] == 'stencil':
             # float64 refinement residual through the host stencil matvec:
             # the CSR face of the operator is never materialized on the

@@ -2003,6 +2003,14 @@ class Newton:
 
     def __init__(self, **linargs):
         self.linargs = dict(linargs)
+        # adaptive (Eisenstat-Walker) inner tolerance unless the caller pins
+        # rtol: eta_k = 0.9 (|r_k|/|r_{k-1}|)^2, clamped to [1e-10, 1e-3].
+        # Early steps keep the reference's lenient 1e-3 (solver.py:657); near
+        # quadratic convergence the last update is solved tightly, so
+        # iterative linear backends reproduce the direct solver's exactness
+        # of linear constraint rows (e.g. the compatible-space velocity
+        # divergence of examples/cylinderflow.py, checked at 1e-13).
+        self._adaptive = 'rtol' not in self.linargs
         self.linargs.setdefault('rtol', 1e-3)
 
     def __str__(self):
@@ -2010,10 +2018,17 @@ class Newton:
 
     def __call__(self, system, *, arguments, constrain):
         arguments, x = system.deconstruct(arguments, constrain)
+        prev = None
         while True:
             jac, res = system.assemble_jacobian_residual(arguments, x)
-            yield system.construct(arguments, x), float(numpy.linalg.norm(res))
-            dx = jac.solve_leniently(res, symmetric=system.is_symmetric, **self.linargs)
+            resnorm = float(numpy.linalg.norm(res))
+            yield system.construct(arguments, x), resnorm
+            linargs = dict(self.linargs)
+            if self._adaptive and prev:
+                eta = 0.9 * (resnorm / prev) ** 2
+                linargs['rtol'] = float(min(1e-3, max(eta, 1e-10)))
+            prev = resnorm
+            dx = jac.solve_leniently(res, symmetric=system.is_symmetric, **linargs)
             x = x - dx
 
 
