@@ -198,6 +198,54 @@ def _run_section_subprocess(name, nelems, ns_nelems, dtype, budget, platform=Non
         return None
 
 
+def _run_sections_streaming(names, nelems, ns_nelems, dtype, budget):
+    '''Run ALL sections in ONE device subprocess, streaming one JSON line per
+    section and killing at the deadline: completed sections survive a kill,
+    and the process-wide first-device-fetch penalty (measured 20-350 s,
+    environment-dependent) is paid once instead of once per section.'''
+    import selectors
+    import subprocess
+    env = dict(os.environ, BENCH_NELEMS=str(nelems), BENCH_NS_NELEMS=str(ns_nelems),
+               BENCH_DTYPE=numpy.dtype(dtype).name)
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), '--run-sections', ','.join(names)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+    results = {}
+    deadline = time.monotonic() + budget
+    sel = selectors.DefaultSelector()
+    sel.register(p.stdout, selectors.EVENT_READ)
+    buf = ''
+    try:
+        while True:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                print('bench device budget exhausted; killing section runner', file=sys.stderr)
+                p.kill()
+                break
+            if not sel.select(timeout=min(remaining, 10)):
+                continue
+            chunk = p.stdout.readline()
+            if not chunk:
+                break
+            buf = chunk.strip()
+            if not buf.startswith('{'):
+                continue
+            try:
+                rec = json.loads(buf)
+            except Exception:
+                continue
+            name = rec.pop('_section', None)
+            if name:
+                results[name] = rec
+    finally:
+        try:
+            p.kill()
+        except Exception:
+            pass
+        p.wait()
+    return results
+
+
 def _load_baseline(nelems, ns_nelems):
     try:
         with open(_BASELINE_FILE) as f:
@@ -250,6 +298,23 @@ def main():
         print(json.dumps(_SECTIONS[name](nelems, ns_nelems, dtype)))
         return
 
+    if '--run-sections' in sys.argv:
+        names = sys.argv[sys.argv.index('--run-sections') + 1].split(',')
+        dtype = numpy.dtype(os.environ.get('BENCH_DTYPE', 'float32')).type
+        # pay the process-wide first-fetch penalty up front, outside timings
+        import jax
+        import jax.numpy as jnp
+        numpy.asarray(jax.jit(lambda: jnp.arange(8, dtype=jnp.float32))())
+        for name in names:
+            try:
+                rec = _SECTIONS[name](nelems, ns_nelems, dtype)
+            except Exception as e:
+                print(json.dumps({'_section': name, 'error': f'{type(e).__name__}: {e}'[:200]}),
+                      flush=True)
+                continue
+            print(json.dumps({'_section': name, **rec}), flush=True)
+        return
+
     if '--make-baseline' in sys.argv:
         _make_baseline(nelems, ns_nelems,
                        budget_per_section=int(os.environ.get('BENCH_SECTION_TIMEOUT', '5400')))
@@ -293,30 +358,36 @@ def main():
 
     results = {}
     names = list(_SECTIONS)
-    for i, name in enumerate(names):
+    if platform is None:
+        # healthy tunnel: all sections in one streamed device subprocess
+        # (one first-fetch penalty, one build; completed sections survive a
+        # deadline kill)
+        streamed = _run_sections_streaming(names, nelems, ns_nelems, numpy.float32,
+                                           max(60, deadline - time.monotonic() - 60))
+        for name in names:
+            res = streamed.get(name)
+            if res is not None and 'error' in res:
+                print(f'bench section {name} failed: {res["error"]}', file=sys.stderr)
+                res = None
+            results[name] = res
+            if res is not None:
+                print(json.dumps(_LINE[name](res)), flush=True)
+    for name in names:
+        if results.get(name) is not None:
+            continue
+        # degraded tunnel or failed section: host CPU fallback, per section
         remaining = deadline - time.monotonic()
         if remaining < 30:
             print(f'bench budget exhausted before {name}', file=sys.stderr)
             results[name] = None
             continue
-        budget = max(60, remaining / (len(names) - i))
+        pending = sum(1 for n in names if results.get(n) is None)
         res = _run_section_subprocess(name, nelems, ns_nelems, numpy.float32,
-                                      budget, platform=platform)
-        if res is not None and platform == 'cpu':
-            res['platform'] = 'cpu-fallback'
-        if res is None and platform is None:
-            # tunnel degraded mid-run: fall back to CPU for this section if
-            # the remaining budget allows
-            remaining = deadline - time.monotonic()
-            if remaining > 60:
-                res = _run_section_subprocess(name, nelems, ns_nelems, numpy.float32,
-                                              max(60, remaining / (len(names) - i)),
-                                              platform='cpu')
-                if res is not None:
-                    res['platform'] = 'cpu-fallback'
-        results[name] = res
+                                      max(60, remaining / max(pending, 1)), platform='cpu')
         if res is not None:
+            res['platform'] = 'cpu-fallback'
             print(json.dumps(_LINE[name](res)), flush=True)
+        results[name] = res
 
     a = results.get('laplace_assembly')
     try:

@@ -1908,11 +1908,27 @@ def stable_digest(*roots):
     return h.hexdigest()
 
 
-def eval_once(funcs, arguments=None, leaves=None):
-    '''Evaluate expression(s) once, returning numpy arrays.'''
+def eval_once(funcs, arguments=None, leaves=None, on_host=False):
+    '''Evaluate expression(s) once, returning numpy arrays.
+
+    Outputs are flattened to 1-D INSIDE the compiled program and reshaped on
+    the host: the device->host fetch of a tiled multi-dimensional integer
+    array through this environment's tunnelled TPU runs on a pathological
+    per-tile path (measured: 354 s for an int32 [1.6M, 18] array vs 0.27 s
+    for the same data flat), and setup-time dof tables are exactly that
+    shape.  ``on_host`` is accepted for call-site documentation (constants
+    vs user data); the flat fetch makes both paths cheap.'''
     import jax
-    out = Compiled(funcs)(arguments or {}, leaves or {})
-    return jax.tree.map(lambda x: numpy.asarray(x), out)
+    comp = Compiled(funcs)
+    jitted = jax.jit(lambda a, l: [jnp_reshape_flat(x) for x in jax.tree.leaves(comp.trace(a, l))])
+    vals = jitted(arguments or {}, leaves or {})
+    outs = [numpy.asarray(v).reshape(tuple(n.shape)) for v, n in zip(vals, comp.flat)]
+    return jax.tree.unflatten(comp.treedef, outs)
+
+
+def jnp_reshape_flat(x):
+    import jax.numpy as jnp
+    return jnp.reshape(x, (-1,))
 
 
 # ------------------------------------------------------------ visualization

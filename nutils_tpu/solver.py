@@ -663,7 +663,7 @@ def _eval_const(node):
     if isinstance(node, ev.Constant):
         return node.value
     assert not node.arguments and not node.leafdeps, 'dof table is not constant'
-    return ev.eval_once(node)
+    return ev.eval_once(node, on_host=True)
 
 
 def _additive_terms(expr):
