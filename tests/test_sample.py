@@ -101,3 +101,123 @@ def test_bezier_point_counts(setup):
     for n in (2, 3, 5):
         smp = topo.sample('bezier', n)
         assert smp.npoints == 9 * n * n
+
+
+def test_zip_triplet(setup):
+    '''Three-way zip across disjoint spaces (reference: test_sample.py Zip
+    .test_triplet).'''
+    topoY, geomY = mesh.line(numpy.linspace(0, 1, 6), space='Y')
+    topoX, geomX = mesh.unitsquare(3, 'square')
+    topoZ, geomZ = mesh.line(numpy.linspace(0, 3, 4), space='Z')
+    sampleY = topoY.sample('uniform', 3)
+    slope = numpy.array([1.0, 0.5])
+    y = numpy.asarray(sampleY.eval(geomY, {}))
+    sampleX = topoX.locate(geomX, y[:, None] * slope, tol=1e-10)
+    sampleZ = topoZ.locate(geomZ, 3 * y, tol=1e-10)
+    triplet = sampleY.zip(sampleX, sampleZ)
+    gX, gY, gZ = (numpy.asarray(a) for a in triplet.eval([geomX, geomY, geomZ], {}))
+    numpy.testing.assert_allclose(gX, gY[:, None] * slope, atol=1e-9)
+    numpy.testing.assert_allclose(gY, gZ / 3, atol=1e-9)
+
+
+def test_zip_nested_integral(setup):
+    '''A zipped integral used as the integrand of an outer integral on a third
+    space (reference: test_sample.py Zip.test_nested).'''
+    from nutils_tpu import function
+    topoY, geomY = mesh.line(numpy.linspace(0, 1, 6), space='Y')
+    topoX, geomX = mesh.unitsquare(3, 'square')
+    sampleY = topoY.sample('uniform', 3)
+    slope = numpy.array([1.0, 0.5])
+    y = numpy.asarray(sampleY.eval(geomY, {}))
+    sampleX = topoX.locate(geomX, y[:, None] * slope, tol=1e-10)
+    stitched = sampleY.zip(sampleX)
+    topoZ, geomZ = mesh.line(numpy.linspace(0, 2, 3), space='Z')
+    inner = stitched.integral((geomZ - geomX) * function.J(geomY))
+    outer = topoZ.integral(inner * function.J(geomZ), degree=2)
+    # ∫_0^2 dz ∫_0^1 (z - α x) dx = 2 - α  (midpoint quadrature on Y is exact
+    # for the linear integrand)
+    numpy.testing.assert_allclose(numpy.asarray(function.eval(outer, {})),
+                                  2 - slope, atol=1e-9)
+
+
+def test_zip_weights_from_first(setup):
+    '''The first sample of a zip provides the quadrature weights: the zipped
+    measure of Y equals |Y| regardless of the X-side element layout.'''
+    from nutils_tpu import function
+    topoY, geomY = mesh.line(numpy.linspace(0, 1, 6), space='Y')
+    topoX, geomX = mesh.unitsquare(3, 'square')
+    sampleY = topoY.sample('gauss', 4)
+    y = numpy.asarray(sampleY.eval(geomY, {}))
+    sampleX = topoX.locate(geomX, numpy.stack([y, 0.5 * y], axis=1), tol=1e-10)
+    stitched = sampleY.zip(sampleX)
+    total = float(numpy.asarray(stitched.integrate(function.J(geomY), {})))
+    assert total == pytest.approx(1.0, rel=1e-10)
+
+
+def test_zip_reordered_reference_indices():
+    '''Points of the second sample landing out of element order (the
+    reference's ZipCornerCases.test_reordered_reference_indices, issue #791):
+    weights and per-point element membership must survive the reorder.'''
+    from nutils_tpu import function
+    X, x = mesh.line([1, 5], space='X')
+    Y, y = mesh.line([0, 3, 4], space='Y')
+    smpl = X.sample('gauss', 6)
+    xv = numpy.asarray(smpl.eval(x, {}))
+    located = Y.locate(y, xv % 4, tol=1e-10)
+    zipped = smpl.zip(located)
+    # element indicator on Y: dotting a discont-0 basis with arange gives the
+    # per-point element index
+    ielem = numpy.asarray(zipped.eval(
+        function.dotarg('i', Y.basis('discont', degree=0)),
+        {'i': numpy.arange(2.0)}))
+    expect = (xv % 4 >= 3).astype(float)  # Y elements: [0,3) -> 0, [3,4] -> 1
+    numpy.testing.assert_allclose(ielem, expect, atol=1e-12)
+    total = float(numpy.asarray(zipped.integrate(x * function.J(x), {})))
+    assert total == pytest.approx(12.0, rel=1e-10)
+
+
+def test_zip_rejects_shared_space_and_unequal_counts(setup):
+    topo, geom = setup
+    s1 = topo.sample('gauss', 1)
+    with pytest.raises(AssertionError):
+        s1.zip(topo.sample('gauss', 1))  # same space
+    topoY, geomY = mesh.line(numpy.linspace(0, 1, 3), space='Y')
+    with pytest.raises(AssertionError):
+        s1.zip(topoY.sample('gauss', 4))  # different point count
+
+
+def test_concatenate_boundary_groups(setup):
+    '''Sample.concatenate chains samples: measures add and evaluation
+    concatenates point-wise.'''
+    from nutils_tpu import function
+    topo, geom = setup
+    from nutils_tpu.sample import Sample
+    sl = topo.boundary['left'].sample('gauss', 2)
+    sr = topo.boundary['right'].sample('gauss', 2)
+    both = Sample.concatenate([sl, sr])
+    J = function.J(geom)
+    total = float(numpy.asarray(both.integrate(J, {})))
+    assert total == pytest.approx(2.0, rel=1e-12)
+    xs = numpy.asarray(both.eval(geom, {}))
+    x1 = numpy.asarray(sl.eval(geom, {}))
+    x2 = numpy.asarray(sr.eval(geom, {}))
+    numpy.testing.assert_allclose(xs, numpy.concatenate([x1, x2]), atol=1e-14)
+
+
+def test_uniform_scheme_counts_and_measure(setup):
+    topo, geom = setup
+    from nutils_tpu import function
+    for n in (1, 2, 3):
+        smp = topo.sample('uniform', n)
+        assert smp.npoints == 9 * n * n
+        area = float(numpy.asarray(smp.integrate(function.J(geom), {})))
+        assert area == pytest.approx(1.0, rel=1e-12)
+
+
+def test_eval_multiple_functions_shapes(setup):
+    topo, geom = setup
+    smp = topo.sample('bezier', 2)
+    f1, f2, f3 = smp.eval([geom, (geom ** 2).sum(-1), function.grad(geom[0] * geom[1], geom)], {})
+    assert numpy.asarray(f1).shape == (smp.npoints, 2)
+    assert numpy.asarray(f2).shape == (smp.npoints,)
+    assert numpy.asarray(f3).shape == (smp.npoints, 2)
