@@ -292,7 +292,8 @@ class HierarchicalTopology(Topology):
         super().__init__(self.family.base.space, self.family.base.ndims)
         self._offsets = numpy.cumsum([0] + [len(i) for i in ipl])
         self._base_kept = numpy.unique(numpy.concatenate(
-            [self.family.base_ancestor(l, idx) for l, idx in enumerate(ipl) if len(idx)]))
+            [self.family.base_ancestor(l, idx) for l, idx in enumerate(ipl) if len(idx)]
+            or [numpy.empty(0, dtype=int)]))  # empty subsets (e.g. disjoint intersections) are valid
 
     def __len__(self):
         return int(self._offsets[-1])

@@ -209,6 +209,99 @@ class Topology:
         _Mul): samples, bases and boundaries tensorize.'''
         return _MulTopology(self, other)
 
+    # ------------------------------------------------------------ set algebra
+    # (reference: topology.py:1498-1538 __or__/__and__/__sub__; the whole-
+    # element cases operate on recorded (base, element-indices) subset views,
+    # the trim case re-trims the complement levelset)
+
+    def _whole_subset(self):
+        '''``(base, ielems)`` when this topology is a whole-element subset
+        view of a parent (single-level hierarchical subset or unstructured
+        subset view), else None.'''
+        from .hierarchical import HierarchicalTopology
+        from .unstructured import UnstructuredSubsetTopology
+        if isinstance(self, HierarchicalTopology) and self.nlevels == 1:
+            return self.basetopo, self._ipl[0]
+        if isinstance(self, UnstructuredSubsetTopology):
+            return self.parent, self._ielems
+        return None
+
+    @staticmethod
+    def _subset_view(base, ielems):
+        ielems = numpy.unique(numpy.asarray(ielems, dtype=int))
+        if len(ielems) == len(base):
+            return base
+        take = getattr(base, 'take', None)
+        return take(ielems) if take is not None else base.subset(ielems)
+
+    def __or__(self, other):
+        if not isinstance(other, Topology) or other.space != self.space or other.ndims != self.ndims:
+            return NotImplemented
+        if not len(other):
+            return self
+        if not len(self):
+            return other
+        a = self._whole_subset()
+        b = other._whole_subset()
+        if a is not None and b is not None and a[0] is b[0]:
+            return self._subset_view(a[0], numpy.union1d(a[1], b[1]))
+        if b is not None and b[0] is self:
+            return self
+        if a is not None and a[0] is other:
+            return other
+        return UnionTopology(self.space, self.ndims, {'_0': self, '_1': other})
+
+    __ror__ = __or__
+
+    def __add__(self, other):
+        return self.__or__(other)
+
+    def __and__(self, other):
+        if not isinstance(other, Topology) or other.space != self.space or other.ndims != self.ndims:
+            return NotImplemented
+        a = self._whole_subset()
+        b = other._whole_subset()
+        if a is not None and b is not None and a[0] is b[0]:
+            return self._subset_view(a[0], numpy.intersect1d(a[1], b[1]))
+        if b is not None and b[0] is self:
+            return other
+        if a is not None and a[0] is other:
+            return self
+        return NotImplemented
+
+    __rand__ = __and__
+
+    def __sub__(self, other):
+        '''Complement of ``other`` within ``self``: the negative side of a
+        trim (re-trimmed along the negated levelset at the same refinement
+        depth, so measures partition exactly), or the complementary element
+        set of a whole-element subset view.'''
+        from .trim import TrimmedTopology
+        if not isinstance(other, Topology) or other.space != self.space or other.ndims != self.ndims:
+            return NotImplemented
+        if isinstance(other, TrimmedTopology):
+            plain = self
+            while isinstance(plain, _WithGroupsTopology):
+                plain = plain.parent
+            if other.plain is plain:
+                specs = other._trim_specs
+                combined = specs[0][0]
+                merged = dict(specs[0][3])
+                for ls, _mr, _nm, ar in specs[1:]:
+                    combined = function.min_(combined, ls)
+                    merged.update(ar)  # cross-spec conflicts were rejected at trim time
+                return self.trim(-combined, maxrefine=max(s[1] for s in specs),
+                                 name=specs[-1][2], arguments=merged)
+        b = other._whole_subset()
+        if b is not None:
+            base, ielems = b
+            if base is self:
+                return self._subset_view(self, numpy.setdiff1d(numpy.arange(len(self)), ielems))
+            a = self._whole_subset()
+            if a is not None and a[0] is base:
+                return self._subset_view(base, numpy.setdiff1d(a[1], ielems))
+        return NotImplemented
+
 
 class _Selection:
     '''Result of Topology.select: the element indices to keep.'''
