@@ -375,6 +375,60 @@ def _simplex_bernstein(ndims, degree):
     return out
 
 
+def _simplex_lagrange(ndims, degree):
+    """[ndofs, (degree+1),..d..] power-basis coefficients of the simplex
+    Lagrange polynomials, nodal at the degree-n barycentric lattice, in the
+    same dof enumeration as the Bernstein tables (the node of dof p sits at
+    p[1:]/degree in coefficient-axis order), so ``edge_dofs`` and the C0
+    merge apply unchanged."""
+    from fractions import Fraction
+    K = degree + 1
+    powers = _barycentric_powers(ndims, degree)
+    nodes = [[Fraction(q, max(degree, 1)) for q in p[1:]] for p in powers]
+    exps = [ks for ks in _itertools.product(*[range(K)] * ndims) if sum(ks) <= degree]
+    n = len(powers)
+    # exact rational inverse of the Vandermonde: dyadic coefficients (every
+    # lagrange table through degree 4 has power-of-two-times-integer entries)
+    # convert to float losslessly, so basis functions vanish EXACTLY at the
+    # nodes/faces they should — solve_constraints' droptol and boundary-trace
+    # detection depend on exact zeros (a float inv() leaves ~1e-15 residue)
+    aug = [[_math.prod(x ** e for x, e in zip(nodes[j], ks)) for ks in exps]
+           + [Fraction(int(i == j)) for i in range(n)] for j in range(n)]
+    for col in range(n):
+        piv = max(range(col, n), key=lambda r: abs(aug[r][col]))
+        aug[col], aug[piv] = aug[piv], aug[col]
+        inv_p = 1 / aug[col][col]
+        aug[col] = [v * inv_p for v in aug[col]]
+        for r in range(n):
+            if r != col and aug[r][col]:
+                f = aug[r][col]
+                aug[r] = [a - f * b for a, b in zip(aug[r], aug[col])]
+    # inverse rows are by monomial k; lagrange function i's coefficient of
+    # monomial k is inv[k][i]
+    out = numpy.zeros((n,) + (K,) * ndims)
+    for k, ks in enumerate(exps):
+        out[(slice(None), *ks)] = [float(aug[k][n + i]) for i in range(n)]
+    return out
+
+
+def lagrange_coeffs(ref, degree):
+    """Nodal (equispaced-lattice) Lagrange basis tables, same layout and dof
+    order as ``bernstein_coeffs`` (reference: element.py
+    get_poly_coeffs('lagrange'), topology.py:1801 basis_lagrange)."""
+    if isinstance(ref, (LineReference, TriangleReference, TetReference)):
+        return _simplex_lagrange(ref.ndims, degree)
+    if isinstance(ref, QuadReference):
+        c1 = _simplex_lagrange(1, degree)
+        K = degree + 1
+        return (c1[:, None, :, None] * c1[None, :, None, :]).reshape(K * K, K, K)
+    if isinstance(ref, HexReference):
+        c1 = _simplex_lagrange(1, degree)
+        K = degree + 1
+        out = numpy.einsum('ap,bq,cr->abcpqr', c1, c1, c1)
+        return out.reshape(K ** 3, K, K, K)
+    raise NotImplementedError(type(ref))
+
+
 def bernstein_coeffs(ref, degree):
     """Per-reference Bernstein basis tables in tensor power layout, local dof
     order matching the reference (simplex: barycentric enumeration; tensor:

@@ -1031,6 +1031,50 @@ class StructuredBasis(Basis):
         return _spline.tensor_tables_factored(self._offsets, self._coeffs,
                                               self._ndofs_per_dim, multi)
 
+    def lower(self, args):
+        '''Axis-factored evaluation: per-dimension 1-D polynomial values are
+        multiplied pointwise instead of tensorizing the coefficient tables
+        into one joint [K_1,...,K_d] monomial sum.  Same result up to float
+        associativity, fewer flops, and — decisive for nodal (lagrange)
+        bases — per-axis cancellation stays exact: a factor that is exactly
+        zero on an element face zeroes the product exactly, where the joint
+        sum mixes axes and leaves ~1e-14 residue that droptol-based
+        constraint detection (solver.solve_constraints) mistakes for
+        support.'''
+        chart = args.chart(self.space)
+        E, P = args.points_shape
+        idx, xi = self._resolve_chart(chart, E, P)
+        multi = numpy.stack(numpy.unravel_index(
+            numpy.asarray(idx, dtype=numpy.int64), self._shape), axis=1)  # [E, d]
+        vals = None
+        dofs = None
+        for i in range(len(self._shape)):
+            ci = numpy.asarray(self._coeffs[i])  # [n_i, p+1 funcs, K powers]
+            ni, p1, K = ci.shape
+            ei = multi[:, i]
+            u, inv = numpy.unique(ci.reshape(ni, p1 * K), axis=0, return_inverse=True)
+            if len(u) == 1:
+                tab = ev.insertaxis(ev.constant(u.reshape(p1, K)), 0, E)
+            else:
+                tab = ev.take(ev.constant(u.reshape(len(u), p1, K)),
+                              ev.constant(inv[ei]), 0)
+            tab = ev.insertaxis(tab, 1, P)                          # [E,P,p+1,K]
+            xi_i = ev.take(xi, ev.constant(numpy.array(i)), 2)      # [E,P]
+            mono = ev.insertaxis(ev.Monomials(xi_i, K), 2, p1)      # [E,P,p+1,K]
+            v_i = ev.sum_(ev.multiply(tab, mono), 3)                # [E,P,p+1]
+            nd = int(self._ndofs_per_dim[i])
+            d_i = (numpy.asarray(self._offsets[i], dtype=numpy.int64)[ei][:, None]
+                   + numpy.arange(p1)) % nd                         # [E,p+1]
+            if vals is None:
+                vals, dofs = v_i, d_i
+            else:
+                Lprev = dofs.shape[1]
+                vals = ev.multiply(ev.insertaxis(vals, 3, p1),
+                                   ev.insertaxis(v_i, 2, Lprev))    # [E,P,Lprev,p+1]
+                vals = ev.ravel(vals, 2)                            # [E,P,Lprev*(p+1)]
+                dofs = (dofs[:, :, None] * nd + d_i[:, None, :]).reshape(len(dofs), Lprev * p1)
+        return ev.inflate(vals, ev.constant(dofs[:, None, :]), self.ndofs, 2)
+
     def _resolve_chart(self, chart, E, P):
         if self._topo is None or chart.origin_topo is self._topo:
             return super()._resolve_chart(chart, E, P)
@@ -1583,6 +1627,132 @@ def J(geom):
 def normalized(a):
     a = asarray(a)
     return divide(a, sqrt(_Sum(multiply(a, a), (a.ndim - 1,))))
+
+
+def symgrad(arg, geom):
+    '''Symmetric gradient .5 (∇_j u_i + ∇_i u_j) (reference: function.py
+    symgrad).'''
+    g = grad(arg, geom)
+    axes = list(range(g.ndim))
+    axes[-1], axes[-2] = axes[-2], axes[-1]
+    return 0.5 * (g + transpose(g, tuple(axes)))
+
+
+def dotnorm(arg, geom, axis=-1):
+    '''Inner product of ``arg``'s ``axis`` with the geometry normal
+    (reference: function.py:2161).'''
+    arg = asarray(arg)
+    axis = axis % arg.ndim
+    if axis != arg.ndim - 1:
+        order = [i for i in range(arg.ndim) if i != axis] + [axis]
+        arg = transpose(arg, tuple(order))
+    return sum_(multiply(arg, normal(geom)), -1)
+
+
+def ngrad(arg, geom):
+    '''Normal derivative n_i ∇_i(u) (reference: function.py ngrad).'''
+    return dotnorm(grad(arg, geom), geom)
+
+
+def nsymgrad(arg, geom):
+    '''Normal component of the symmetric gradient (reference: function.py
+    nsymgrad).'''
+    return dotnorm(symgrad(arg, geom), geom)
+
+
+def tangent(geom, vec):
+    '''Tangential component of ``vec``: vec - (vec.n) n (reference:
+    function.py:2185).'''
+    vec = asarray(vec)
+    n = normal(geom)
+    return subtract(vec, multiply(dotnorm(vec, geom), n))
+
+
+def sign(a):
+    return _Pointwise('sign', _cast(asarray(a), float))
+
+
+def piecewise(level, intervals, *funcs):
+    '''Piecewise function of a scalar ``level``: ``funcs[i]`` on the i-th
+    interval, bins split strictly at ``intervals`` (reference:
+    function.py:2468).'''
+    level = asarray(level)
+    assert len(funcs) == len(tuple(intervals)) + 1, 'need len(intervals)+1 functions'
+    out = asarray(funcs[0])
+    for iv, f in zip(intervals, funcs[1:]):
+        out = _Choose(_Compare('less', asarray(iv), level), asarray(f), out)
+    return out
+
+
+def partition(f, *levels):
+    '''Partition of unity from a scalar function: n levels give n+1
+    indicators, 1 inside their bin and 1/2 exactly at the bin boundaries
+    (reference: function.py:2474).'''
+    f = asarray(f)
+    signs = [sign(subtract(f, lvl)) for lvl in levels]
+    steps = [0.5 * (s + 1.0) for s in signs]  # 0 below, 1/2 at, 1 above each level
+    out = [1.0 - steps[0]]
+    out.extend(steps[i] - steps[i + 1] for i in range(len(steps) - 1))
+    out.append(steps[-1])
+    return out
+
+
+def chain(funcs):
+    '''Embed each function into the concatenated dof space, zero-padded over
+    the other functions' blocks (reference: function.py:2546).'''
+    funcs = [asarray(f) for f in funcs]
+    sizes = [int(f.shape[0]) for f in funcs]
+    return [concatenate([f if i == j else zeros((n,) + tuple(int(s) for s in f.shape[1:]), dtype=f.dtype)
+                         for j, n in enumerate(sizes)], axis=0)
+            for i, f in enumerate(funcs)]
+
+
+def broadcast_shapes(*shapes):
+    '''numpy broadcasting of shape tuples (reference: function.py
+    broadcast_shapes).'''
+    return numpy.broadcast_shapes(*shapes)
+
+
+def broadcast_to(arg, shape):
+    '''Broadcast a function array to ``shape`` (new leading axes and
+    length-1 expansion).'''
+    a = asarray(arg)
+    shape = tuple(int(n) for n in shape)
+    if len(shape) < a.ndim:
+        raise ValueError(f'cannot broadcast {a.shape} to smaller rank {shape}')
+    for n in shape[:len(shape) - a.ndim][::-1]:
+        a = _InsertAxis(a, 0, n)
+    for i, (have, want) in enumerate(zip(a.shape, shape)):
+        if int(have) == want:
+            continue
+        if int(have) != 1:
+            raise ValueError(f'cannot broadcast axis {i} of length {have} to {want}')
+        a = _InsertAxis(getitem(a, (slice(None),) * i + (0,)), i, want)
+    return a
+
+
+def broadcast_arrays(*arrays):
+    '''Broadcast function arrays against each other (reference: function.py
+    broadcast_arrays).'''
+    arrays = [asarray(a) for a in arrays]
+    shape = broadcast_shapes(*[tuple(int(n) for n in a.shape) for a in arrays])
+    return tuple(broadcast_to(a, shape) for a in arrays)
+
+
+def typecast_arrays(*arrays, min_dtype=bool):
+    '''Promote function arrays to their joint dtype, at least ``min_dtype``
+    (reference: function.py typecast_arrays).'''
+    arrays = [asarray(a) for a in arrays]
+    order = [bool, int, float]
+    dtype = max([_result_dtype(*arrays), min_dtype], key=order.index)
+    return tuple(_cast(a, dtype) for a in arrays)
+
+
+def evaluate(*funcs, arguments=None, **kwargs):
+    '''Evaluate space-less function arrays to numpy values (reference:
+    function.py evaluate).'''
+    out = eval(list(funcs), arguments, **kwargs)
+    return tuple(numpy.asarray(v) for v in out)
 
 
 def dotarg(name, *arrays, shape=(), dtype=float):

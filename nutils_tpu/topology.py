@@ -547,6 +547,26 @@ class StructuredTopology(Topology):
     def basis_std(self, degree, **kwargs):
         return self.basis_spline(degree, continuity=0, **kwargs)
 
+    basis_bernstein = basis_std  # C0 splines are per-element Bernstein polys
+
+    def basis_lagrange(self, degree):
+        '''Nodal (equispaced) Lagrange basis: the C0 dof layout of basis_std
+        with interpolatory per-element polynomials (reference:
+        topology.py:1801 basis_lagrange).'''
+        from .ops import spline
+        if not numpy.iterable(degree):
+            degree = [degree] * self.ndims
+        offsets, coeffs, ndofs = [], [], []
+        for i in range(self.ndims):
+            o, _c, n = spline.splinebasis_1d(self.shape[i], degree[i],
+                                             periodic=i in self.periodic, continuity=0)
+            c1 = element.lagrange_coeffs(element.LineReference(), degree[i])
+            offsets.append(o)
+            coeffs.append(numpy.broadcast_to(c1, (self.shape[i],) + c1.shape).copy())
+            ndofs.append(n)
+        return function.StructuredBasis(self.space, offsets, coeffs, ndofs, self.shape,
+                                        topo=self, root_h=self.root_h)
+
     def basis_discont(self, degree):
         from .ops import spline
         # fully discontinuous: per-element Bernstein-like (power) basis from

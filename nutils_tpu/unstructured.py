@@ -369,7 +369,16 @@ class UnstructuredTopology(Topology):
     def basis_bernstein(self, degree):
         '''C0 Bernstein basis: per-element dofs merged across shared edges
         (reference: topology.py:1777 _basis_c0_structured).'''
-        coeffs = [element.bernstein_coeffs(ref, degree) for ref in self._refs]
+        return self._basis_c0(degree, element.bernstein_coeffs)
+
+    def basis_lagrange(self, degree):
+        '''C0 nodal Lagrange basis on the equispaced lattice (reference:
+        topology.py:1801 basis_lagrange): same dof enumeration and edge merge
+        as Bernstein, interpolatory coefficients.'''
+        return self._basis_c0(degree, element.lagrange_coeffs)
+
+    def _basis_c0(self, degree, coeffs_of):
+        coeffs = [coeffs_of(ref, degree) for ref in self._refs]
         counts = [len(c) for c in coeffs]
         offsets = numpy.cumsum([0] + counts)
 
@@ -387,7 +396,6 @@ class UnstructuredTopology(Topology):
         basis._origin = self
         return basis
 
-    basis_lagrange = basis_bernstein  # lagrange merge structure is identical; coeffs differ (future)
 
     def basis_discont(self, degree):
         coeffs = [element.bernstein_coeffs(ref, degree) for ref in self._refs]

@@ -297,3 +297,54 @@ def test_multipatch_basis_patch():
         pytest.skip('patch basis not implemented')
     assert basis.shape[0] == 2
     check_pou(topo, basis)
+
+
+# --------------------------------------------------------------- lagrange
+
+@pytest.mark.parametrize('etype', ['triangle', 'square', 'mixed'])
+@pytest.mark.parametrize('degree', [1, 2, 3])
+def test_lagrange_basis(etype, degree):
+    '''C0 nodal Lagrange on unstructured meshes (reference: topology.py:1801):
+    partition of unity, continuity, total-degree polynomial reproduction, and
+    the nodal (interpolatory) property at the element lattice.'''
+    topo, geom = mesh.unitsquare(2, etype)
+    plain = topo
+    while hasattr(plain, 'parent'):
+        plain = plain.parent
+    basis = plain.basis('lagrange', degree=degree)
+    check_pou(plain, basis)
+    check_continuity(plain, geom, basis, 0)
+    check_poly_reproduction(plain, geom, basis, degree, total=True)
+    # nodal property: at every lattice node exactly one basis function is 1
+    smp = plain.sample('bezier', degree + 1)
+    B = _eval(smp, basis)
+    if B.shape[0] == basis.shape[0]:
+        B = B.T
+    ones = numpy.isclose(B, 1.0, atol=1e-9).sum(axis=1)
+    numpy.testing.assert_array_equal(ones, 1)
+    # every row is a unit vector at the nodes (all other functions vanish)
+    numpy.testing.assert_allclose(numpy.abs(B).max(axis=1), 1.0, atol=1e-9)
+    numpy.testing.assert_allclose(numpy.sort(numpy.abs(B), axis=1)[:, :-1].max(),
+                                  0.0, atol=1e-9)
+
+
+@pytest.mark.parametrize('degree', [1, 2, 3])
+def test_lagrange_matches_bernstein_span(degree):
+    '''lagrange and bernstein (std) span the same space: the L2 projection of
+    a smooth function onto either basis yields the same field.'''
+    topo, geom = mesh.unitsquare(2, 'triangle')
+    plain = topo
+    while hasattr(plain, 'parent'):
+        plain = plain.parent
+    target = (geom ** 2).sum(-1) if degree >= 2 else geom.sum(-1)
+    smp = plain.sample('gauss', 2 * degree)
+    fields = []
+    for btype in ('lagrange', 'std'):
+        b = plain.basis(btype, degree=degree)
+        B = _eval(smp, b)
+        if B.shape[0] == b.shape[0]:
+            B = B.T
+        t = _eval(smp, target)
+        coef, *_ = numpy.linalg.lstsq(B, t, rcond=None)
+        fields.append(B @ coef)
+    numpy.testing.assert_allclose(fields[0], fields[1], atol=1e-10)
