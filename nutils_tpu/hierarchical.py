@@ -411,7 +411,44 @@ class HierarchicalTopology(Topology):
             new.append(fam.children_of(l, idx) if len(idx) else numpy.empty(0, dtype=int))
         return HierarchicalTopology(self.basetopo, new, self.newboundary)
 
+    def subset(self, selection, newboundary=None, strict=False):
+        '''Subset of the ACTIVE (hierarchical-row) elements: rows map back to
+        their (level, element) pairs, yielding a hierarchical topology over
+        the same family (the base implementation would misread row indices
+        as level-0 element ids).'''
+        from . import topology as _topology
+        if isinstance(selection, _topology._Selection):
+            rows = selection.ielems
+        elif isinstance(selection, _topology.Topology):
+            t = getattr(selection, 'transforms', None)
+            if isinstance(t, _ElemRef) and t.topo is self:
+                rows = t.indices
+            else:
+                raise ValueError('subset selection topology is not a subset view of this topology')
+        else:
+            rows = numpy.asarray(selection, dtype=int)
+        levels, elems = self._row_level_elem(numpy.unique(rows))
+        ipl = [elems[levels == l] for l in range(self.nlevels)]
+        return HierarchicalTopology(self.basetopo, ipl,
+                                    newboundary=newboundary if newboundary is not None else self.newboundary)
+
     def refined_by(self, refine):
+        from . import topology as _topology
+        if isinstance(refine, _topology.Topology):
+            # a subtopology selects its elements (reference: topology.py:531
+            # refined_by accepting a Topology)
+            t = getattr(refine, 'transforms', None)
+            if isinstance(t, _ElemRef):
+                refine = t
+            else:
+                sub = refine._whole_subset()
+                def _strip(t):
+                    while isinstance(t, _topology._WithGroupsTopology):
+                        t = t.parent
+                    return t
+                if sub is None or _strip(sub[0]) is not _strip(self.basetopo):
+                    raise ValueError('refine topology is not a subset view of this topology')
+                refine = _ElemRef(HierarchicalTopology(self.basetopo, [numpy.arange(len(sub[0]))]), sub[1])
         if isinstance(refine, _ElemRef):
             levels, elems = refine.topo._row_level_elem(refine.indices)
             rows = self._hier_index(levels, elems)

@@ -158,14 +158,42 @@ class Topology:
             v = vals[pos:pos + s.npoints].reshape(s.nelems, s.npoints_per_elem)
             mask[s.index[(v > 0).any(axis=1)]] = True
             pos += s.npoints
-        return _Selection(self, numpy.nonzero(mask)[0])
+        return self._subset_view(self, numpy.nonzero(mask)[0])
+
+    def indicator(self, subtopo):
+        '''Function that is 1 on the given subtopology (a name resolving via
+        ``__getitem__`` or a whole-element subset view of this topology) and
+        0 elsewhere (reference: topology.py:760).'''
+        parts = [self[n] for n in subtopo.split(',')] if isinstance(subtopo, str) else [subtopo]
+        plain = self
+        while isinstance(plain, _WithGroupsTopology):
+            plain = plain.parent
+        mask = numpy.zeros(len(self))
+        for p in parts:
+            sub = p._whole_subset()
+            if sub is None or (sub[0] is not self and sub[0] is not plain):
+                raise NotImplementedError('indicator requires whole-element subset groups of this topology')
+            mask[sub[1]] = 1.0
+        b = self.basis('discont', degree=0)
+        return function.sum_(function.multiply(b, function.asarray(mask)), 0)
 
     def subset(self, selection, newboundary=None, strict=False):
         '''Whole-element subset topology; newly exposed inter-element edges
         form the boundary group ``newboundary`` (reference: topology.py:720;
         the whole-element case of SubsetTopology, topology.py:2615).'''
         from .hierarchical import HierarchicalTopology
-        ielems = selection.ielems if isinstance(selection, _Selection) else numpy.asarray(selection, dtype=int)
+        if isinstance(selection, _Selection):
+            ielems = selection.ielems
+        elif isinstance(selection, Topology):
+            sub = selection._whole_subset()
+            plain = self
+            while isinstance(plain, _WithGroupsTopology):
+                plain = plain.parent
+            if sub is None or (sub[0] is not self and sub[0] is not plain):
+                raise ValueError('subset selection topology is not a subset view of this topology')
+            ielems = sub[1]
+        else:
+            ielems = numpy.asarray(selection, dtype=int)
         return HierarchicalTopology(self, [ielems], newboundary=newboundary)
 
     def refined_by(self, refine):

@@ -118,3 +118,35 @@ def test_mismatched_operands_raise(square):
         topo | line
     with pytest.raises(TypeError):
         topo - 3
+
+
+def test_indicator(square):
+    '''Topology.indicator of subset groups: 1 inside, 0 outside, integrates
+    to the subset measure (reference: topology.py:760).'''
+    topo, geom = square
+    left = topo.subset(numpy.arange(8))
+    chi = topo.indicator(left)
+    area = float(numpy.asarray(topo.sample('gauss', 2).integrate(chi * function.J(geom), {})))
+    assert area == pytest.approx(0.5, abs=1e-12)
+    named = topo.withsubdomain(lhs=left)
+    chi2 = named.indicator('lhs')
+    area2 = float(numpy.asarray(named.sample('gauss', 2).integrate(chi2 * function.J(geom), {})))
+    assert area2 == pytest.approx(0.5, abs=1e-12)
+
+
+def test_select_returns_topology(square):
+    '''select yields a real (samplable) subset topology, subset() and
+    refined_by() accept topologies (reference: topology.py:765,531).'''
+    topo, geom = square
+    sel = topo.select(0.4 - geom[0])  # leftmost two element columns (x<0.4 at some point)
+    assert len(sel) == 8
+    assert _area(sel, geom) == pytest.approx(0.5, abs=1e-12)
+    named = topo.subset(sel, newboundary='inner')
+    assert _area(named, geom) == pytest.approx(0.5, abs=1e-12)
+    refined = topo.refined_by(sel)
+    assert len(refined) == (16 - 8) + 8 * 4
+    assert _area(refined, geom) == pytest.approx(1.0, abs=1e-12)
+    # refining a hierarchical topology by a select of itself
+    again = refined.refined_by(refined.select(0.15 - geom[0]))
+    assert _area(again, geom) == pytest.approx(1.0, abs=1e-12)
+    assert len(again) > len(refined)
