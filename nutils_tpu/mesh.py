@@ -509,6 +509,54 @@ def gmsh(fname, *, space='X'):
     return topo, geom
 
 
+def simplex(nodes, cnodes, coords, tags=None, btags=None, ptags=None, *, space='X'):
+    '''Simplex topology from raw node tables (reference: mesh.py:540).
+
+    ``nodes`` is the [nelems, ndims+1] connectivity (vertex ids sorted per
+    row), ``cnodes`` the [nelems, ncnodes] coordinate-node table in the
+    Bernstein barycentric enumeration (``element.bernstein_coeffs`` order;
+    the geometry degree is inferred from ncnodes), ``coords`` the
+    [ncoords, ndims] coordinate array indexed by ``cnodes``.  ``tags`` maps
+    names to element numbers, ``btags`` to [n, 2] (element, edge) pairs,
+    ``ptags`` to vertex ids.'''
+    from . import element
+    from .unstructured import UnstructuredTopology
+    nodes = numpy.asarray(nodes, dtype=int)
+    cnodes = numpy.asarray(cnodes, dtype=int)
+    coords = numpy.asarray(coords, dtype=float)
+    nelems, nverts_e = nodes.shape
+    ndims = nverts_e - 1
+    assert (numpy.diff(nodes, axis=1) > 0).all(), 'nodes must be sorted along axis 1'
+    ref = element.simplex(ndims)
+    nverts = int(nodes.max()) + 1 if nelems else 0
+    topo = UnstructuredTopology(space, [ref] * nelems, list(nodes), nverts)
+    degree = 1
+    while _binom(degree + ndims, ndims) < cnodes.shape[1]:
+        degree += 1
+    if _binom(degree + ndims, ndims) != cnodes.shape[1]:
+        raise ValueError(f'cnodes width {cnodes.shape[1]} is not a simplex dof count')
+    bcoeffs = element.bernstein_coeffs(ref, degree)
+    gbasis = function.PlainBasis(space, list(cnodes), [bcoeffs] * nelems, len(coords), ragged=True)
+    gbasis._origin = topo
+    geom = function.matmul(gbasis, function.asarray(coords))
+    vgroups = {name: topo.take(numpy.asarray(ielems, dtype=int))
+               for name, ielems in (tags or {}).items()}
+    bgroups = {}
+    if btags:
+        btopo = topo.boundary
+        key2row = {tuple(e): row for row, e in enumerate(numpy.asarray(btopo._edges, dtype=int).tolist())}
+        for name, edges in btags.items():
+            rows = [key2row[tuple(map(int, e))] for e in numpy.asarray(edges, dtype=int)
+                    if tuple(map(int, e)) in key2row]
+            if rows:
+                bgroups[name] = btopo[numpy.asarray(rows)]
+    pgroups = {name: topo.point_topology(int(numpy.atleast_1d(ids)[0]))
+               for name, ids in (ptags or {}).items() if len(numpy.atleast_1d(ids)) == 1}
+    if vgroups or bgroups or pgroups:
+        topo = topo.withgroups(vgroups=vgroups, bgroups=bgroups, pgroups=pgroups)
+    return topo, geom
+
+
 def fromfunc(func, nelems, ndims, degree=1, space='X'):
     '''Structured mesh with geometry given by a python function of the
     reference coordinates, L2-projected onto a spline basis (reference:
