@@ -361,7 +361,25 @@ def _curl(geom, spaces, arg):
 
 class Namespace:
     '''Namespace with expression-string assignment (reference:
-    expression_v2.py:546).'''
+    expression_v2.py:546).
+
+    Attribute assignment parses tensor-index expression strings into
+    :class:`nutils_tpu.function.Array` objects; ``expr @ ns`` evaluates an
+    expression in the namespace:
+
+    >>> import numpy
+    >>> from nutils_tpu import mesh, function
+    >>> from nutils_tpu.expression import Namespace
+    >>> ns = Namespace()
+    >>> topo, ns.x = mesh.rectilinear([2, 2])
+    >>> ns.define_for('x', gradient='∇', jacobians=('dV', 'dS'))
+    >>> ns.u = 'x_0^2 + sin(x_1)'
+    >>> ns.v_i = '∇_i(u)'
+    >>> smp = topo.locate(ns.x, numpy.array([[1.0, 0.5]]), tol=1e-12)
+    >>> vals = numpy.asarray(smp.eval('v_i' @ ns, {}))
+    >>> numpy.round(vals, 10).tolist()
+    [[2.0, 0.8775825619]]
+    '''
 
     def __init__(self):
         self.opposite = function.opposite

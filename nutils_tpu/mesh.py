@@ -61,7 +61,18 @@ class _RectilinearGeom(function.Array):
 
 
 def rectilinear(richshape, periodic=(), space='X', bnames=None):
-    'Structured mesh: integer axis sizes or explicit vertex positions.'
+    '''Structured mesh: integer axis sizes or explicit vertex positions
+    (reference: mesh.py:34).
+
+    >>> import numpy
+    >>> from nutils_tpu import mesh, function
+    >>> topo, geom = mesh.rectilinear([2, [0.0, 0.5, 2.0]])
+    >>> len(topo)
+    4
+    >>> area = topo.sample('gauss', 1).integrate(function.J(geom), {})
+    >>> round(float(numpy.asarray(area)), 10)
+    4.0
+    '''
     verts = [numpy.arange(v + 1, dtype=float) if numeric.isint(v) else numpy.asarray(v, dtype=float) for v in richshape]
     shape = [len(v) - 1 for v in verts]
     topo = topology.StructuredTopology(space, shape, periodic, bnames=bnames)

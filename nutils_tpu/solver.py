@@ -755,7 +755,23 @@ class _Chunk:
 
 
 class System:
-    '''A linear or nonlinear system of equations (reference: solver.py:189).'''
+    '''A linear or nonlinear system of equations (reference: solver.py:189).
+
+    Built from a scalar functional (energy minimization; the test space is
+    the trial space) or a residual with explicit trial/test argument names:
+
+    >>> import numpy
+    >>> from nutils_tpu import mesh, function
+    >>> from nutils_tpu.solver import System
+    >>> topo, geom = mesh.rectilinear([4])
+    >>> u = topo.field('u', btype='std', degree=1)
+    >>> g = function.grad(u, geom)
+    >>> energy = topo.integral((g @ g / 2 - u) * function.J(geom), degree=2)
+    >>> cons = {'u': numpy.array([0.0] + [numpy.nan] * 4)}  # clamp the left end
+    >>> args = System(energy, trial='u').solve(constrain=cons)
+    >>> numpy.round(numpy.asarray(args['u']), 10).tolist()  # u = 4x - x^2/2 at x=0,1,..,4
+    [0.0, 3.5, 6.0, 7.5, 8.0]
+    '''
 
     def __init__(self, residual, /, trial, test=None):
         self.trials = tuple(trial.split(',') if isinstance(trial, str) else trial)
