@@ -562,8 +562,14 @@ class HierarchicalTopology(Topology):
             # per-element blocks need no inter-level gluing (reference:
             # topology.py:365 generic dispatch handles hierarchical discont)
             return self.basis_discont(degree)
-        if self.nlevels == 1 and len(self._ipl[0]) == len(self.family.base):
-            return _plain(self.basetopo).basis(btype, degree, **kwargs)
+        if self.nlevels == 1:
+            parent = _plain(self.basetopo).basis(btype, degree, **kwargs)
+            if len(self._ipl[0]) == len(self.family.base):
+                return parent
+            # whole-element subset: the parent basis restricted to the dofs
+            # supported on the kept elements (reference: SubsetTopology.basis
+            # returning a PrunedBasis, topology.py:2615/function.py:3103)
+            return function.PrunedBasis(parent, self._ipl[0])
         raise ValueError(f'basis type {btype!r} requires an h- or th- prefix on hierarchical topologies')
 
     def _level_basis(self, inner, degree, kwargs, l):

@@ -98,3 +98,21 @@ def test_hierarchical_discont_basis():
         err = h.integral((function.replace_arguments(u, {'u': sol['u']}) - f) ** 2
                          * function.J(geom), degree=2 * deg + 2).eval()
         assert float(err) < 1e-20
+
+
+def test_subset_plain_basis():
+    '''A whole-element subset supports plain (non-hierarchical) bases via
+    pruning (reference: SubsetTopology.basis -> PrunedBasis).'''
+    dom, geom = lshape()
+    b = dom.basis('std', degree=1)
+    assert int(b.shape[0]) == 8  # 9 grid dofs minus the removed corner's far vertex
+    smp = dom.sample('gauss', 2)
+    pou = numpy.asarray(smp.eval(function.sum_(b, 0), {}))
+    numpy.testing.assert_allclose(pou, 1.0, atol=1e-12)
+    # projecting a linear field is exact
+    x0 = numpy.asarray(smp.eval(geom[0], {}))
+    B = numpy.asarray(smp.eval(b, {}))
+    if B.shape[0] == 8:
+        B = B.T
+    coef, *_ = numpy.linalg.lstsq(B, x0, rcond=None)
+    numpy.testing.assert_allclose(B @ coef, x0, atol=1e-12)
