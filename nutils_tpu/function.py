@@ -202,6 +202,22 @@ class Array:
     def __getitem__(self, item):
         return getitem(self, item)
 
+    # elementwise comparisons (reference: Array inherits them from
+    # NDArrayOperatorsMixin).  __eq__/__ne__ stay identity-based so Arrays
+    # remain hashable and usable in containers; use function.equal/not_equal
+    # (or numpy.equal) for elementwise equality.
+    def __lt__(self, other):
+        return less(self, other)
+
+    def __gt__(self, other):
+        return greater(self, other)
+
+    def __le__(self, other):
+        return less_equal(self, other)
+
+    def __ge__(self, other):
+        return greater_equal(self, other)
+
     def __iter__(self):
         if not self.ndim:
             raise TypeError('iteration over a 0-d array')
@@ -1864,6 +1880,114 @@ def arctan2(a, b):
     return _Pointwise('arctan2', _cast(a, float), _cast(b, float))
 
 
+def less(a, b):
+    a, b, _ = _coerce_pair(a, b)
+    return _Compare('less', a, b)
+
+
+def greater(a, b):
+    a, b, _ = _coerce_pair(a, b)
+    return _Compare('less', b, a)
+
+
+def equal(a, b):
+    a, b, _ = _coerce_pair(a, b)
+    return _Compare('equal', a, b)
+
+
+def logical_not(a):
+    return equal(asarray(a), False)
+
+
+def not_equal(a, b):
+    return logical_not(equal(a, b))
+
+
+def less_equal(a, b):
+    return logical_not(greater(a, b))
+
+
+def greater_equal(a, b):
+    return logical_not(less(a, b))
+
+
+def logical_and(a, b):
+    return _Choose(asarray(a), asarray(b), asarray(False))
+
+
+def logical_or(a, b):
+    return _Choose(asarray(a), asarray(True), asarray(b))
+
+
+def where(cond, iftrue, iffalse):
+    '''Elementwise select (numpy.where semantics).'''
+    return _Choose(asarray(cond), asarray(iftrue), asarray(iffalse))
+
+
+def choose(index, choices):
+    '''Select elementwise among ``choices`` by integer ``index``
+    (numpy.choose semantics; reference: Array.choose).'''
+    assert len(choices) > 0
+    out = asarray(choices[0])
+    for j, c in enumerate(choices[1:], start=1):
+        out = _Choose(equal(asarray(index), j), asarray(c), out)
+    return out
+
+
+def einsum(subscripts, *operands):
+    '''Einstein summation over function arrays: explicit or implicit output
+    spec, no ellipsis, no repeated index within one operand (use trace).'''
+    in_spec, arrow, out_spec = subscripts.replace(' ', '').partition('->')
+    terms = in_spec.split(',')
+    if len(terms) != len(operands):
+        raise ValueError(f'einsum: {len(terms)} subscript terms for {len(operands)} operands')
+    operands = [asarray(op) for op in operands]
+    sizes = {}
+    order = []
+    for term, op in zip(terms, operands):
+        if len(term) != op.ndim:
+            raise ValueError(f'einsum: term {term!r} does not match operand of rank {op.ndim}')
+        if len(set(term)) != len(term):
+            raise NotImplementedError('einsum: repeated index within one operand')
+        for ax, (letter, n) in enumerate(zip(term, op.shape)):
+            n = int(n)
+            if letter in sizes:
+                if sizes[letter] != n and 1 not in (sizes[letter], n):
+                    raise ValueError(f'einsum: size mismatch for index {letter!r}')
+                sizes[letter] = max(sizes[letter], n)
+            else:
+                sizes[letter] = n
+                order.append(letter)
+    if not arrow:
+        counts = {}
+        for term in terms:
+            for letter in term:
+                counts[letter] = counts.get(letter, 0) + 1
+        out_spec = ''.join(sorted(letter for letter, c in counts.items() if c == 1))
+    if len(set(out_spec)) != len(out_spec) or not set(out_spec) <= set(sizes):
+        raise ValueError(f'einsum: invalid output spec {out_spec!r}')
+    # align every operand to the union index order, multiply, contract
+    aligned = []
+    for term, op in zip(terms, operands):
+        perm = sorted(range(len(term)), key=lambda ax: order.index(term[ax]))
+        op = transpose(op, tuple(perm)) if list(perm) != list(range(len(term))) else op
+        for i, letter in enumerate(order):
+            if letter not in term:
+                op = _InsertAxis(op, i, sizes[letter])
+        aligned.append(op)
+    prod = aligned[0]
+    for op in aligned[1:]:
+        prod = multiply(prod, op)
+    contract = tuple(i for i, letter in enumerate(order) if letter not in out_spec)
+    if contract:
+        prod = sum_(prod, contract)
+    kept = [letter for letter in order if letter in out_spec]
+    perm = tuple(kept.index(letter) for letter in out_spec)
+    if list(perm) != list(range(len(kept))):
+        prod = transpose(prod, perm)
+    return prod
+
+
 def _unary(op):
     def f(a):
         return _Pointwise(op, _cast(asarray(a), float))
@@ -2290,6 +2414,11 @@ _UFUNC_MAP = {
     numpy.arcsin: arcsin, numpy.arccos: arccos, numpy.arctan: arctan,
     numpy.arctanh: arctanh, numpy.real: real, numpy.imag: imag,
     numpy.conjugate: conjugate,
+    numpy.less: less, numpy.greater: greater,
+    numpy.less_equal: less_equal, numpy.greater_equal: greater_equal,
+    numpy.equal: equal, numpy.not_equal: not_equal,
+    numpy.logical_and: logical_and, numpy.logical_or: logical_or,
+    numpy.logical_not: logical_not,
 }
 
 def norm(a, ord=None, axis=None):
@@ -2303,9 +2432,10 @@ def norm(a, ord=None, axis=None):
 
 _FUNC_MAP = {
     numpy.sum: sum_, numpy.transpose: transpose, numpy.stack: stack,
-    numpy.concatenate: concatenate, numpy.einsum: None,
+    numpy.concatenate: concatenate, numpy.einsum: einsum,
     numpy.linalg.inv: inverse, numpy.linalg.det: determinant,
     numpy.linalg.norm: norm,
     numpy.sqrt: sqrt, numpy.trace: trace,
+    numpy.where: where, numpy.choose: choose,
+    numpy.broadcast_arrays: broadcast_arrays, numpy.broadcast_to: broadcast_to,
 }
-_FUNC_MAP = {k: v for k, v in _FUNC_MAP.items() if v is not None}

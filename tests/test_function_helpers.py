@@ -119,3 +119,62 @@ def test_evaluate():
 def test_sign():
     vals, = function.evaluate(function.sign(function.asarray(numpy.array([-2.0, 0.0, 3.5]))))
     numpy.testing.assert_array_equal(vals, [-1.0, 0.0, 1.0])
+
+
+def test_comparisons_and_where(square):
+    topo, geom = square
+    smp = topo.sample('uniform', 2)
+    x = _ev(smp, geom)
+    for expr, ref in [(geom[0] > 0.5, x[:, 0] > 0.5),
+                      (geom[0] < geom[1], x[:, 0] < x[:, 1]),
+                      (geom[0] >= 2 / 3, x[:, 0] >= 2 / 3),
+                      (geom[0] <= 1 / 3, x[:, 0] <= 1 / 3),
+                      (function.equal(geom[0], geom[1]), x[:, 0] == x[:, 1]),
+                      (function.not_equal(geom[0], geom[1]), x[:, 0] != x[:, 1]),
+                      (numpy.logical_and(geom[0] > .2, geom[1] > .2), (x[:, 0] > .2) & (x[:, 1] > .2)),
+                      (numpy.logical_or(geom[0] > .8, geom[1] > .8), (x[:, 0] > .8) | (x[:, 1] > .8)),
+                      (numpy.logical_not(geom[0] > .5), ~(x[:, 0] > .5))]:
+        got = _ev(smp, expr)
+        assert got.dtype == bool
+        numpy.testing.assert_array_equal(got, ref)
+    w = _ev(smp, numpy.where(geom[0] > 0.5, geom[1], -1.0))
+    numpy.testing.assert_allclose(w, numpy.where(x[:, 0] > 0.5, x[:, 1], -1.0), atol=1e-15)
+    # identity-based __eq__ keeps Arrays hashable and container-friendly
+    assert geom == geom and hash(geom) == hash(geom)
+    assert geom in [geom]
+
+
+def test_einsum(square):
+    topo, geom = square
+    smp = topo.sample('gauss', 2)
+    x = _ev(smp, geom)
+    rng = numpy.random.default_rng(0)
+    A = rng.standard_normal((2, 3))
+    B = rng.standard_normal((3, 4))
+    got = numpy.asarray(function.eval(numpy.einsum('ij,jk->ik', function.asarray(A), function.asarray(B)), {}))
+    numpy.testing.assert_allclose(got, A @ B, atol=1e-13)
+    # implicit output, transpose output, contraction with a spatial field
+    got = numpy.asarray(function.eval(numpy.einsum('ij,kj->ki', function.asarray(A), function.asarray(numpy.ones((5, 3)))), {}))
+    numpy.testing.assert_allclose(got, numpy.einsum('ij,kj->ki', A, numpy.ones((5, 3))), atol=1e-13)
+    e = numpy.einsum('i,i->', geom, geom)
+    numpy.testing.assert_allclose(_ev(smp, e), (x * x).sum(-1), atol=1e-13)
+    g = function.grad(function.stack([geom[0] * geom[1], geom[1] ** 2], axis=0), geom)
+    got = _ev(smp, numpy.einsum('ij,j->i', g, geom))
+    ref = numpy.einsum('pij,pj->pi', _ev(smp, g), x)
+    numpy.testing.assert_allclose(got, ref, atol=1e-13)
+    with pytest.raises(NotImplementedError):
+        function.einsum('ii->', function.asarray(numpy.eye(3)))
+    with pytest.raises(ValueError):
+        function.einsum('ij,jk->ik', function.asarray(A))
+
+
+def test_choose(square):
+    topo, geom = square
+    smp = topo.sample('uniform', 2)
+    x = _ev(smp, geom)
+    idx = function.piecewise(geom[0], [1 / 3, 2 / 3], 0, 1, 2)
+    ch = function.choose(function._cast(idx, int), [geom[1], 10.0, -geom[0]])
+    got = _ev(smp, ch)
+    bins = numpy.digitize(x[:, 0], [1 / 3, 2 / 3])
+    ref = numpy.select([bins == 0, bins == 1, bins == 2], [x[:, 1], numpy.full(len(x), 10.0), -x[:, 0]])
+    numpy.testing.assert_allclose(got, ref, atol=1e-13)
