@@ -232,7 +232,7 @@ class Array:
         return sum_(self, axis)
 
     def prod(self, axis=-1):
-        raise NotImplementedError
+        return prod(self, axis)
 
     @property
     def T(self):
@@ -1924,6 +1924,17 @@ def where(cond, iftrue, iffalse):
     return _Choose(asarray(cond), asarray(iftrue), asarray(iffalse))
 
 
+def prod(a, axis=-1):
+    '''Product over a static axis (unrolled; axes are small in FEM use).'''
+    a = asarray(a)
+    axis = axis % a.ndim
+    pre = (slice(None),) * axis
+    out = getitem(a, pre + (0,))
+    for i in range(1, int(a.shape[axis])):
+        out = multiply(out, getitem(a, pre + (i,)))
+    return out
+
+
 def choose(index, choices):
     '''Select elementwise among ``choices`` by integer ``index``
     (numpy.choose semantics; reference: Array.choose).'''
@@ -2436,6 +2447,6 @@ _FUNC_MAP = {
     numpy.linalg.inv: inverse, numpy.linalg.det: determinant,
     numpy.linalg.norm: norm,
     numpy.sqrt: sqrt, numpy.trace: trace,
-    numpy.where: where, numpy.choose: choose,
+    numpy.where: where, numpy.choose: choose, numpy.prod: prod,
     numpy.broadcast_arrays: broadcast_arrays, numpy.broadcast_to: broadcast_to,
 }

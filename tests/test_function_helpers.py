@@ -178,3 +178,14 @@ def test_choose(square):
     bins = numpy.digitize(x[:, 0], [1 / 3, 2 / 3])
     ref = numpy.select([bins == 0, bins == 1, bins == 2], [x[:, 1], numpy.full(len(x), 10.0), -x[:, 0]])
     numpy.testing.assert_allclose(got, ref, atol=1e-13)
+
+
+def test_prod(square):
+    topo, geom = square
+    smp = topo.sample('gauss', 2)
+    x = _ev(smp, geom)
+    numpy.testing.assert_allclose(_ev(smp, numpy.prod(geom, axis=-1)),
+                                  x.prod(-1), atol=1e-14)
+    A = function.asarray(numpy.arange(1.0, 7.0).reshape(2, 3))
+    got = numpy.asarray(function.eval(A.prod(0), {}))
+    numpy.testing.assert_allclose(got, [4.0, 10.0, 18.0])
