@@ -277,3 +277,21 @@ def test_device_bicgstab_with_constraints():
     free = numpy.isnan(cons)
     r = (b - A @ x)[free]
     assert numpy.linalg.norm(r) <= 1e-8 * numpy.linalg.norm(b)
+
+
+def test_solve_leniently_returns_best_iterate():
+    '''solve_leniently downgrades ToleranceNotReached to a warning and
+    returns the best iterate (reference: matrix/_base.py:178-188).'''
+    rng = numpy.random.default_rng(3)
+    n = 40
+    # moderately ill-conditioned SPD matrix with an iteration cap that
+    # guarantees non-convergence at the requested tolerance
+    Q, _ = numpy.linalg.qr(rng.standard_normal((n, n)))
+    A = Q @ numpy.diag(numpy.logspace(0, 6, n)) @ Q.T
+    rows, cols = numpy.nonzero(numpy.abs(A) > 0)
+    m = matrix.assemble_coo(A[rows, cols], rows, cols, (n, n))
+    b = rng.standard_normal(n)
+    x = m.solve_leniently(b, solver='cg', rtol=1e-14, maxiter=50)
+    assert numpy.isfinite(x).all()
+    r0 = numpy.linalg.norm(b)
+    assert numpy.linalg.norm(b - m @ x) <= r0  # did not raise; best iterate is finite

@@ -530,3 +530,50 @@ def test_plan_value_table_bands():
     bound3 = bound.reshape(ny, nx, C)
     bound3[0] += numpy.array([0, 0, 0, 0, 7])
     check(bound, 'banded')
+
+
+def test_step_timestep_halving_retry():
+    '''System.step bisects the timestep on SolverError up to maxretry levels
+    and lands at the same final time (reference: solver.py:550-558).'''
+    from nutils_tpu import function, mesh
+    from nutils_tpu.solver import System, SolverError
+    topo, geom = mesh.rectilinear([4])
+    u = topo.field('u', btype='std', degree=1)
+    v = function.replace_arguments(u, 'u:v')
+    u0 = function.replace_arguments(u, 'u:u0')
+    dt = function.Argument('dt', (), float)
+    J = function.J(geom)
+    res = topo.integral((v * (u - u0) / dt + function.grad(v, geom) @ function.grad(u, geom)) * J,
+                        degree=2)
+    system = System(res, trial='u', test='v')
+    args = {'u': numpy.sin(numpy.linspace(0, numpy.pi, 5))}
+
+    calls = []
+    orig_solve = System.solve
+
+    def failing_solve(self, *, arguments, **kw):
+        dtval = float(arguments['dt'])
+        calls.append(dtval)
+        if dtval > 0.026:
+            raise SolverError('synthetic divergence at large dt')
+        return orig_solve(self, arguments=arguments, **kw)
+
+    System.solve = failing_solve
+    try:
+        out = system.step(arguments=args, suffix='0', timearg=None, timesteparg='dt',
+                          timestep=0.1, maxretry=2)
+    finally:
+        System.solve = orig_solve
+    # dt 0.1 fails, 0.05 fails, 0.025 succeeds 4x (two halvings -> 4 substeps)
+    assert calls == [0.1, 0.05, 0.025, 0.025, 0.05, 0.025, 0.025]
+    # the diffusion step from the converged substeps decays the sine mode
+    assert 0 < numpy.nanmax(out['u']) < 1.0
+
+    # exhausting maxretry re-raises
+    System.solve = failing_solve
+    try:
+        with pytest.raises(SolverError):
+            system.step(arguments=args, suffix='0', timesteparg='dt',
+                        timestep=0.1, maxretry=1)
+    finally:
+        System.solve = orig_solve
