@@ -134,6 +134,12 @@ class Matrix:
         import scipy.sparse
         return scipy.sparse.csr_matrix((numpy.asarray(self.data), self.indices, self.indptr), shape=self.shape)
 
+    def _device_data(self):
+        '''CSR value array as a device array (no host round-trip when the
+        values already live on device).'''
+        import jax.numpy as jnp
+        return jnp.asarray(self.data)
+
     def export(self, form):
         if form == 'csr':
             return numpy.asarray(self.data), self.indices, self.indptr
@@ -471,11 +477,37 @@ class Matrix:
         healthy diagonal, a diagonal Schur-complement estimate on rows whose
         diagonal is negligible (the pressure block of saddle-point systems),
         which keeps GMRES iteration counts near mesh-independent where naive
-        Jacobi diverges with size.'''
+        Jacobi diverges with size.
+
+        The default is computed ON DEVICE (ops/sparse.schur_diag_inverse_device)
+        from device-resident values and pattern-cached index tables, and cached
+        per matrix: a fresh Newton jacobian costs one O(nnz) jitted pass, not a
+        full weight transfer plus two host scatter passes per solve.  Under a
+        device mesh the host version stays (the sharded drivers expect
+        host-side minv they can lay out themselves).'''
         if precon is None:
-            from .ops.sparse import schur_diag_inverse
-            return 'diag', schur_diag_inverse(
-                numpy.asarray(self.data), self.indices, self.indptr, self.shape[0])
+            from . import parallel
+            cached = getattr(self, '_device_precon_cache', None)
+            if cached is not None and cached[0] == parallel.mesh_token():
+                return cached[1]
+            if parallel.default_mesh() is not None:
+                from .ops.sparse import schur_diag_inverse
+                out = 'diag', schur_diag_inverse(
+                    numpy.asarray(self.data), self.indices, self.indptr, self.shape[0])
+            else:
+                import jax.numpy as jnp
+                from .ops.sparse import schur_diag_inverse_device
+                pat = getattr(self, '_pattern', None)
+                holder = pat if pat is not None else self
+                tabs = getattr(holder, '_precon_tables', None)
+                if tabs is None:
+                    counts = numpy.diff(self.indptr)
+                    rows = numpy.repeat(numpy.arange(self.shape[0]), counts)
+                    tabs = holder._precon_tables = (jnp.asarray(self.indices), jnp.asarray(rows))
+                out = 'diag', schur_diag_inverse_device(
+                    self._device_data(), tabs[0], tabs[1], self.shape[0])
+            self._device_precon_cache = (parallel.mesh_token(), out)
+            return out
         if isinstance(precon, _Precon):
             obj = precon
         else:
@@ -589,8 +621,12 @@ class Matrix:
         granted at the floor.'''
         if not numpy.isfinite(x).all():
             return False
+        if float(resnorm) <= target * 1.001:
+            return True  # short-circuit: the floor (which costs an _inf_norm
+            # pass over the data, a device transfer on fresh jacobians) only
+            # matters when the target was missed
         floor = 16 * numpy.finfo(dt).eps * self._inf_norm() * max(1.0, float(numpy.linalg.norm(x)))
-        return float(resnorm) <= max(target * 1.001, floor)
+        return float(resnorm) <= floor
 
     def _device_krylov(self, method, rhs, *, atol, rtol, maxiter=None, restart=100,
                        precon=None, preconargs=None, _isfree=None):
@@ -613,8 +649,9 @@ class Matrix:
         b64 = numpy.asarray(rhs, dtype=numpy.float64)
         target = max(atol, rtol * float(numpy.linalg.norm(b64)))
         mv_kind, op = self._device_op()
-        dt = numpy.asarray(op[0]).dtype if mv_kind[0] in ('stencil', 'blockgrid') \
-            else numpy.asarray(self.data).dtype
+        # read the dtype off the operand metadata: numpy.asarray here would
+        # pull the full weight buffer over the interconnect just for .dtype
+        dt = numpy.dtype(str(op[0].dtype))
         # stencil operators get a geometric-multigrid V-cycle preconditioner
         # by default: f32 Krylov alone stagnates at O(1) true residual for
         # cond >~1e4 (measured: scipy f32 CG at 263k dofs ends at 0.63
@@ -644,9 +681,11 @@ class Matrix:
                 precon = None
         if kind is None:
             kind, minv = self._device_precon(precon, preconargs)
-            minv = numpy.asarray(minv, dtype=dt)
+            # cast/mask on device: a numpy round-trip here pulls the minv
+            # vector (and on fresh jacobians the whole data array) to host
+            minv = jnp.asarray(minv, dtype=dt)
             if _isfree is not None and kind == 'diag':
-                minv = numpy.where(_isfree, minv, 1.0)
+                minv = jnp.where(jnp.asarray(_isfree), minv, jnp.asarray(1.0, dtype=dt))
         base_kind, base_op = mv_kind, op
         fused_x = None
         fused_it = 0
@@ -682,16 +721,43 @@ class Matrix:
                 if jnp.issubdtype(jnp.asarray(o).dtype, jnp.floating)
                 else jnp.asarray(o) for o in op))
             self._op64_cache = op64_cache
+        import time as _time
+        _t0 = _time.perf_counter()
         fused_x, resnorm, fused_it, rounds = refined_solve_op(
             method, mv_kind, op, b64, target=target, maxiter=cap0,
             restart=restart, minv=minv, precon=kind, op64=op64_cache[1])
+        # attribution record for benches/logs: which operator form, precon,
+        # and iteration counts this solve actually used (the reference logs
+        # the same through treelog, solver.py:495)
+        self._solve_stats = {
+            'method': method,
+            'op_form': mv_kind[0] if not isinstance(mv_kind[0], tuple) else 'masked',
+            'precon': kind if isinstance(kind, str) else kind[0],
+            'iters': int(fused_it), 'rounds': int(rounds),
+            't_fused': _time.perf_counter() - _t0,
+            'accepted_on_device': False,
+        }
+        norm_b = float(numpy.linalg.norm(b64))
         if not numpy.isfinite(fused_x).all():
             fused_x = None
         elif resnorm <= target:
-            # do NOT accept on the device-computed f64 residual: the
-            # emulated-f64 matvec floors ~20x above true float64, so fall
-            # through to the host loop, which recomputes the residual once
-            # via apply64 (one transfer) and routes through _accept
+            if target > 1e-8 * norm_b:
+                # the emulated-f64 device matvec floors ~20x above true
+                # float64 (~4e-15/entry relative): at targets >= 1e-8 |b|
+                # that floor is six decades of margin, so the device-computed
+                # residual IS the true residual to working precision — accept
+                # without a host verification matvec (which would otherwise
+                # materialize/transfer the full operator per solve: the
+                # dominant cost of the measured 983k-dof Newton sub-solve)
+                log.debug(f'{method} converged in {fused_it} device iterations / '
+                          f'{rounds} rounds (device resnorm {resnorm:.1e}, accepted '
+                          f'at loose target {target:.1e})')
+                self._solve_stats['accepted_on_device'] = True
+                return fused_x
+            # tight targets: do NOT accept on the device-computed f64
+            # residual; fall through to the host loop, which recomputes the
+            # residual once via apply64 (one transfer) and routes through
+            # _accept
             log.debug(f'{method} fused pass reached device resnorm {resnorm:.1e} '
                       f'in {fused_it} iterations / {rounds} rounds; verifying on host')
         if base_kind[0] == 'stencil':
@@ -699,7 +765,9 @@ class Matrix:
             # the CSR face of the operator is never materialized on the
             # device solve path (ops/stencil.matvec_numpy)
             from .ops import stencil as _st
-            w64 = numpy.asarray(base_op[0], dtype=numpy.float64)
+            w64 = getattr(self, '_w64_host', None)
+            if w64 is None:
+                w64 = self._w64_host = numpy.asarray(base_op[0], dtype=numpy.float64)
             _sk, _ks, _shape, _per = base_kind
 
             def apply_raw(x):
@@ -927,6 +995,7 @@ class _BlockGridMatrix(Matrix):
         self.indptr = pattern.indptr
         self.indices = pattern.indices
         self.shape = tuple(pattern.shape)
+        self._pattern = pattern  # pattern-level device-table caches persist across Newton steps
         self._w = w_flat
         self._meta = meta
         self._sizes = tuple(int(s) for s in sizes)
@@ -939,6 +1008,18 @@ class _BlockGridMatrix(Matrix):
             self.data = numpy.asarray(self._w)[self._csr_map]
             return self.data
         raise AttributeError(name)
+
+    def _device_data(self):
+        '''CSR values gathered from the device weight buffer via a pattern-
+        cached device copy of the csr map — no host materialization.'''
+        import jax.numpy as jnp
+        holder = getattr(self, '_pattern', None)
+        if holder is None:
+            holder = self
+        cmap = getattr(holder, '_csr_map_dev', None)
+        if cmap is None:
+            cmap = holder._csr_map_dev = jnp.asarray(self._csr_map)
+        return jnp.asarray(self._w)[cmap]
 
     def _device_op(self):
         from . import parallel
