@@ -321,10 +321,12 @@ class HierarchicalTopology(Topology):
             elems[sel] = self._ipl[l][rows[sel] - self._offsets[l]]
         return levels, elems
 
-    def _hier_index(self, levels, elems):
+    def _hier_index(self, levels, elems, strict=True):
         '''Map (level, full-level element) rows to the hierarchical index of
         the *active* element containing them (ancestor walk; the analogue of
-        the reference's transforms.index_with_tail, transformseq.py:15).'''
+        the reference's transforms.index_with_tail, transformseq.py:15).
+        Non-strict mode marks unresolvable rows (no active ancestor-or-self,
+        e.g. the region is refined deeper) with -1 instead of raising.'''
         levels = numpy.broadcast_to(numpy.asarray(levels, dtype=int), numpy.shape(elems)).copy()
         elems = numpy.asarray(elems, dtype=int).copy()
         out = numpy.full(len(elems), -1, dtype=int)
@@ -342,7 +344,12 @@ class HierarchicalTopology(Topology):
             if not todo.any():
                 break
             if (levels[todo] <= 0).any():
-                raise ValueError('element is not part of this hierarchical topology')
+                if not strict:
+                    todo &= levels > 0  # unresolvable: stay -1
+                    if not todo.any():
+                        break
+                else:
+                    raise ValueError('element is not part of this hierarchical topology')
             for l in numpy.unique(levels[todo]):
                 sel = todo & (levels == l)
                 elems[sel] = self.family.parent_of(int(l), elems[sel])
@@ -438,14 +445,18 @@ class HierarchicalTopology(Topology):
             # a subtopology selects its elements (reference: topology.py:531
             # refined_by accepting a Topology)
             t = getattr(refine, 'transforms', None)
+            def _strip(t):
+                while isinstance(t, _topology._WithGroupsTopology):
+                    t = t.parent
+                return t
             if isinstance(t, _ElemRef):
                 refine = t
+            elif _strip(refine) is _strip(self.basetopo) or refine is self:
+                # whole-topology selection (e.g. select() matched every
+                # element and returned the base itself): refine everything
+                refine = _ElemRef(self, numpy.arange(len(self)))
             else:
                 sub = refine._whole_subset()
-                def _strip(t):
-                    while isinstance(t, _topology._WithGroupsTopology):
-                        t = t.parent
-                    return t
                 if sub is None or _strip(sub[0]) is not _strip(self.basetopo):
                     raise ValueError('refine topology is not a subset view of this topology')
                 refine = _ElemRef(HierarchicalTopology(self.basetopo, [numpy.arange(len(sub[0]))]), sub[1])
@@ -550,6 +561,16 @@ class HierarchicalTopology(Topology):
                             named.setdefault(name, []).append((l, int(e), int(k)))
         parts = {name: _HierBoundaryPart(self, items) for name, items in named.items()}
         return UnionTopology(self.space, self.ndims - 1, parts)
+
+    # ------------------------------------------------------------ interfaces
+
+    @functools.cached_property
+    def interfaces(self):
+        '''Interior faces between active elements, including cross-level
+        facets (a fine element's full face against a coarser neighbor) with
+        two-sided lowering (reference: HierarchicalTopology boundary/
+        interfaces via topology.py:2785-2925).'''
+        return _HierInterfaces(self)
 
     # ------------------------------------------------------------ bases
 
@@ -902,6 +923,112 @@ class _HierBoundaryPart(Topology):
         return self.hier.basis(btype, degree, **kwargs)
 
 
+class _HierInterfaces(Topology):
+    '''Interior faces between the active elements of a hierarchical topology.
+
+    Every facet is emitted exactly once, as a full face of the FINER element
+    of the pair (same-level pairs on the positive side only); the first side
+    of the two-sided sample is that emitting element, the normal points from
+    the first into the second side, and both sides lower through lineage
+    charts so any basis of the refinement family evaluates two-sidedly
+    (reference: topology.py:1740 interfaces + HierarchicalTopology edge
+    gluing, topology.py:2785).'''
+
+    def __init__(self, hier):
+        super().__init__(hier.space, hier.ndims - 1)
+        self.hier = hier
+        fam = hier.family
+        if not fam.structured:
+            raise NotImplementedError('interfaces of hierarchical refinements of '
+                                      'unstructured topologies')
+        levels, els = hier._row_level_elem(numpy.arange(len(hier)))
+        base = fam.base
+        ref = fam.levels[0].ref
+        edgeidx = {}
+        for k, (_l, _o, nrm, _r) in enumerate(ref.edges):
+            idim = int(numpy.argmax(numpy.abs(nrm)))
+            edgeidx[idim, int(nrm[idim] > 0)] = k
+        items = []  # (level, elem, face k, nb level, nb elem)
+        for row in range(len(hier)):
+            l, e = int(levels[row]), int(els[row])
+            shape = fam.shape(l)
+            multi = numpy.array(numpy.unravel_index(e, shape))
+            for idim in range(hier.ndims):
+                for side in (0, 1):
+                    nb = multi.copy()
+                    nb[idim] += 1 if side else -1
+                    if idim in base.periodic:
+                        nb[idim] %= shape[idim]
+                    elif nb[idim] < 0 or nb[idim] >= shape[idim]:
+                        continue
+                    nbe = int(numpy.ravel_multi_index(nb, shape))
+                    nrow = int(hier._hier_index([l], [nbe], strict=False)[0])
+                    if nrow < 0:
+                        continue  # neighbor refined deeper: the finer side emits
+                    nl, ne = hier._row_level_elem([nrow])
+                    nl, ne = int(nl[0]), int(ne[0])
+                    if nl == l and side == 0:
+                        continue  # same level: emitted by the positive side
+                    items.append((l, e, edgeidx[idim, side], nl, ne))
+        self.items = items
+        self.ref = ref
+
+    def __len__(self):
+        return len(self.items)
+
+    def sample(self, ischeme, degree=None):
+        hier = self.hier
+        fam = hier.family
+        d = hier.ndims
+        eref = self.ref.edges[0][3]
+        tri_local = hull_local = None
+        if ischeme == 'gauss':
+            pts, wts = eref.gauss(degree)
+        elif ischeme == 'bezier':
+            pts, tri_local, hull_local = eref.bezier(degree)
+            wts = None
+        elif ischeme == 'uniform':
+            pts, wts = eref.uniform(degree or 1)
+        elif ischeme == '_centroid':
+            pts = eref.vertices.mean(0, keepdims=True)
+            wts = None
+        else:
+            raise ValueError(f'unknown interface scheme {ischeme!r}')
+        E, P = len(self.items), len(pts)
+        levels = numpy.asarray([it[0] for it in self.items])
+        elems = numpy.asarray([it[1] for it in self.items])
+        nlevels = numpy.asarray([it[3] for it in self.items])
+        nelems = numpy.asarray([it[4] for it in self.items])
+        flin, foff = fam.frame_affine(levels, elems)
+        coords = numpy.empty((E, P, d))
+        tangents = numpy.empty((E, d, d - 1))
+        normals = numpy.empty((E, d))
+        for i, (l, e, k, _nl, _ne) in enumerate(self.items):
+            elin, eoffs, nrm, _ = self.ref.edges[k]
+            coords[i] = (pts @ elin.T + eoffs) @ flin[i].T + foff[i]
+            tangents[i] = flin[i] @ elin
+            nf = numpy.linalg.inv(flin[i]).T @ nrm
+            normals[i] = nf / numpy.linalg.norm(nf)
+        weights = None if wts is None else numpy.broadcast_to(wts, (E, P)).copy()
+        p_lin0, p_off0 = fam.to_local(levels, elems)
+        p_lin1, p_off1 = fam.to_local(nlevels, nelems)
+        oppo = _sample.Sample(
+            self.space, coords, None if weights is None else weights.copy(),
+            nelems, p_lin1, p_off1, tangents, -normals, tri_local, hull_local,
+            part_ids=numpy.zeros(E, dtype=int), part_topos=[self],
+            batch_key=('hier-iface',), origin_topo=None,
+            lineage=(fam, nlevels, nelems))
+        return _sample.Sample(
+            self.space, coords, weights, elems, p_lin0, p_off0, tangents,
+            normals, tri_local, hull_local, opposite=oppo,
+            part_ids=numpy.zeros(E, dtype=int), part_topos=[self],
+            batch_key=('hier-iface',), origin_topo=None,
+            lineage=(fam, levels, elems))
+
+    def basis(self, btype='std', degree=1, **kwargs):
+        return self.hier.basis(btype, degree, **kwargs)
+
+
 class HierarchicalBasis(function.Basis):
     '''Basis from ragged per-hierarchical-element polynomial tables; lowers on
     any sample of the refinement family through the chart lineage.'''
@@ -932,9 +1059,10 @@ class HierarchicalBasis(function.Basis):
                 sup[dd].append(ielem)
         return [numpy.asarray(s, dtype=int) for s in sup]
 
-    def lower(self, args):
-        chart = args.chart(self.space)
-        E, P = args.points_shape
+    def _resolve_chart(self, chart, E, P):
+        '''Resolve any sample of the refinement family to hierarchical rows
+        plus the active element's local coordinates — shared by the direct
+        ``lower`` and by wrapper bases (Pruned/Masked) that delegate here.'''
         fam = self.topo.family
         lg = chart.lineage
         if lg is None:
@@ -944,8 +1072,14 @@ class HierarchicalBasis(function.Basis):
             lg = (fam, numpy.full(E, hier[1]), chart.index)
         assert lg[0] is fam, 'sample belongs to a different refinement family'
         rows = self.topo._hier_index(lg[1], lg[2])
-        dofs, coeffs = self.get_tables(rows)
         act_l, act_e = self.topo._row_level_elem(rows)
         lin, off = fam.to_local(act_l, act_e)
         xi = function._affine_of_X(chart.X, lin, off, E, P)
+        return rows, xi
+
+    def lower(self, args):
+        chart = args.chart(self.space)
+        E, P = args.points_shape
+        rows, xi = self._resolve_chart(chart, E, P)
+        dofs, coeffs = self.get_tables(rows)
         return function._lower_poly_tables(dofs, coeffs, xi, P, self.ndofs)

@@ -33,6 +33,27 @@ from .unstructured import UnstructuredTopology, UnstructuredBoundary
 _TOL = 1e-12
 
 
+def _is_hier(topo):
+    from .hierarchical import HierarchicalTopology
+    return isinstance(topo, HierarchicalTopology)
+
+
+def _plain_rows(plain, s):
+    '''Element ids of a sample part in ``plain``'s own element numbering
+    (hierarchical samples carry level-local ids plus a lineage).'''
+    if _is_hier(plain):
+        lg = s.specs[0].lineage
+        return plain._hier_index(lg[1], s.index)
+    return s.index
+
+
+def _plain_ref(plain, e):
+    if _is_hier(plain):
+        l, el = plain._row_level_elem([int(e)])
+        return plain.family.ref_of(int(l[0]), int(el[0]))
+    return plain.ref if isinstance(plain, StructuredTopology) else plain._refs[e]
+
+
 def _apply(lin, off, pts):
     '''Affine map of a point table [..., df] -> [..., d].'''
     return numpy.asarray(pts, dtype=float) @ numpy.asarray(lin, dtype=float).T + off
@@ -374,8 +395,7 @@ def trim(topo, levelset, maxrefine, ndivisions=8, name='trimmed', *, arguments=N
     grids = _grids_per_element(plain, smp, vals, n)
     data = [None] * len(plain)
     for e, grid in enumerate(grids):
-        ref = plain.ref if isinstance(plain, StructuredTopology) else plain._refs[e]
-        data[e] = _trim_element(ref, grid, maxrefine, nbins)
+        data[e] = _trim_element(_plain_ref(plain, e), grid, maxrefine, nbins)
     result = TrimmedTopology(topo, data, name)
     result._trim_specs = [(levelset, maxrefine, name, arguments or {})]
     return result
@@ -390,9 +410,10 @@ def _grids_per_element(plain, smp, vals, n):
     for s in parts:
         v = vals[pos:pos + s.npoints].reshape(s.nelems, s.npoints_per_elem)
         pos += s.npoints
+        eids = _plain_rows(plain, s)
         for row in range(s.nelems):
-            e = int(s.index[row])
-            ref = plain.ref if isinstance(plain, StructuredTopology) else plain._refs[e]
+            e = int(eids[row])
+            ref = _plain_ref(plain, e)
             d = ref.ndims
             pts, _t, _h = ref.bezier(n)
             gi = numpy.round(pts * (n - 1)).astype(int)
@@ -432,6 +453,9 @@ class TrimmedTopology(Topology):
     def _frame(self, elems):
         '''Affine maps element-local -> frame coordinates, [E,d,d], [E,d].'''
         d = self.ndims
+        if _is_hier(self.plain):
+            levels, els = self.plain._row_level_elem(numpy.asarray(elems, dtype=int))
+            return self.plain.family.frame_affine(levels, els)
         if isinstance(self.plain, StructuredTopology):
             h = self.plain.root_h
             lin = numpy.broadcast_to(numpy.eye(d) * h, (len(elems), d, d))
@@ -441,6 +465,9 @@ class TrimmedTopology(Topology):
 
     def _to_local(self, elems):
         d = self.ndims
+        if _is_hier(self.plain):
+            levels, els = self.plain._row_level_elem(numpy.asarray(elems, dtype=int))
+            return self.plain.family.to_local(levels, els)
         if isinstance(self.plain, StructuredTopology):
             h = self.plain.root_h
             lin = numpy.broadcast_to(numpy.eye(d) / h, (len(elems), d, d))
@@ -449,7 +476,18 @@ class TrimmedTopology(Topology):
         return lin, numpy.zeros((len(elems), d))
 
     def _ref_of(self, e):
-        return self.plain.ref if isinstance(self.plain, StructuredTopology) else self.plain._refs[e]
+        return _plain_ref(self.plain, e)
+
+    def _chart_of(self, elems):
+        '''(index, origin_topo, lineage) for Sample charts over the given
+        plain-element rows: hierarchical plains carry level-local ids plus a
+        lineage (resolved through Basis._resolve_chart / HierarchicalBasis),
+        flat plains their own ids.'''
+        elems = numpy.asarray(elems, dtype=int)
+        if _is_hier(self.plain):
+            levels, els = self.plain._row_level_elem(elems)
+            return els, None, (self.plain.family, levels, els)
+        return elems, self.plain, None
 
     # ------------------------------------------------------------ sampling
 
@@ -459,7 +497,7 @@ class TrimmedTopology(Topology):
         if len(self.full_elems):
             base = self.plain.sample(ischeme, degree)
             for s in (base.samples if isinstance(base, _sample.ChainedSample) else [base]):
-                rows = numpy.nonzero(numpy.isin(s.index, self.full_elems))[0]
+                rows = numpy.nonzero(numpy.isin(_plain_rows(self.plain, s), self.full_elems))[0]
                 if len(rows):
                     parts.append(_sample.take_rows(s, rows))
         # cut elements: per-subcell batches, bucketed by subcell shape
@@ -498,11 +536,12 @@ class TrimmedTopology(Topology):
             coords = numpy.einsum('eij,pj->epi', lin, pts) + off[:, None, :]
             p_lin, p_off = self._to_local(elems)
             weights = None if wts is None else numpy.broadcast_to(wts, (E, P)).copy()
+            index, otopo, lineage = self._chart_of(elems)
             parts.append(_sample.Sample(
-                self.space, coords, weights, elems, p_lin, p_off, lin,
+                self.space, coords, weights, index, p_lin, p_off, lin,
                 None, tri_local, hull_local,
                 part_ids=numpy.zeros(E, dtype=int), part_topos=[self],
-                batch_key=('trimcell',) + key, origin_topo=self.plain))
+                batch_key=('trimcell',) + key, origin_topo=otopo, lineage=lineage))
         if len(parts) == 1:
             return parts[0]
         return _sample.ChainedSample(parts)
@@ -528,21 +567,10 @@ class TrimmedTopology(Topology):
                 selems.append(e)
         # exposures: faces of kept elements whose neighbor element disappeared
         # entirely join the trimmed group (reference: topology.py:2688-2696)
-        for e, k, nrm in self._exposed_edges():
-            ref = self._ref_of(e)
-            lin, off, _n, eref = ref.edges[k]
-            t = self.data[e]
-            if t.status == 'full':
-                for S in _ref_simplices(eref):
-                    facets.append(_apply(lin, off, S))
-                    nrms.append(nrm)
-                    selems.append(e)
-            else:
-                for S in t.hull:
-                    if self._edge_matches(ref, k, S):
-                        facets.append(S)
-                        nrms.append(nrm)
-                        selems.append(e)
+        for e, S, nrm in self._exposure_pieces():
+            facets.append(S)
+            nrms.append(nrm)
+            selems.append(e)
         if facets:
             specs = getattr(self, '_trim_specs', None)
             if specs is not None and len(specs) > 1:
@@ -560,8 +588,9 @@ class TrimmedTopology(Topology):
                 flin, foff = self._frame(elems)
                 coords = numpy.einsum('eij,epj->epi', flin, pts) + foff[:, None, :]
                 p_lin, p_off = self._to_local(elems)
-                smp = _sample.Sample(self.space, coords, None, elems, p_lin,
-                                     p_off, flin, origin_topo=self.plain)
+                index, otopo, lineage = self._chart_of(elems)
+                smp = _sample.Sample(self.space, coords, None, index, p_lin,
+                                     p_off, flin, origin_topo=otopo, lineage=lineage)
                 scores = numpy.stack([
                     numpy.abs(numpy.asarray(smp.eval(ls, margs))
                               .reshape(len(elems), d + 1)).mean(axis=1)
@@ -579,7 +608,33 @@ class TrimmedTopology(Topology):
             else:
                 parts[self.name] = _TrimFacetPart(self, selems, facets, nrms)
         # base boundary groups, restricted to kept elements and trimmed pieces
-        if isinstance(self.plain, StructuredTopology):
+        if _is_hier(self.plain):
+            from .hierarchical import _HierBoundaryPart
+            for name, bpart in self.plain.boundary.parts.items():
+                assert isinstance(bpart, _HierBoundaryPart)
+                full_items, pieces = [], []
+                for (l, e, k) in bpart.items:
+                    row = int(self.plain._hier_index([l], [e])[0])
+                    t = self.data[row]
+                    if t.status == 'full':
+                        full_items.append((l, e, k))
+                    elif t.status == 'cut':
+                        ref = self._ref_of(row)
+                        nrm = ref.edges[k][2]
+                        for S in t.hull:
+                            if self._edge_matches(ref, k, S):
+                                pieces.append((row, S, nrm.astype(float)))
+                sub = []
+                if full_items:
+                    sub.append(_HierBoundaryPart(self.plain, full_items))
+                if pieces:
+                    sub.append(_TrimFacetPart(self, [p[0] for p in pieces],
+                                              [p[1] for p in pieces], [p[2] for p in pieces]))
+                if len(sub) == 1:
+                    parts[name] = sub[0]
+                elif sub:
+                    parts[name] = UnionTopology(self.space, self.ndims - 1, {f'_{i}': s for i, s in enumerate(sub)})
+        elif isinstance(self.plain, StructuredTopology):
             for name, bpart in self.plain.boundary.parts.items():
                 fsub, pieces = self._structured_group(bpart)
                 sub = []
@@ -612,6 +667,117 @@ class TrimmedTopology(Topology):
                 elif sub:
                     parts[name] = UnionTopology(self.space, self.ndims - 1, {f'_{i}': s for i, s in enumerate(sub)})
         return UnionTopology(self.space, self.ndims - 1, parts)
+
+    def _exposure_pieces(self):
+        '''(elem, facet simplex [d, d] in element-local coordinates, local
+        normal) covering the kept-element face area whose neighboring
+        elements were entirely trimmed away.'''
+        if _is_hier(self.plain):
+            return self._exposure_pieces_hier()
+        out = []
+        for e, k, nrm in self._exposed_edges():
+            ref = self._ref_of(e)
+            lin, off, _n, eref = ref.edges[k]
+            t = self.data[e]
+            if t.status == 'full':
+                for S in _ref_simplices(eref):
+                    out.append((e, _apply(lin, off, S), nrm))
+            else:
+                for S in t.hull:
+                    if self._edge_matches(ref, k, S):
+                        out.append((e, S, nrm))
+        return out
+
+    def _exposure_pieces_hier(self):
+        '''Hierarchical (multi-level) exposure: pass 1 walks kept faces and
+        resolves the neighbor cell at the kept element's own level through
+        the active-ancestor index (covers same-level and kept-finer /
+        empty-coarser); pass 2 walks EMPTY faces whose neighbor resolves to a
+        strictly coarser kept element and emits the empty face's footprint in
+        the kept element's local frame (partial exposure of a coarse face).
+        Reference counterpart: SubsetTopology boundary over a
+        HierarchicalTopology base (topology.py:2665, 2785).'''
+        plain = self.plain
+        fam = plain.family
+        if not fam.structured:
+            raise NotImplementedError('exposure detection on trimmed hierarchical '
+                                      'topologies requires a structured family')
+        out = []
+        status = numpy.array([t.status for t in self.data])
+        if not (status == 'empty').any():
+            return out
+        levels, els = plain._row_level_elem(numpy.arange(len(plain)))
+        base = fam.base
+        ref = base.ref
+        edgeinfo = []
+        for k, (_l, _o, nrm, _r) in enumerate(ref.edges):
+            idim = int(numpy.argmax(numpy.abs(nrm)))
+            edgeinfo.append((idim, int(nrm[idim] > 0), nrm.astype(float), k))
+        kbyn = {(idim, side): k for idim, side, _nrm, k in edgeinfo}
+
+        def neighbor(l, e, idim, side):
+            shape = fam.shape(l)
+            multi = numpy.array(numpy.unravel_index(e, shape))
+            multi[idim] += 1 if side else -1
+            if idim in base.periodic:
+                multi[idim] %= shape[idim]
+            elif multi[idim] < 0 or multi[idim] >= shape[idim]:
+                return None
+            return int(numpy.ravel_multi_index(multi, shape))
+
+        def hidx(l, e):
+            return int(plain._hier_index([l], [e], strict=False)[0])
+
+        for row in numpy.nonzero(status != 'empty')[0]:
+            l, e = int(levels[row]), int(els[row])
+            for idim, side, nrm, k in edgeinfo:
+                nb = neighbor(l, e, idim, side)
+                if nb is None:
+                    continue
+                nrow = hidx(l, nb)
+                if nrow < 0 or status[nrow] != 'empty':
+                    continue
+                t = self.data[row]
+                lin, off, _n, eref = ref.edges[k]
+                if t.status == 'full':
+                    for S in _ref_simplices(eref):
+                        out.append((int(row), _apply(lin, off, S), nrm))
+                else:
+                    for S in t.hull:
+                        if self._edge_matches(ref, k, S):
+                            out.append((int(row), S, nrm))
+        for row in numpy.nonzero(status == 'empty')[0]:
+            l, e = int(levels[row]), int(els[row])
+            for idim, side, nrm, k in edgeinfo:
+                nb = neighbor(l, e, idim, side)
+                if nb is None:
+                    continue
+                nrow = hidx(l, nb)
+                if nrow < 0 or status[nrow] == 'empty' or int(levels[nrow]) >= l:
+                    continue  # same level handled by pass 1 from the kept side
+                nl, ne = int(levels[nrow]), int(els[nrow])
+                flin_e, foff_e = fam._level_frame(l, numpy.array([e]))
+                tl_n, to_n = fam._level_to_local(nl, numpy.array([ne]))
+                lin, off, _n, eref = ref.edges[k]
+                knrm = -nrm  # kept element's outward normal points into the empty
+                t = self.data[nrow]
+                if t.status == 'full':
+                    for S in _ref_simplices(eref):
+                        frame = _apply(flin_e[0], foff_e[0], _apply(lin, off, S))
+                        out.append((int(nrow), _apply(tl_n[0], to_n[0], frame), knrm))
+                else:
+                    # hull pieces of the cut kept element on the shared plane,
+                    # restricted to the empty face's footprint box
+                    corners = _apply(tl_n[0], to_n[0], _apply(
+                        flin_e[0], foff_e[0], _apply(lin, off, eref.vertices)))
+                    lo = corners.min(axis=0) - _TOL
+                    hi = corners.max(axis=0) + _TOL
+                    k2 = kbyn[idim, 1 - side]
+                    for S in t.hull:
+                        c = numpy.asarray(S, dtype=float).mean(axis=0)
+                        if self._edge_matches(ref, k2, S) and (c >= lo).all() and (c <= hi).all():
+                            out.append((int(nrow), S, knrm))
+        return out
 
     def _exposed_edges(self):
         '''(elem, iedge, normal) for kept-element faces whose neighbor element
@@ -732,11 +898,12 @@ class _TrimFacetPart(Topology):
         nrm = nrm / numpy.linalg.norm(nrm, axis=1, keepdims=True)
         p_lin, p_off = self.trimmed._to_local(self.elems)
         weights = None if wts is None else numpy.broadcast_to(wts, (E, P)).copy()
+        index, otopo, lineage = self.trimmed._chart_of(self.elems)
         return _sample.Sample(
-            self.space, coords, weights, self.elems, p_lin, p_off, tangents,
+            self.space, coords, weights, index, p_lin, p_off, tangents,
             nrm, tri_local, hull_local,
             part_ids=numpy.zeros(E, dtype=int), part_topos=[self],
-            batch_key=('trimseg',), origin_topo=self.trimmed.plain)
+            batch_key=('trimseg',), origin_topo=otopo, lineage=lineage)
 
     def basis(self, btype='std', degree=1, **kwargs):
         return self.trimmed.basis(btype, degree, **kwargs)

@@ -168,10 +168,24 @@ def test_hierarchical_basis(btype, degree):
     basis = topo.basis(btype, degree=degree)
     if btype.startswith('th-'):
         check_partition_of_unity(topo, basis)
-    try:
-        check_basis_continuity(topo, geom, basis)
-    except NotImplementedError:
-        pytest.xfail('hierarchical interfaces not implemented yet (known gap)')
+    check_basis_continuity(topo, geom, basis)
+
+
+def test_hierarchical_interfaces_measure():
+    '''Facet count and total measure of hierarchical interfaces, including
+    the cross-level (fine face vs coarse neighbor) facets (reference:
+    HierarchicalTopology interface gluing, topology.py:2785-2925).'''
+    topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 3)] * 2)
+    ref = topo.refined_by([0])
+    ifc = ref.interfaces
+    # 4 fine-fine (h=1/4) + 4 fine-coarse (h=1/4) + 2 coarse-coarse (h=1/2)
+    assert len(ifc) == 10
+    length = float(_integrate(ifc.sample('gauss', 2), function.J(geom)))
+    assert length == pytest.approx(3.0, abs=1e-12)
+    # two-sided geometry: opposite() of the coordinates is the identity
+    smp = ifc.sample('gauss', 2)
+    x0, x1 = (numpy.asarray(v) for v in smp.eval([geom, function.opposite(geom)], {}))
+    numpy.testing.assert_allclose(x0, x1, atol=1e-13)
 
 
 def test_hierarchical_unstructured_th_pou():
