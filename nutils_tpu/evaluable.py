@@ -682,6 +682,41 @@ class Eigh(Array):
         return w if self.what == 'values' else v
 
 
+class EigGeneral(Array):
+    '''General (non-symmetric) eigendecomposition over the last two axes
+    (reference: evaluable.Eig with symmetric=False, evaluable.py:3149).
+
+    ``what`` selects values [..., n] or vectors [..., n, n]; ``part`` selects
+    the real or imaginary component — the complex pair is assembled at the
+    function layer (function.eig), which carries complex arrays split into
+    real/imag.  The LAPACK routine runs on host through a pure callback:
+    nonsymmetric eigensolves have no TPU kernel and are never on a solve hot
+    path.'''
+
+    def __init__(self, func, what, part):
+        assert func.ndim >= 2 and func.shape[-1] == func.shape[-2] and func.dtype == float
+        assert what in ('values', 'vectors') and part in ('real', 'imag')
+        self.func = func
+        self.what = what
+        self.part = part
+        shape = func.shape[:-1] if what == 'values' else func.shape
+        super().__init__((func,), (what, part), shape, float)
+
+    def evalf(self, A):
+        import jax
+        what, part = self.what, self.part
+
+        def host_eig(a):
+            w, v = numpy.linalg.eig(numpy.asarray(a, dtype=numpy.float64))
+            out = w if what == 'values' else v
+            out = out.real if part == 'real' else out.imag
+            return numpy.ascontiguousarray(out)
+
+        shape = A.shape[:-1] if what == 'values' else A.shape
+        res = jax.pure_callback(host_eig, jax.ShapeDtypeStruct(tuple(shape), numpy.float64), A)
+        return res.astype(A.dtype)
+
+
 # ------------------------------------------------------------------ calculus
 
 class Grad(Array):

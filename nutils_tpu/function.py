@@ -714,6 +714,21 @@ class _Eig(Array):
         return ev.Eigh(ev.astype(self.arg.lower(args), float), self.what)
 
 
+class _EigGeneral(Array):
+    '''One real/imag part of the general eigendecomposition (reference:
+    evaluable.Eig symmetric=False, evaluable.py:3149).'''
+
+    def __init__(self, arg, what, part):
+        self.arg = arg
+        self.what = what
+        self.part = part
+        shape = arg.shape[:-1] if what == 'values' else arg.shape
+        super().__init__(shape, float, arg.spaces, arg.arguments)
+
+    def lower(self, args):
+        return ev.EigGeneral(ev.astype(self.arg.lower(args), float), self.what, self.part)
+
+
 # -------------------------------------------------------------- geometry ops
 
 class _RootCoords(Array):
@@ -2057,6 +2072,26 @@ def eig_values(a):
     return _Eig(asarray(a), 'values')
 
 
+def eigh(a):
+    '''(values, vectors) of a symmetric matrix over the last two axes
+    (reference: function.py:3670 via numpy.linalg.eigh).'''
+    a = asarray(a)
+    assert a.ndim >= 2 and a.shape[-1] == a.shape[-2], 'eigh requires square trailing axes'
+    return _Eig(a, 'values'), _Eig(a, 'vectors')
+
+
+def eig(a):
+    '''(values, vectors) of a general square matrix over the last two axes,
+    complex-valued (reference: function.py:3666 / evaluable.Eig,
+    evaluable.py:3149).'''
+    a = asarray(a)
+    assert a.ndim >= 2 and a.shape[-1] == a.shape[-2], 'eig requires square trailing axes'
+    assert a.dtype != complex, 'eig of a complex operand is not supported'
+    w = _Complex(_EigGeneral(a, 'values', 'real'), _EigGeneral(a, 'values', 'imag'))
+    v = _Complex(_EigGeneral(a, 'vectors', 'real'), _EigGeneral(a, 'vectors', 'imag'))
+    return w, v
+
+
 def opposite(a):
     return _Opposite(asarray(a))
 
@@ -2445,7 +2480,7 @@ _FUNC_MAP = {
     numpy.sum: sum_, numpy.transpose: transpose, numpy.stack: stack,
     numpy.concatenate: concatenate, numpy.einsum: einsum,
     numpy.linalg.inv: inverse, numpy.linalg.det: determinant,
-    numpy.linalg.norm: norm,
+    numpy.linalg.norm: norm, numpy.linalg.eig: eig, numpy.linalg.eigh: eigh,
     numpy.sqrt: sqrt, numpy.trace: trace,
     numpy.where: where, numpy.choose: choose, numpy.prod: prod,
     numpy.broadcast_arrays: broadcast_arrays, numpy.broadcast_to: broadcast_to,

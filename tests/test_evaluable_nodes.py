@@ -164,6 +164,50 @@ def test_eigh():
                                   w[:, None, :] * v, rtol=1e-9, atol=1e-9)
 
 
+def test_eig_general():
+    '''Non-symmetric eigendecomposition via the host-callback node
+    (reference: evaluable.Eig symmetric=False, evaluable.py:3149).'''
+    A = rng.rand(4, 3, 3)
+    w_want, v_want = numpy.linalg.eig(A)
+    wr = run(ev.EigGeneral(ev.constant(A), 'values', 'real'))
+    wi = run(ev.EigGeneral(ev.constant(A), 'values', 'imag'))
+    vr = run(ev.EigGeneral(ev.constant(A), 'vectors', 'real'))
+    vi = run(ev.EigGeneral(ev.constant(A), 'vectors', 'imag'))
+    w = wr + 1j * wi
+    v = vr + 1j * vi
+    # eigenvalues up to ordering: compare sorted by (real, imag)
+    key = lambda z: numpy.lexsort((z.imag.round(9), z.real.round(9)))
+    for b in range(4):
+        numpy.testing.assert_allclose(w[b][key(w[b])], w_want[b][key(w_want[b])],
+                                      rtol=1e-9, atol=1e-10)
+    # vectors satisfy A v = w v
+    numpy.testing.assert_allclose(numpy.einsum('nij,njk->nik', A.astype(complex), v),
+                                  w[:, None, :] * v, rtol=1e-8, atol=1e-9)
+
+
+def test_function_eig():
+    '''function.eig / function.eigh and their numpy protocol dispatch
+    (reference: function.py:3666-3673).'''
+    from nutils_tpu import function, mesh
+    topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 3)])
+    smp = topo.sample('gauss', 1)
+    t = geom[0]
+    rot = function.stack([function.stack([function.cos(t), -function.sin(t)], 0),
+                          function.stack([function.sin(t), function.cos(t)], 0)], 0)
+    w, v = numpy.linalg.eig(rot)  # dispatches to function.eig, complex result
+    wr = numpy.asarray(smp.eval(w.real, {}))
+    wi = numpy.asarray(smp.eval(w.imag, {}))
+    tv = numpy.asarray(smp.eval(t, {}))
+    # rotation matrix eigenvalues are cos(t) +- i sin(t)
+    numpy.testing.assert_allclose(numpy.sort(wr, -1), numpy.sort(numpy.stack([numpy.cos(tv)] * 2, -1), -1), atol=1e-12)
+    numpy.testing.assert_allclose(numpy.sort(wi, -1), numpy.sort(numpy.stack([-numpy.sin(tv), numpy.sin(tv)], -1), -1), atol=1e-12)
+    # symmetric pair API
+    sym = rot + function.transpose(rot, (1, 0))
+    ws, vs = numpy.linalg.eigh(sym)
+    wsv = numpy.asarray(smp.eval(ws, {}))
+    assert wsv.shape[-1] == 2
+
+
 def test_monomials_legendre():
     x = rng.rand(5)
     m = run(ev.Monomials(ev.constant(x), 4))
