@@ -3,20 +3,28 @@
 Prints one JSON line per metric as soon as it is measured, then a final
 summary line (the driver's headline) carrying all metrics in a "sub" dict:
 
-a. laplace_assembly   — fused residual+jacobian assembly, GDOF/s, f32 device.
-b. laplace_solve      — assembly + device-CG solve (Jacobi precon) of an SPD
-                        reaction-diffusion system, wall-clock seconds, rtol
-                        1e-10: the inner Krylov loop runs in f32 on device
-                        (stencil-form matvec at the HBM roofline) and an
-                        outer f64 iterative-refinement loop contracts the
-                        true residual past the f32 drift floor
-                        (matrix._device_krylov).
+a. laplace_assembly   — fused residual+jacobian assembly, GDOF/s, f32 device;
+                        also records the per-call device time amortized over
+                        10 pipelined dispatches (tunnel latency overlapped).
+b. laplace_solve      — assembly + device-CG solve of an SPD reaction-
+                        diffusion system, wall-clock seconds, rtol 1e-10: the
+                        auto-selected preconditioner is the geometric-
+                        multigrid V-cycle on the stencil form
+                        (matrix._device_krylov/_mg); the inner Krylov loop
+                        runs in f32 on device and an outer f64 iterative-
+                        refinement loop contracts the true residual past the
+                        f32 drift floor.  The actually-used operator form,
+                        preconditioner and iteration counts are recorded in
+                        'solve_stats'; 'matvec' carries the amortized on-chip
+                        matvec time and achieved HBM GB/s.
 c. ns_newton_step     — one Newton step of a cylinderflow-class nonsymmetric
                         system (Taylor-Hood Navier-Stokes time step with
                         convection at a nonzero state): fused jacobian +
-                        residual assembly plus device-GMRES sub-solve at the
-                        reference's Newton rtol 1e-3 (reference:
-                        solver.py:657), wall-clock seconds.
+                        residual assembly plus device-GMRES sub-solve (block-
+                        grid operator form, Schur-aware diagonal scaling,
+                        device-resident end to end) at the reference's Newton
+                        rtol 1e-3 (reference: solver.py:657), wall-clock
+                        seconds.  This is the HEADLINE metric.
 
 Wall-clock discipline (the TPU tunnel of this environment intermittently
 degrades to minute-scale stalls inside C-level device calls, which killed the
@@ -26,14 +34,15 @@ subprocess under a share of BENCH_TOTAL_BUDGET (default 20 min); each
 section's JSON line is flushed the moment it completes so a kill still leaves
 partial numbers on record.
 
-vs_baseline = speedup over the same pipeline jitted on the host CPU (the
-reference, evalf/nutils, is a CPU/numpy framework with no published numbers —
-BASELINE.md — so the CPU run of this same code stands in as the baseline).
-The CPU baseline is persisted in the committed file bench_baseline.json (it
-does not change between runs); regenerate with `python bench.py
---make-baseline`.  The headline keeps round-1's f32-device vs f64-CPU
-assembly ratio for continuity; each sub-metric also carries a dtype-matched
-f32-CPU ratio.
+vs_baseline = speedup over GENUINE reference nutils (evalf/nutils @ 10a8, run
+on this host's CPU through the pure-python dependency shims in refshims/ —
+bench_reference.py measures the identical three problems through the
+reference's own System/assemble/solve stack and persists them under the
+'reference' key of the committed bench_baseline.json; BASELINE.md items 1-2).
+Each sub-metric also carries 'vs_cpu_f32': the same-code-on-CPU ratio that
+earlier rounds reported as vs_baseline.  Regenerate the same-code baseline
+with `python bench.py --make-baseline` and the reference baseline with
+`python bench_reference.py` (offline; ~15 min).
 '''
 
 import json
@@ -119,13 +128,61 @@ def _commit(clean):
     return out
 
 
+def _platform():
+    import jax
+    return jax.default_backend()
+
+
+def _matvec_microbench(jac, n_async=20):
+    '''On-chip matvec time amortized over ``n_async`` back-to-back async
+    dispatches (the tunnel's per-call dispatch latency overlaps, so the
+    amortized per-call time approaches pure device execution), plus the
+    achieved HBM bandwidth from a conservative traffic model of the
+    stencil/blockgrid slice matvec (weights + operand read + result write).'''
+    import jax
+    import jax.numpy as jnp
+    from nutils_tpu.ops.sparse import _make_matvec
+    mv_kind, op = jac._device_op()
+    mv = jax.jit(_make_matvec(mv_kind))
+    n = jac.shape[0]
+    dt = numpy.dtype(str(op[0].dtype))
+    x = jnp.ones(n, dt)
+    y = mv(op, x)
+    jax.block_until_ready(y)  # compile + warmup
+    scale = jnp.asarray(0.001, dt)  # keep the chained iterates off inf/NaN
+    t0 = time.perf_counter()
+    for _ in range(n_async):
+        x = mv(op, x) * scale  # chained: forces sequential device execution
+    jax.block_until_ready(x)
+    t = (time.perf_counter() - t0) / n_async
+    # traffic model from the device operands themselves (forcing the CSR
+    # pattern for an nnz count would cost a 10M-entry host sort): weight
+    # arrays read once, operand vector read once per weight slice, result
+    # written once
+    nweights = sum(int(numpy.prod(o.shape)) for o in op
+                   if hasattr(o, 'dtype') and numpy.issubdtype(numpy.dtype(str(o.dtype)), numpy.floating))
+    traffic = (2 * nweights + n) * dt.itemsize
+    return {'op_form': mv_kind[0], 't_device_matvec': t,
+            'gbps': traffic / t / 1e9 if t > 0 else None}
+
+
 def bench_laplace_assembly(nelems, dtype, repeats=10):
+    import jax
     system = build_laplace(nelems, dtype)
     ndofs = system.trial_shapes[0][0]
     clean = _commit(system._clean({'u': numpy.zeros(ndofs)}))
     fn = system._compiled('jacres')
     t, _ = _mintime(lambda: fn(clean), repeats)
-    return {'ndofs': ndofs, 't_assemble': t, 'gdofs': ndofs / t / 1e9}
+    # amortized per-call device time: n back-to-back async dispatches
+    # overlap the tunnel latency, so the mean approaches on-chip execution
+    n_async = 10
+    t0 = time.perf_counter()
+    outs = [fn(clean) for _ in range(n_async)]
+    jax.block_until_ready(outs)
+    t_dev = (time.perf_counter() - t0) / n_async
+    return {'ndofs': ndofs, 't_assemble': t, 'gdofs': ndofs / t / 1e9,
+            't_device': t_dev, 'gdofs_device': ndofs / t_dev / 1e9,
+            'platform': _platform()}
 
 
 def bench_laplace_solve(nelems, dtype, rtol=1e-10, repeats=3):
@@ -139,20 +196,31 @@ def bench_laplace_solve(nelems, dtype, rtol=1e-10, repeats=3):
     t_solve, x = _mintime(lambda: jac.solve(res, solver='cg', rtol=rtol), repeats)
     resnorm = float(numpy.linalg.norm(res - jac @ x) / numpy.linalg.norm(res))
     return {'ndofs': ndofs, 't_assemble': t_asm, 't_solve': t_solve,
-            't_total': t_asm + t_solve, 'rel_residual': resnorm}
+            't_total': t_asm + t_solve, 'rel_residual': resnorm,
+            'solve_stats': getattr(jac, '_solve_stats', None),
+            'matvec': _matvec_microbench(jac), 'platform': _platform()}
 
 
 def bench_ns_newton(nelems, dtype, rtol=1e-3, repeats=3):
+    import jax
     system, args = build_ns(nelems, dtype)
     ndofs = sum(int(numpy.prod(s)) for s in system.trial_shapes)
     clean = _commit(system._clean(args))
     fn = system._compiled('jacres')
     t_asm, _ = _mintime(lambda: fn(clean), repeats)
+    n_async = 10
+    t0 = time.perf_counter()
+    outs = [fn(clean) for _ in range(n_async)]
+    jax.block_until_ready(outs)
+    t_asm_dev = (time.perf_counter() - t0) / n_async
     jac, res = system.assemble_jacobian_residual(args)
     t_solve, dx = _mintime(lambda: jac.solve_leniently(res, solver='gmres', rtol=rtol), repeats)
     resnorm = float(numpy.linalg.norm(res - jac @ dx) / numpy.linalg.norm(res))
-    return {'ndofs': ndofs, 't_assemble': t_asm, 't_solve': t_solve,
-            't_total': t_asm + t_solve, 'rel_residual': resnorm}
+    return {'ndofs': ndofs, 't_assemble': t_asm, 't_assemble_device': t_asm_dev,
+            't_solve': t_solve,
+            't_total': t_asm + t_solve, 'rel_residual': resnorm,
+            'solve_stats': getattr(jac, '_solve_stats', None),
+            'matvec': _matvec_microbench(jac), 'platform': _platform()}
 
 
 _SECTIONS = {
@@ -247,18 +315,22 @@ def _run_sections_streaming(names, nelems, ns_nelems, dtype, budget):
 
 
 def _load_baseline(nelems, ns_nelems):
+    '''(same-code CPU sections, reference-nutils CPU sections) from the
+    committed bench_baseline.json.  The ``reference`` key holds genuine
+    evalf/nutils wall-clocks measured on this host through refshims/
+    (bench_reference.py; BASELINE.md items 1-2).'''
     try:
         with open(_BASELINE_FILE) as f:
             base = json.load(f)
         if base.get('nelems') == nelems and base.get('ns_nelems') == ns_nelems:
-            return base['sections']
+            return base['sections'], base.get('reference')
         print('bench_baseline.json is for different sizes; ignoring', file=sys.stderr)
     except FileNotFoundError:
         print('bench_baseline.json missing; vs_baseline will be NaN '
               '(regenerate: python bench.py --make-baseline)', file=sys.stderr)
     except Exception as e:
         print(f'bench_baseline.json unreadable: {e}', file=sys.stderr)
-    return None
+    return None, None
 
 
 def _make_baseline(nelems, ns_nelems, budget_per_section):
@@ -323,7 +395,7 @@ def main():
     total_budget = int(os.environ.get('BENCH_TOTAL_BUDGET', '1200'))
     deadline = time.monotonic() + total_budget
 
-    cpu = _load_baseline(nelems, ns_nelems)
+    cpu, ref = _load_baseline(nelems, ns_nelems)
 
     device_ok = _probe_device(budget=min(90, total_budget // 4))
     platform = None if device_ok else 'cpu'  # None inherits the env (TPU via tunnel)
@@ -331,29 +403,32 @@ def main():
         print('TPU tunnel down (probe timed out); running all sections on host CPU',
               file=sys.stderr)
 
-    def ratio(metric, field, sec):
+    def ratio(metric, field, sec, base=None):
         try:
-            return round(cpu[metric][field] / sec[field], 2)
+            return round((cpu if base is None else base)[metric][field] / sec[field], 2)
         except Exception:
             return float('nan')
 
     def tag(sec):
-        return ' [cpu-fallback: TPU tunnel down]' if sec.get('platform') else ''
+        return ' [cpu-fallback: TPU tunnel down]' if sec.get('platform') in ('cpu-fallback',) else ''
 
     _LINE = {
         'laplace_assembly': lambda a: {
             'metric': f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, f32){tag(a)}',
             'value': round(a['gdofs'], 4), 'unit': 'GDOF/s',
-            'vs_baseline': ratio('laplace_assembly', 't_assemble', a)},
+            'vs_baseline': ratio('laplace_assembly', 't_assemble', a, ref),
+            'vs_cpu_f32': ratio('laplace_assembly', 't_assemble', a)},
         'laplace_solve': lambda b: {
-            'metric': (f'laplace assemble + device-CG solve ({b["ndofs"]} dofs, rtol 1e-10, '
+            'metric': (f'laplace assemble + device-MG-CG solve ({b["ndofs"]} dofs, rtol 1e-10, '
                        f'f32 device inner + f64 iterative refinement){tag(b)}'),
             'value': round(b['t_total'], 4), 'unit': 's',
-            'vs_baseline': ratio('laplace_solve', 't_total', b)},
+            'vs_baseline': ratio('laplace_solve', 't_total', b, ref),
+            'vs_cpu_f32': ratio('laplace_solve', 't_total', b)},
         'ns_newton_step': lambda c: {
             'metric': f'navier-stokes newton step, assemble + device-GMRES rtol 1e-3 ({c["ndofs"]} dofs, f32){tag(c)}',
             'value': round(c['t_total'], 4), 'unit': 's',
-            'vs_baseline': ratio('ns_newton_step', 't_total', c)},
+            'vs_baseline': ratio('ns_newton_step', 't_total', c, ref),
+            'vs_cpu_f32': ratio('ns_newton_step', 't_total', c)},
     }
 
     results = {}
@@ -389,22 +464,25 @@ def main():
             print(json.dumps(_LINE[name](res)), flush=True)
         results[name] = res
 
-    a = results.get('laplace_assembly')
-    try:
-        vs_f64 = round(cpu['laplace_assembly_f64']['t_assemble'] / a['t_assemble'], 2)
-    except Exception:
-        vs_f64 = float('nan')
+    # headline: the north-star metric (BASELINE.json) — the Navier-Stokes
+    # Newton step against GENUINE reference nutils measured on this host's
+    # CPU (bench_baseline.json 'reference' key, BASELINE.md items 1-2)
+    c = results.get('ns_newton_step')
     print(json.dumps({
-        'metric': (f'laplace assembly throughput ({a["ndofs"]} dofs, fused jacobian+residual, '
-                   f'f32 TPU vs f64 CPU){tag(a)}') if a else 'bench timed out (degraded TPU tunnel)',
-        'value': round(a['gdofs'], 4) if a else float('nan'),
-        'unit': 'GDOF/s',
-        'vs_baseline': vs_f64,
+        'metric': (f'navier-stokes newton step, assemble + device-GMRES rtol 1e-3 '
+                   f'({c["ndofs"]} dofs, f32 TPU) vs reference nutils (CPU, scipy '
+                   f'backend){tag(c)}') if c else 'bench timed out (degraded TPU tunnel)',
+        'value': round(c['t_total'], 4) if c else float('nan'),
+        'unit': 's',
+        'vs_baseline': ratio('ns_newton_step', 't_total', c, ref) if c else float('nan'),
         'sub': {
-            name: ({**res, 'vs_cpu_f32': ratio(name, 't_total' if 't_total' in res else 't_assemble', res)}
+            name: ({**res,
+                    'vs_cpu_f32': ratio(name, 't_total' if 't_total' in res else 't_assemble', res),
+                    'vs_reference': ratio(name, 't_total' if 't_total' in res else 't_assemble', res, ref)}
                    if res else None)
             for name, res in results.items()
         },
+        'reference_baseline': ref,
     }), flush=True)
 
 
