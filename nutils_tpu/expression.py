@@ -21,6 +21,23 @@ class ExpressionSyntaxError(Exception):
     pass
 
 
+def _fail(s, msg, *regions):
+    '''Raise in the reference's annotated format — the message, the
+    expression, and a marker line with ``^`` under the primary region and
+    ``~`` under secondary ones (reference: expression_v2.py:208
+    ExpressionSyntaxError carets).  Each region is ((start, end), char).'''
+    line = [' '] * (len(s) + 1)
+    for (start, end), ch in regions:
+        for k in range(max(start, 0), min(max(end, start + 1), len(line))):
+            line[k] = ch
+    raise ExpressionSyntaxError(msg + '\n' + s + '\n' + ''.join(line).rstrip())
+
+
+def _ordinal(n):
+    return ('first', 'second', 'third', 'fourth', 'fifth', 'sixth', 'seventh',
+            'eighth', 'ninth', 'tenth')[n] if n < 10 else f'{n + 1}th'
+
+
 _TOKEN = re.compile(r'''
       (?P<number>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?)
     | (?P<name>[^\W\d_0-9]\w*|[^\x00-\x7F][\w]*)
@@ -40,12 +57,18 @@ def _isname_char(c):
 
 
 class _Token:
-    __slots__ = 'kind', 'text', 'spaced'
+    __slots__ = 'kind', 'text', 'spaced', 'start', 'end'
 
-    def __init__(self, kind, text, spaced):
+    def __init__(self, kind, text, spaced, start=0):
         self.kind = kind
         self.text = text
         self.spaced = spaced  # whitespace preceded this token
+        self.start = start
+        self.end = start + len(text)
+
+    @property
+    def span(self):
+        return self.start, self.end
 
     def __repr__(self):
         return f'{self.kind}:{self.text}'
@@ -65,21 +88,21 @@ def _tokenize(s):
         c = s[i]
         if c.isdigit() or c == '.':
             m = re.match(r'(?:\d+\.\d*|\.\d+|\d+)(?:[eE][-+]?\d+)?', s[i:])
-            tokens.append(_Token('number', m.group(), spaced))
+            tokens.append(_Token('number', m.group(), spaced, i))
             i += m.end()
         elif c in '()[]{}^/+-_':
             kind = {'(': 'lpar', ')': 'rpar', '[': 'lbrk', ']': 'rbrk', '{': 'lbrc', '}': 'rbrc',
                     '^': 'pow', '/': 'slash', '+': 'plus', '-': 'minus', '_': 'under'}[c]
-            tokens.append(_Token(kind, c, spaced))
+            tokens.append(_Token(kind, c, spaced, i))
             i += 1
         elif _isname_char(c):
             j = i + 1
             while j < n and (_isname_char(s[j]) or s[j].isdigit()):
                 j += 1
-            tokens.append(_Token('name', s[i:j], spaced))
+            tokens.append(_Token('name', s[i:j], spaced, i))
             i = j
         else:
-            raise ExpressionSyntaxError(f'unexpected character {c!r} in expression {s!r}')
+            _fail(s, f'Unexpected character {c!r}.', ((i, i + 1), '^'))
     return tokens
 
 
@@ -125,9 +148,7 @@ def _mul(a, b, s):
     return _Frag(r, indices)
 
 
-def _addsub(a, b, op, s):
-    if set(a.indices) != set(b.indices):
-        raise ExpressionSyntaxError(f'index mismatch between terms of {s!r}: {a.indices!r} vs {b.indices!r}')
+def _addsub(a, b, op):
     B = _align(b, a.indices)
     r = function.add(a.array, B) if op == '+' else function.subtract(a.array, B)
     return _Frag(r, a.indices)
@@ -140,6 +161,24 @@ class _Parser:
         self.s = s
         self.toks = _tokenize(s)
         self.pos = 0
+        self._last_end = 0
+        # per-term index-occurrence scopes (the reference's occurs-more-than-
+        # twice rule counts textual occurrences across a whole fraction;
+        # parenthesized subexpressions open a fresh scope and contribute only
+        # their free indices)
+        self._occ = [{}]
+
+    def _note(self, indices):
+        c = self._occ[-1]
+        for ch in indices:
+            if ch.isalpha():
+                c[ch] = c.get(ch, 0) + 1
+
+    def _push_scope(self):
+        self._occ.append({})
+
+    def _pop_scope(self):
+        self._occ.pop()
 
     def peek(self, k=0):
         return self.toks[self.pos + k] if self.pos + k < len(self.toks) else None
@@ -147,64 +186,116 @@ class _Parser:
     def next(self):
         t = self.peek()
         if t is None:
-            raise ExpressionSyntaxError(f'unexpected end of expression {self.s!r}')
+            _fail(self.s, 'Unexpected end of expression.', ((len(self.s), len(self.s) + 1), '^'))
         self.pos += 1
+        self._last_end = t.end
         return t
 
     def expect(self, kind):
         t = self.next()
         if t.kind != kind:
-            raise ExpressionSyntaxError(f'expected {kind} but found {t.text!r} in {self.s!r}')
+            sym = {'rpar': "')'", 'rbrk': "']'", 'rbrc': "'}'", 'number': 'a number'}.get(kind, kind)
+            _fail(self.s, f'Expected {sym} but found {t.text!r}.', (t.span, '^'))
         return t
+
+    def _start(self):
+        t = self.peek()
+        return t.start if t is not None else len(self.s)
 
     # expression := ['-'] term (('+'|'-') term)*
     def parse_expression(self):
         neg = False
         t = self.peek()
+        first_start = self._start()
         if t is not None and t.kind == 'minus':
             self.next()
             neg = True
         frag = self.parse_term()
+        first_span = (first_start, self._last_end)
+        first = frag
         if neg:
             frag = _Frag(function.negative(frag.array), frag.indices)
+        nterm = 1
         while True:
             t = self.peek()
             if t is None or t.kind not in ('plus', 'minus'):
                 break
             op = self.next().text
+            t_start = self._start()
             rhs = self.parse_term()
-            frag = _addsub(frag, rhs, op, self.s)
+            rhs_span = (t_start, self._last_end)
+            nterm += 1
+            self._check_term_indices(first, first_span, rhs, rhs_span, nterm)
+            frag = _addsub(frag, rhs, op)
         return frag
 
-    # term := factors ['/' factors]...
+    def _check_term_indices(self, first, first_span, rhs, rhs_span, nterm):
+        '''Index-set and index-length agreement of term ``nterm`` against the
+        first term, with both terms marked (reference error surface:
+        test_expression_v2.Parser.test_parse_expression).'''
+        for i in first.indices:
+            if i not in rhs.indices:
+                _fail(self.s, f'Index {i} of the first term [^] is missing in the '
+                      f'{_ordinal(nterm - 1)} term [~].', (first_span, '^'), (rhs_span, '~'))
+        for i in rhs.indices:
+            if i not in first.indices:
+                _fail(self.s, f'Index {i} of the {_ordinal(nterm - 1)} term [~] is '
+                      'missing in the first term [^].', (first_span, '^'), (rhs_span, '~'))
+        for i in first.indices:
+            la = first.array.shape[first.indices.index(i)]
+            lb = rhs.array.shape[rhs.indices.index(i)]
+            if la != lb:
+                _fail(self.s, f'Index {i} has length {la} in the first term [^] but '
+                      f'length {lb} in the {_ordinal(nterm - 1)} term [~].',
+                      (first_span, '^'), (rhs_span, '~'))
+
+    # term := factors ['/' factors]
     def parse_term(self):
-        frag = self.parse_factors(allow_leading_number=True)
-        while True:
+        start = self._start()
+        self._push_scope()
+        try:
+            frag = self.parse_factors(allow_leading_number=True)
             t = self.peek()
-            if t is None or t.kind != 'slash':
-                break
-            self.next()
-            den = self.parse_factors(allow_leading_number=True)
-            if den.indices:
-                raise ExpressionSyntaxError(f'denominator must be scalar in {self.s!r}')
-            frag = _Frag(function.divide(frag.array, den.array), frag.indices)
+            if t is not None and t.kind == 'slash':
+                self.next()
+                den_start = self._start()
+                den = self.parse_factors(allow_leading_number=True)
+                den_span = (den_start, self._last_end)
+                if den.indices:
+                    _fail(self.s, 'The denominator must have dimension zero.', (den_span, '^'))
+                t = self.peek()
+                if t is not None and t.kind == 'slash':
+                    # scan to the end of the repeated fraction for the marker
+                    while self.peek() is not None and self.peek().kind not in ('plus', 'minus', 'rpar', 'rbrk', 'rbrc'):
+                        self.next()
+                    _fail(self.s, 'Repeated fractions are not allowed. Use parentheses '
+                          'if necessary.', ((start, self._last_end), '^'))
+                frag = _Frag(function.divide(frag.array, den.array), frag.indices)
+            over = [ch for ch, cnt in self._occ[-1].items() if cnt > 2]
+            if over:
+                _fail(self.s, f'Index {sorted(over)[0]} occurs more than twice.',
+                      ((start, self._last_end), '^'))
+        finally:
+            self._pop_scope()
         return frag
 
     def parse_factors(self, allow_leading_number):
+        start = self._start()
         frag = self.parse_factor(allow_number=allow_leading_number)
-        summed = set()
         while True:
             t = self.peek()
             if t is None or t.kind in ('plus', 'minus', 'slash', 'rpar', 'rbrk', 'rbrc'):
                 break
             if not t.spaced and t.kind not in ('name', 'number', 'lpar', 'lbrk', 'lbrc'):
                 break
+            shared_pre = {i: frag.array.shape[frag.indices.index(i)] for i in frag.indices}
             rhs = self.parse_factor(allow_number=False)
-            reused = (set(frag.indices) | set(rhs.indices)) & summed
-            if reused:
-                raise ExpressionSyntaxError(
-                    f'index {sorted(reused)[0]!r} occurs more than twice in a term of {self.s!r}')
-            summed |= set(frag.indices) & set(rhs.indices)
+            span = (start, self._last_end)
+            for i in rhs.indices:
+                if i in shared_pre and shared_pre[i] != rhs.array.shape[rhs.indices.index(i)]:
+                    _fail(self.s, f'Index {i} is assigned to axes with different '
+                          f'lengths: {shared_pre[i]} and {rhs.array.shape[rhs.indices.index(i)]}.',
+                          (span, '^'))
             frag = _mul(frag, rhs, self.s)
         return frag
 
@@ -219,6 +310,7 @@ class _Parser:
         return frag
 
     def parse_exponent(self):
+        start = self._start()
         t = self.next()
         if t.kind == 'minus':
             t2 = self.expect('number')
@@ -229,43 +321,51 @@ class _Parser:
             frag = self.parse_expression()
             self.expect('rpar')
             if frag.indices:
-                raise ExpressionSyntaxError(f'exponent must be scalar in {self.s!r}')
+                _fail(self.s, 'The exponent must have dimension zero.',
+                      ((start, self._last_end), '^'))
             return frag.array
         if t.kind == 'name':
-            frag = self._resolve(t.text, '')
+            frag = self._resolve(t)
             if frag.indices:
-                raise ExpressionSyntaxError(f'exponent must be scalar in {self.s!r}')
+                _fail(self.s, 'The exponent must have dimension zero.',
+                      ((start, self._last_end), '^'))
             return frag.array
-        raise ExpressionSyntaxError(f'invalid exponent near {t.text!r} in {self.s!r}')
+        _fail(self.s, f'Expected a number, variable or parenthesized expression '
+              f'but found {t.text!r}.', (t.span, '^'))
 
     def parse_atom(self, allow_number):
         t = self.next()
         if t.kind == 'number':
             if not allow_number:
-                raise ExpressionSyntaxError(f'numbers are only allowed at the start of a term: {self.s!r}')
+                _fail(self.s, 'Numbers are only allowed at the start of a term.', (t.span, '^'))
             return _Frag(function.asarray(_number(t.text)), '')
         if t.kind == 'lpar':
             frag = self.parse_expression()
             self.expect('rpar')
+            self._note(frag.indices)
             return frag
         if t.kind == 'lbrk':
             frag = self.parse_expression()
             self.expect('rbrk')
+            self._note(frag.indices)
             return _Frag(function.jump(frag.array), frag.indices)
         if t.kind == 'lbrc':
             frag = self.parse_expression()
             self.expect('rbrc')
+            self._note(frag.indices)
             return _Frag(function.mean(frag.array), frag.indices)
         if t.kind == 'name':
             name = t.text
             indices = ''
+            indices_span = (t.end, t.end)
             nt = self.peek()
             if nt is not None and nt.kind == 'under' and not nt.spaced:
                 self.next()
                 it = self.next()
                 if it.kind not in ('name', 'number') or not it.text.isalnum():
-                    raise ExpressionSyntaxError(f'expected indices after underscore in {self.s!r}')
+                    _fail(self.s, 'Expected indices after the underscore.', (it.span, '^'))
                 indices = it.text
+                indices_span = it.span
                 # a digit-leading subscript tokenizes as number + name
                 # ('t3_0jk' -> '0', 'jk'): keep consuming adjacent runs
                 while True:
@@ -273,48 +373,62 @@ class _Parser:
                     if ct2 is None or ct2.spaced or ct2.kind not in ('name', 'number') \
                             or not ct2.text.isalnum():
                         break
-                    indices += self.next().text
+                    ct2 = self.next()
+                    indices += ct2.text
+                    indices_span = (indices_span[0], ct2.end)
             # function call: name or name_gen directly followed by '('
             ct = self.peek()
             if ct is not None and ct.kind == 'lpar' and not ct.spaced:
                 value = getattr(self.ns, name, None)
                 if value is None:
-                    raise ExpressionSyntaxError(f'unknown function {name!r} in {self.s!r}')
+                    _fail(self.s, f'Unknown function {name!r}.', (t.span, '^'))
                 if not callable(value):
-                    raise ExpressionSyntaxError(f'{name!r} is not callable in {self.s!r}')
+                    _fail(self.s, f'{name!r} is not callable.', (t.span, '^'))
                 self.next()
                 arg = self.parse_expression()
                 self.expect('rpar')
                 out = function.asarray(value(arg.array))
                 ngen = out.ndim - arg.array.ndim
                 if len(indices) != ngen:
-                    raise ExpressionSyntaxError(
-                        f'function {name!r} generates {ngen} axes but {len(indices)} indices given in {self.s!r}')
+                    _fail(self.s, f'Expected {ngen} indices for the axes generated by '
+                          f'{name!r} but got {len(indices)}.',
+                          ((t.start, max(indices_span[1], t.end)), '^'))
+                self._note(arg.indices)
+                self._note(indices)
                 frag = _Frag(out, arg.indices + indices)
-                return _trace_repeated(frag, self.s)
-            return self._resolve(name, indices)
-        raise ExpressionSyntaxError(f'unexpected {t.text!r} in {self.s!r}')
+                return _trace_repeated(frag, self.s, (t.start, self._last_end))
+            return self._resolve(t, indices, indices_span)
+        _fail(self.s, f'Unexpected {t.text!r}.', (t.span, '^'))
 
-    def _resolve(self, name, indices):
+    def _resolve(self, name_tok, indices='', indices_span=None):
+        name = name_tok.text
         value = getattr(self.ns, name, None)
         if value is None:
-            raise ExpressionSyntaxError(f'unknown variable {name!r} in expression {self.s!r}')
+            _fail(self.s, f'Unknown variable {name!r}.', (name_tok.span, '^'))
         arr = function.asarray(value)
+        self._note(indices)
         if len(indices) != arr.ndim:
-            raise ExpressionSyntaxError(
-                f'variable {name!r} has {arr.ndim} axes but got indices {indices!r} in {self.s!r}')
+            span = (name_tok.start, (indices_span or name_tok.span)[1])
+            _fail(self.s, f'Expected {arr.ndim} indices for variable {name!r} '
+                  f'but got {len(indices)}.', (span, '^'))
         # numeral indices select items
         out_indices = ''
-        for ch in indices:
+        for pos, ch in enumerate(indices):
             if ch.isdigit():
                 ax = len(out_indices)
+                length = arr.shape[ax]
+                if int(ch) >= length:
+                    _fail(self.s, f'Index {ch} is out of range for axis of length '
+                          f'{length}.', (((indices_span or name_tok.span)[0] + pos,
+                                          (indices_span or name_tok.span)[0] + pos + 1), '^'))
                 arr = function.getitem(arr, (slice(None),) * ax + (int(ch),))
             else:
                 out_indices += ch
-        return _trace_repeated(_Frag(arr, out_indices), self.s)
+        return _trace_repeated(_Frag(arr, out_indices), self.s,
+                               (name_tok.start, (indices_span or name_tok.span)[1]))
 
 
-def _trace_repeated(frag, s):
+def _trace_repeated(frag, s, span=None):
     arr, indices = frag.array, frag.indices
     while True:
         dup = None
@@ -327,7 +441,8 @@ def _trace_repeated(frag, s):
             return _Frag(arr, indices)
         i, j, ch = dup
         if indices.count(ch) > 2:
-            raise ExpressionSyntaxError(f'index {ch!r} repeated more than twice in {s!r}')
+            _fail(s, f'Index {ch} occurs more than twice.',
+                  ((span or (0, len(s))), '^'))
         arr = function.trace(arr, i, j)
         indices = ''.join(c for k, c in enumerate(indices) if k not in (i, j))
 
@@ -340,7 +455,8 @@ def parse(string, namespace):
     p = _Parser(namespace, string)
     frag = p.parse_expression()
     if p.peek() is not None:
-        raise ExpressionSyntaxError(f'unexpected trailing input {p.peek().text!r} in {string!r}')
+        t = p.peek()
+        _fail(string, f'Unexpected trailing {t.text!r}.', ((t.start, len(string)), '^'))
     return frag
 
 
