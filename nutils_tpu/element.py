@@ -6,6 +6,18 @@ quadrature coordinates/weights, uniform bezier grids with local
 triangulations, edge affine maps with outward normals — that the topology
 layer assembles into batched sample arrays.  No per-element objects exist at
 evaluation time.
+
+>>> import numpy
+>>> from nutils_tpu import element
+>>> quad = element.hypercube(2)
+>>> pts, wts = quad.gauss(3)
+>>> float(wts.sum())
+1.0±1e-14
+>>> len(quad.edges)   # four edges, each an affine map + outward normal
+4
+>>> tri = element.simplex(2)
+>>> float(tri.gauss(1)[1].sum())   # reference triangle area
+0.5±1e-14
 '''
 
 import functools

@@ -10,6 +10,22 @@ samples are level-major concatenations of per-level table batches carrying a
 elements by an ancestor walk, and the h-/th- bases are built host-side into
 ragged per-element polynomial tables (reference: topology.py:2927
 _tensorial_bases) evaluated as one batched monomial contraction.
+
+>>> import numpy
+>>> from nutils_tpu import mesh, function
+>>> topo, geom = mesh.rectilinear([2, 2])
+>>> ref = topo.refined_by([0])   # replace element 0 by its four children
+>>> len(ref)
+7
+>>> float(ref.integrate(function.J(geom), degree=1))  # volume is preserved
+4.0±1e-12
+>>> basis = ref.basis('th-std', degree=1)  # truncated hierarchical basis
+>>> smp = ref.sample('gauss', 2)
+>>> vals = numpy.asarray(smp.eval(function.sum_(basis, 0), {}))
+>>> bool(abs(vals - 1).max() < 1e-12)     # THB is a partition of unity
+True
+>>> len(ref.interfaces)   # 4 fine-fine + 4 fine-coarse + 2 coarse-coarse
+10
 '''
 
 import functools

@@ -87,13 +87,32 @@ class SparsePattern:
 
 
 def assemble_csr(data, indices, indptr, shape):
-    '''CSR constructor with validation (reference: matrix/__init__.py:30).'''
+    '''CSR constructor with validation (reference: matrix/__init__.py:30).
+
+    >>> import numpy
+    >>> from nutils_tpu import matrix
+    >>> A = matrix.assemble_csr(numpy.array([2., -1., -1., 2.]),
+    ...                         numpy.array([0, 1, 0, 1]),
+    ...                         numpy.array([0, 2, 4]), (2, 2))
+    >>> x = A.solve(numpy.array([1., 1.]))
+    >>> numpy.round(x, 12).tolist()
+    [1.0, 1.0]
+    '''
     return Matrix(indptr, indices, numpy.asarray(data), shape)
 
 
 def assemble_coo(data, rows, cols, shape):
     '''COO constructor, deduplicating into CSR (reference:
-    matrix/__init__.py:73).'''
+    matrix/__init__.py:73).
+
+    >>> import numpy
+    >>> from nutils_tpu import matrix
+    >>> A = matrix.assemble_coo(numpy.array([1., 1., 3.]),
+    ...                         numpy.array([0, 0, 1]),
+    ...                         numpy.array([0, 0, 1]), (2, 2))
+    >>> A.export('dense').tolist()
+    [[2.0, 0.0], [0.0, 3.0]]
+    '''
     pattern = SparsePattern(numpy.asarray(rows), numpy.asarray(cols), shape)
     out = numpy.zeros(pattern.nnz)
     numpy.add.at(out, pattern.slot, numpy.asarray(data, dtype=float))

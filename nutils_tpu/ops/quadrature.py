@@ -6,6 +6,15 @@ collapsed-coordinate Gauss-Jacobi products (Duffy transform), which integrate
 polynomials of the requested total degree exactly with a tensor point count.
 Exactness — not point-for-point parity — is what the regression suite
 observes, since solutions depend only on exactly-integrated forms.
+
+>>> import numpy
+>>> from nutils_tpu.ops import quadrature
+>>> x, w = quadrature.gauss_line(3)       # exact through degree 5 on [0, 1]
+>>> float(w @ x**5)
+0.16666666666666666±1e-14
+>>> x, w = quadrature.triangle(2)         # exact for quadratics on the simplex
+>>> float(w @ (x[:, 0] * x[:, 1]))
+0.041666666666666664±1e-14
 '''
 
 import functools

@@ -6,6 +6,20 @@ Here a sample IS a set of tables: root coordinates [E, P, d], weights [E, P],
 parent element indices [E], parent-coordinate affine maps, boundary normals —
 and an integral lowers to one batched weighted contraction whose sparsity
 rules (evaluable.py) turn basis scatters into segment-sums.
+
+>>> import numpy
+>>> from nutils_tpu import mesh, function
+>>> topo, geom = mesh.rectilinear([2])
+>>> smp = topo.sample('gauss', 2)
+>>> smp.npoints
+4
+>>> float(smp.integrate(geom[0] * function.J(geom), {}))
+2.0±1e-12
+>>> bez = topo.sample('bezier', 3)
+>>> numpy.asarray(bez.eval(geom[0], {})).round(6).tolist()
+[0.0, 0.5, 1.0, 1.0, 1.5, 2.0]
+>>> bez.tri.shape  # within/cross-element triangulation of the point set
+(4, 2)
 '''
 
 import itertools

@@ -4,6 +4,21 @@ TPU-native re-design of the reference's topology layer (reference:
 topology.py): a topology knows how to produce batched sample *tables* (root
 coordinates, parent indices, affine maps, normals) instead of per-element
 transform chains; all chain composition happens here, host-side, in numpy.
+
+>>> import numpy
+>>> from nutils_tpu import mesh, function
+>>> topo, geom = mesh.rectilinear([2, 2])
+>>> len(topo)
+4
+>>> float(topo.integrate(function.J(geom), degree=1))
+4.0±1e-12
+>>> basis = topo.basis('spline', degree=2)
+>>> basis.ndofs
+16
+>>> float(topo.boundary.integrate(function.J(geom), degree=1))
+8.0±1e-12
+>>> len(topo.refined)
+16
 '''
 
 import functools

@@ -19,6 +19,18 @@ face pieces are coned from the midpoint into the volume triangulation, face
 interface pieces are coned into interface facets, and ribs — (d-2)-subfaces
 whose two incident faces disagree about retention after snapping — are
 promoted to interface facets (element.py:994-1002).
+
+>>> import numpy
+>>> from nutils_tpu import mesh, function
+>>> topo, geom = mesh.rectilinear([numpy.linspace(-1, 1, 9)] * 2)
+>>> disc = topo.trim(0.7**2 - (geom**2).sum(-1), maxrefine=2)
+>>> area = float(disc.integrate(function.J(geom), degree=2))
+>>> bool(abs(area - numpy.pi * 0.49) < 5e-3)
+True
+>>> rim = disc.boundary['trimmed']
+>>> per = float(rim.integrate(function.J(geom), degree=2))
+>>> bool(abs(per - 2 * numpy.pi * 0.7) < 2e-2)
+True
 '''
 
 import functools
