@@ -1742,6 +1742,78 @@ class System:
                 return self._compiled(which)(clean)
         return wrapped
 
+    def fused_step_op(self, *, solver='gmres', rtol=1e-3, restart=100, maxiter=None,
+                      maxrounds=30):
+        '''ONE-dispatch Newton sub-step for unconstrained blockgrid systems:
+        fused jacobian+residual assembly, the on-device Schur-aware diagonal
+        preconditioner, and the mixed-precision refined Krylov solve compiled
+        into a single jitted program ``clean_args -> (dx, resnorm, iters)``.
+
+        This is the production shape of a time-stepping loop on hardware
+        with high dispatch latency: the per-step host<->device round trips
+        (assembly call, preconditioner build, solve call) collapse into one
+        program launch; only the state update and convergence decision stay
+        on host.  The reference's counterpart is the per-iteration
+        assemble+solve of Newton (reference: solver.py:655-661), which is
+        host-orchestrated by construction.  Target = ``rtol * |res|``; the
+        returned ``resnorm`` is the device-computed f64 true residual of the
+        fused refinement (exact to ~1e-12 relative — see
+        matrix._device_krylov for the acceptance reasoning).
+        '''
+        import jax
+        import jax.numpy as jnp
+        from .ops import blockgrid as _bg
+        from .ops.sparse import _refined_driver, _schur_diag_kernel
+        from .utils import config
+        self._compiled('jacres')  # establish the jacobian form / scan plan
+        chunk_meta, pattern, jplan = self._jac_layout
+        if jplan is None or jplan['form'] != 'blockgrid':
+            raise NotImplementedError('fused_step_op requires the blockgrid jacobian form')
+        meta = jplan['meta']
+        shapes = _bg._w_shapes(meta)
+        woff, sizes = jplan['woff'], jplan['sizes']
+        cmap = jplan['csr_map']
+        if callable(cmap):
+            cmap = cmap()
+        cmap_dev = jnp.asarray(numpy.asarray(cmap))
+        n = int(pattern.shape[0])
+        counts = numpy.diff(pattern.indptr)
+        rows_dev = jnp.asarray(numpy.repeat(numpy.arange(n), counts))
+        idx_dev = jnp.asarray(pattern.indices)
+        run = _refined_driver(solver, 'diag', ('blockgrid', meta),
+                              max(2, min(int(restart), n)))
+        schur = _schur_diag_kernel(n, 1e-3)
+        cap = int(maxiter or max(1024, int(16 * numpy.sqrt(n))))
+        dt32 = config.float_dtype()
+        inner_floor = float(numpy.sqrt(numpy.finfo(dt32).eps))
+        plan = self._scan_plan()
+        if plan is not None:
+            sx = self._scan_xs(plan)
+            total = int(jplan['total'])
+
+            def jacres(args):
+                data, res = self._scan_assemble(args, sx['xs'], sx['fixed'], True, True)
+                return jnp.zeros(total, dtype=data.dtype).at[cmap_dev].add(data), res
+        else:
+            tables = self._tables()
+
+            def jacres(args):
+                return self._jacobian_trace(args, tables), self._residual_trace(args, tables)
+
+        def step(clean):
+            w, res = jacres(clean)
+            ws = tuple(w[o:o + s].reshape(shp) for o, s, shp in zip(woff, sizes, shapes))
+            minv = schur(w[cmap_dev], idx_dev, rows_dev).astype(ws[0].dtype)
+            b64 = jnp.asarray(res, jnp.float64)
+            target = jnp.asarray(rtol, jnp.float64) * jnp.linalg.norm(b64)
+            op64 = tuple(x.astype(jnp.float64) for x in ws)
+            x, rn, it, _rounds = run(ws, op64, b64, minv, target,
+                                     jnp.asarray(inner_floor, jnp.float64),
+                                     jnp.asarray(cap, jnp.int32),
+                                     jnp.asarray(maxrounds, jnp.int32))
+            return x, rn, it
+        return jax.jit(step)
+
     @log.withcontext
     def assemble_residual(self, arguments, x=None):
         arguments, free = self.construct(arguments, x, return_free=True)
