@@ -11,7 +11,15 @@ import sys
 os.environ['JAX_PLATFORMS'] = 'cpu'
 flags = os.environ.get('XLA_FLAGS', '')
 if '--xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = flags + ' --xla_force_host_platform_device_count=8'
+    flags += ' --xla_force_host_platform_device_count=8'
+# 8 virtual devices share ONE physical core here, so a heavy per-device
+# program legitimately takes minutes to reach a collective; XLA:CPU's default
+# 40 s rendezvous termination timeout then hard-aborts the process (observed
+# on the coil example under NUTILS_TPU_TEST_MESH=8)
+if '--xla_cpu_collective_call_terminate_timeout_seconds' not in flags:
+    flags += (' --xla_cpu_collective_call_warn_stuck_timeout_seconds=600'
+              ' --xla_cpu_collective_call_terminate_timeout_seconds=3600')
+os.environ['XLA_FLAGS'] = flags
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', 'examples'))
 
