@@ -54,7 +54,22 @@ def _digest(func, args, kwargs):
 
 def function(func):
     '''Memoize ``func`` on disk when caching is enabled.  Arguments must be
-    picklable; unpicklable calls fall through to a plain call.'''
+    picklable; unpicklable calls fall through to a plain call.
+
+    >>> import tempfile
+    >>> from nutils_tpu import cache
+    >>> calls = []
+    >>> @cache.function
+    ... def slow(x):
+    ...     calls.append(x)
+    ...     return x * x
+    >>> with tempfile.TemporaryDirectory() as tmp:
+    ...     with cache.enable(tmp):
+    ...         a = slow(3)   # computed, stored
+    ...         b = slow(3)   # replayed from disk
+    >>> (a, b, calls)
+    (9, 9, [3])
+    '''
 
     @functools.wraps(func)
     def wrapper(*args, **kwargs):

@@ -6,6 +6,18 @@ pure dof bookkeeping — per-patch spline dof grids are merged across shared
 faces by vertex-key matching (util.merge_index_map semantics) — and samples
 are per-patch table batches with globally offset element indices, so every
 basis lowers through the standard per-element-table path.
+
+>>> import numpy
+>>> from nutils_tpu import mesh, function
+>>> topo, geom = mesh.multipatch(
+...     patches=[[0, 1, 3, 4], [1, 2, 4, 5]],  # two unit squares side by side
+...     patchverts=[[0, 0], [1, 0], [2, 0], [0, 1], [1, 1], [2, 1]], nelems=2)
+>>> len(topo)
+8
+>>> float(topo.integrate(function.J(geom), degree=1))
+2.0±1e-12
+>>> topo.basis('spline', degree=1, patchcontinuous=True).ndofs  # glued seam
+15
 '''
 
 import functools

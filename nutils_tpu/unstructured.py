@@ -6,6 +6,18 @@ edge-matching connectivity replace transform chains; elements are grouped into
 uniform *buckets* by reference type so every bucket lowers to statically
 shaped batched arrays, and samples over mixed meshes are chains of per-bucket
 samples.
+
+>>> import numpy
+>>> from nutils_tpu import mesh, function
+>>> topo, geom = mesh.unitsquare(2, 'triangle')
+>>> len(topo)
+8
+>>> float(topo.integrate(function.J(geom), degree=1))
+1.0±1e-12
+>>> float(topo.boundary.integrate(function.J(geom), degree=1))
+4.0±1e-12
+>>> topo.basis('std', degree=1).ndofs
+9
 '''
 
 import functools
