@@ -92,8 +92,17 @@ class test(testing.TestCase):
 
     # extra absolute slack: dofs that are exact zeros in the recorded
     # reference data carry ~2e-15 assembly/solver rounding noise here (XLA
-    # scatter-add order differs from the reference's sequential accumulation)
-    noise = 3e-14
+    # scatter-add order differs from the reference's sequential accumulation).
+    # Under forced device solves (NUTILS_TPU_DEVICE_SOLVE_MIN=1) the
+    # symmetry-exact zero entries of the solution additionally carry the
+    # iterative solve's convergence-level residue (~1e-10 at the requested
+    # restol=1e-8; a direct factorization preserves those zeros to machine
+    # precision) — a documented solver-dependent delta, same policy as
+    # cylinderflow's divergence bound (PARITY.md solve-path acceptance).
+    @property
+    def noise(self):
+        from nutils_tpu.utils import config
+        return 3e-9 if config.device_solve_min.value <= 1 else 3e-14
 
     def test_torque(self):
         args = main(rotation=1., increment=1., elemsize=1., poisson=.25)
