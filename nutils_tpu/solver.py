@@ -1792,7 +1792,8 @@ class System:
             total = int(jplan['total'])
 
             def jacres(args):
-                data, res = self._scan_assemble(args, sx['xs'], sx['fixed'], True, True)
+                dr = self._scan_assemble(args, sx['xs'], sx['fixed'], True, True)
+                data, res = dr[0], dr[1]
                 return jnp.zeros(total, dtype=data.dtype).at[cmap_dev].add(data), res
         else:
             tables = self._tables()
