@@ -1775,36 +1775,45 @@ class System:
         cmap = jplan['csr_map']
         if callable(cmap):
             cmap = cmap()
-        cmap_dev = jnp.asarray(numpy.asarray(cmap))
         n = int(pattern.shape[0])
         counts = numpy.diff(pattern.indptr)
-        rows_dev = jnp.asarray(numpy.repeat(numpy.arange(n), counts))
-        idx_dev = jnp.asarray(pattern.indices)
         run = _refined_driver(solver, 'diag', ('blockgrid', meta),
                               max(2, min(int(restart), n)))
         schur = _schur_diag_kernel(n, 1e-3)
         cap = int(maxiter or max(1024, int(16 * numpy.sqrt(n))))
         dt32 = config.float_dtype()
         inner_floor = float(numpy.sqrt(numpy.finfo(dt32).eps))
+        # every large operand rides the jit boundary as an ARGUMENT: embedded
+        # as closure constants they serialize into the program body, which
+        # the axon remote-compile service rejects wholesale (HTTP 413 at
+        # ~1M dofs)
+        aux = {
+            'cmap': jnp.asarray(numpy.asarray(cmap)),
+            'idx': jnp.asarray(numpy.asarray(pattern.indices)),
+            'rows': jnp.asarray(numpy.repeat(numpy.arange(n), counts)),
+        }
         plan = self._scan_plan()
         if plan is not None:
             sx = self._scan_xs(plan)
             total = int(jplan['total'])
+            aux['xs'] = sx['xs']
+            aux['fixed'] = sx['fixed']
 
-            def jacres(args):
-                dr = self._scan_assemble(args, sx['xs'], sx['fixed'], True, True)
+            def jacres(args, aux):
+                dr = self._scan_assemble(args, aux['xs'], aux['fixed'], True, True)
                 data, res = dr[0], dr[1]
-                return jnp.zeros(total, dtype=data.dtype).at[cmap_dev].add(data), res
+                return jnp.zeros(total, dtype=data.dtype).at[aux['cmap']].add(data), res
         else:
-            tables = self._tables()
+            aux['tables'] = self._tables()
 
-            def jacres(args):
-                return self._jacobian_trace(args, tables), self._residual_trace(args, tables)
+            def jacres(args, aux):
+                return (self._jacobian_trace(args, aux['tables']),
+                        self._residual_trace(args, aux['tables']))
 
-        def step(clean):
-            w, res = jacres(clean)
+        def step(clean, aux):
+            w, res = jacres(clean, aux)
             ws = tuple(w[o:o + s].reshape(shp) for o, s, shp in zip(woff, sizes, shapes))
-            minv = schur(w[cmap_dev], idx_dev, rows_dev).astype(ws[0].dtype)
+            minv = schur(w[aux['cmap']], aux['idx'], aux['rows']).astype(ws[0].dtype)
             b64 = jnp.asarray(res, jnp.float64)
             target = jnp.asarray(rtol, jnp.float64) * jnp.linalg.norm(b64)
             op64 = tuple(x.astype(jnp.float64) for x in ws)
@@ -1813,7 +1822,8 @@ class System:
                                      jnp.asarray(cap, jnp.int32),
                                      jnp.asarray(maxrounds, jnp.int32))
             return x, rn, it
-        return jax.jit(step)
+        jitted = jax.jit(step)
+        return lambda clean: jitted(clean, aux)
 
     @log.withcontext
     def assemble_residual(self, arguments, x=None):
