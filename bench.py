@@ -225,8 +225,8 @@ def bench_ns_newton(nelems, dtype, rtol=1e-3, repeats=3):
         t_fused, out = _mintime(lambda: fused(clean), repeats)
         dxf = numpy.asarray(out[0], dtype=numpy.float64)
         rel_fused = float(numpy.linalg.norm(res - jac @ dxf) / numpy.linalg.norm(res))
-    except NotImplementedError:
-        pass
+    except Exception as e:  # optional metric: a fused-program compile failure
+        print(f'fused step unavailable: {type(e).__name__}', file=sys.stderr)
     return {'ndofs': ndofs, 't_assemble': t_asm, 't_assemble_device': t_asm_dev,
             't_solve': t_solve,
             't_total': t_asm + t_solve,
@@ -448,7 +448,10 @@ def main():
     def _ns_fused_ok(c):
         tf = c.get('t_step_fused')
         rf = c.get('rel_residual_fused')
-        return tf is not None and rf is not None and rf <= 1.5e-3
+        return (tf is not None and rf is not None and rf <= 1.5e-3
+                and tf < c['t_total'])  # fused wins only when dispatch
+        # latency dominates; on a healthy link the split path's cached f64
+        # operands can beat the fused program's per-call re-widening
 
     def _ns_time(c):
         return c['t_step_fused'] if _ns_fused_ok(c) else c['t_total']
